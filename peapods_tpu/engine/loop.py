@@ -1,0 +1,612 @@
+"""The fused sweep loop: one jitted ``lax.scan`` over sweeps.
+
+TPU-native counterpart of the reference hot loop
+(``/root/reference/spin-sim/src/simulation/mod.rs:177-858``).  Each scan step
+performs, in reference order:
+
+1. multicolor Metropolis/Gibbs pass over all systems,
+2. optional FK cluster update (``lax.cond`` on the interval) with CSD /
+   graph-observation collection,
+3. energy + magnetization recompute from spins (single source of truth),
+4. measurement: per-temperature records emitted as scan outputs, overlap
+   histograms scatter-added into carried accumulators,
+5. optional overlap cluster move (``lax.switch`` over the round-robin mode),
+6. optional parallel tempering (single random edge / full ladder).
+
+Everything is batched over disorder realizations (leading axis, ``vmap``) —
+the reference's rayon fan-out (mod.rs:887-903) becomes a device batch axis
+that ``jax.sharding`` can partition across chips.  Per-sweep scalars
+(magnetization moments, energies, overlap moments, autocorrelation series,
+equilibration series) are emitted as scan outputs and reduced host-side in
+float64; histogram-shaped statistics are carried as on-device accumulators
+that the driver drains after every chunk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cluster as cl
+from ..ops import overlap as ov
+from ..ops import tempering as pt
+from ..ops.energy import energies as compute_energies
+from ..ops.energy import energies_and_mags
+from ..ops.lattice import Lattice
+from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
+from ..ops.sweep import mc_sweep
+from .config import SimConfig
+
+__all__ = ["Runtime", "LoopProgram", "REC", "N_REC", "OBS_KINDS"]
+
+# Row layout of the per-sweep record tensor emitted by the scan.
+REC = {
+    name: i
+    for i, name in enumerate(
+        [
+            "m_sum",  # sum over replicas of m per temp
+            "m2_sum",
+            "m4_sum",
+            "e_sum",
+            "e2_sum",
+            "q_sum",  # sum over pairs of q per temp
+            "q2_sum",
+            "q4_sum",
+            "ql_sum",
+            "ql2_sum",
+            "ql4_sum",
+            "m2_ac",  # replica-averaged m^2 (autocorrelation series)
+            "q2_ac",  # pair-averaged q^2
+            "diag_e",  # replica-averaged energy (equilibration series)
+            "diag_ql",  # pair-averaged link overlap
+        ]
+    )
+}
+N_REC = len(REC)
+
+OBS_KINDS = ("houdayer", "jorg", "cmr")  # overlap observation accumulator kinds
+
+_PH_SWEEP, _PH_FK, _PH_OVERLAP, _PH_PT = range(1, 5)
+
+
+@dataclass
+class Runtime:
+    """Device-resident constants for one model instance."""
+
+    lattice: Lattice
+    n_replicas: int
+    n_temps: int
+    n_disorder: int
+    temps_np: np.ndarray  # f32 [n_temps]
+    fwd: jax.Array  # i32 [n_spins, n_nb]
+    bwd: jax.Array
+    color_masks: jax.Array  # bool [n_colors, n_spins]
+    offsets: jax.Array  # i32 [n_nb, n_dims]
+    temps: jax.Array  # f32 [n_temps]
+    couplings: jax.Array  # f32 [n_disorder, n_spins, n_nb]
+    coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
+
+    @classmethod
+    def build(cls, lattice, couplings_nd, temps, n_replicas):
+        """couplings_nd: f32 [n_disorder, n_spins, n_neighbors] (numpy)."""
+        coup = jnp.asarray(couplings_nd, dtype=jnp.float32)
+        n_nb = lattice.n_neighbors
+        coup_bwd = coup[:, lattice.bwd, np.arange(n_nb)[None, :]]
+        return cls(
+            lattice=lattice,
+            n_replicas=int(n_replicas),
+            n_temps=int(len(temps)),
+            n_disorder=int(coup.shape[0]),
+            temps_np=np.asarray(temps, dtype=np.float32),
+            fwd=jnp.asarray(lattice.fwd),
+            bwd=jnp.asarray(lattice.bwd),
+            color_masks=jnp.asarray(lattice.color_masks()),
+            offsets=jnp.asarray(lattice.offsets, dtype=jnp.int32),
+            temps=jnp.asarray(temps, dtype=jnp.float32),
+            couplings=coup,
+            coup_bwd=coup_bwd,
+        )
+
+    @property
+    def n_spins(self):
+        return self.lattice.n_spins
+
+    @property
+    def n_systems(self):
+        return self.n_replicas * self.n_temps
+
+    @property
+    def n_pairs(self):
+        return self.n_replicas // 2
+
+    @property
+    def hot_slot(self):
+        return int(np.argmax(self.temps_np))
+
+    @property
+    def cold_slot(self):
+        return int(np.argmin(self.temps_np))
+
+
+def _zero_obs(n_disorder, n_temps, n_bins):
+    """Graph-observation accumulator (mod.rs:17-55), disorder-batched."""
+    return {
+        "count": jnp.zeros((n_disorder, n_temps), jnp.int32),
+        "csd": jnp.zeros((n_disorder, n_temps, n_bins), jnp.int32),
+        "top4_frac": jnp.zeros((n_disorder, n_temps, 4), jnp.float32),
+        "bond_frac": jnp.zeros((n_disorder, n_temps), jnp.float32),
+        "winding": jnp.zeros((n_disorder, n_temps, 4), jnp.int32),
+        "large": jnp.zeros((n_disorder, n_temps), jnp.float32),
+    }
+
+
+def _sum_slots_obs(obs, csd_t, n_slots, n_spins, n_neighbors):
+    """Reduce per-slot GraphObservations [n_temps, n_slots] to per-temp sums.
+
+    Returns the presummed dict consumed by :func:`_obs_add`; fractions are
+    normalized at accumulation time so chunk-level f32 sums stay small.
+    """
+    wx = obs.winding_x
+    wy = obs.winding_y
+    winding = jnp.stack([wx, wy, wx | wy, wx & wy], axis=-1).astype(jnp.int32)
+    return {
+        "count": jnp.full((csd_t.shape[0],), n_slots, jnp.int32),
+        "csd": csd_t,
+        "top4_frac": obs.top4.astype(jnp.float32).sum(1) / n_spins,
+        "bond_frac": obs.active_bonds.astype(jnp.float32).sum(1)
+        / (n_spins * n_neighbors),
+        "winding": winding.sum(1),
+        "large": obs.large_components.astype(jnp.float32).sum(1),
+    }
+
+
+def _obs_add(acc, delta, gate_i32):
+    gate_f = gate_i32.astype(jnp.float32)
+    return {
+        "count": acc["count"] + gate_i32 * delta["count"],
+        "csd": acc["csd"] + gate_i32 * delta["csd"],
+        "top4_frac": acc["top4_frac"] + gate_f * delta["top4_frac"],
+        "bond_frac": acc["bond_frac"] + gate_f * delta["bond_frac"],
+        "winding": acc["winding"] + gate_i32 * delta["winding"],
+        "large": acc["large"] + gate_f * delta["large"],
+    }
+
+
+class LoopProgram:
+    """Compiled sweep-loop program for one (Runtime, SimConfig) pair."""
+
+    def __init__(self, rt: Runtime, cfg: SimConfig):
+        self.rt = rt
+        self.cfg = cfg
+        c = cfg.cluster_update
+        h = cfg.overlap_cluster
+        self.collect_fk = c is not None and (c.collect_stats or c.action == "observe")
+        self.observe_fk = c is not None and c.action == "observe"
+        self.has_pairs = rt.n_pairs > 0
+        self.collect_overlap = (
+            h is not None
+            and (h.collect_stats or h.action == "observe")
+            and self.has_pairs
+        )
+        self.observe_overlap = h is not None and h.action == "observe"
+        self.n_modes = len(h.modes) if h is not None else 0
+        self.obs_kinds_used = (
+            tuple(sorted({m.kind for m in h.modes}))
+            if (h and self.observe_overlap)
+            else ()
+        )
+        self.with_winding = rt.lattice.canonical_square_shape is not None
+        self._chunk_cache = {}
+        self._snap_fn = None
+
+    # ------------------------------------------------------------------ acc
+
+    def init_accumulators(self):
+        rt = self.rt
+        n_bins = rt.n_spins + 1
+        d, t = rt.n_disorder, rt.n_temps
+        acc = {}
+        if self.has_pairs:
+            acc["q_hist"] = jnp.zeros((d, t, n_bins), jnp.int32)
+            acc["ql_at_q"] = jnp.zeros((d, t, n_bins), jnp.float32)
+            acc["ql2_at_q"] = jnp.zeros((d, t, n_bins), jnp.float32)
+        if self.collect_fk:
+            acc["fk_csd"] = jnp.zeros((d, t, n_bins), jnp.int32)
+        if self.observe_fk:
+            acc["fk_obs"] = _zero_obs(d, t, n_bins)
+        if self.collect_overlap:
+            acc["overlap_csd"] = jnp.zeros((d, self.n_modes, t, n_bins), jnp.int32)
+            acc["top4_sum"] = jnp.zeros((d, self.n_modes, t, 4), jnp.float32)
+            acc["top4_n"] = jnp.zeros((d, self.n_modes), jnp.int32)
+        for kind in self.obs_kinds_used:
+            acc[f"ov_obs_{kind}"] = _zero_obs(d, t, n_bins)
+        return acc
+
+    # --------------------------------------------------------------- phases
+
+    def _sweep_phase(self, spins, sid, key, coup, coup_bwd):
+        rt = self.rt
+        sys_temps = slot_temps_for_systems(sid, rt.temps)
+        return mc_sweep(
+            spins,
+            coup,
+            coup_bwd,
+            rt.fwd,
+            rt.bwd,
+            rt.color_masks,
+            sys_temps,
+            jax.random.fold_in(key, _PH_SWEEP),
+            gibbs=(self.cfg.sweep_mode == "gibbs"),
+        )
+
+    def _fk_phase(self, spins, sid, key, coup):
+        """FK update for one realization; returns (spins, csd_t, obs_delta)."""
+        rt = self.rt
+        cfgc = self.cfg.cluster_update
+        wolff = cfgc.mode == "wolff"
+        update = cfgc.action == "update"
+        sys_temps = slot_temps_for_systems(sid, rt.temps)
+        keys = jax.random.split(jax.random.fold_in(key, _PH_FK), rt.n_systems)
+
+        def one_system(s, temp, k):
+            kb, ks = jax.random.split(k)
+            active = cl.fk_bond_activation(s, coup, rt.fwd, temp, kb)
+            labels = cl.connected_components(active, rt.fwd, rt.bwd)
+            counts = cl.component_counts(labels)
+            if wolff:
+                seed = jax.random.randint(ks, (), 0, rt.n_spins)
+                flip = cl.wolff_flip_mask(labels, seed)
+            else:
+                flip = cl.cluster_coin_flip_mask(ks, labels, counts)
+            new_s = jnp.where(flip, -s, s) if update else s
+            csd = cl.csd_histogram(counts) if self.collect_fk else None
+            obs = (
+                cl.graph_observation(
+                    active, counts, labels, rt.fwd, rt.bwd, rt.offsets,
+                    self.with_winding,
+                )
+                if self.observe_fk
+                else None
+            )
+            return new_s, csd, obs
+
+        new_spins, csd_sys, obs_sys = jax.vmap(one_system)(spins, sys_temps, keys)
+
+        csd_t = None
+        obs_delta = None
+        if self.collect_fk:
+            csd_t = csd_sys[sid].sum(0)  # per-slot -> per-temp (mod.rs:471-477)
+        if self.observe_fk:
+            # reorder per-system fields to [n_temps, n_replicas]
+            slot = lambda x: jnp.swapaxes(x[sid], 0, 1)
+            obs_slot = cl.GraphObservation(
+                top4=slot(obs_sys.top4),
+                active_bonds=slot(obs_sys.active_bonds),
+                winding_x=slot(obs_sys.winding_x),
+                winding_y=slot(obs_sys.winding_y),
+                large_components=slot(obs_sys.large_components),
+            )
+            obs_delta = _sum_slots_obs(
+                obs_slot, csd_t, rt.n_replicas, rt.n_spins, rt.lattice.n_neighbors
+            )
+        return new_spins, csd_t, obs_delta
+
+    def _overlap_branch(self, mode):
+        """Build one ``lax.switch`` branch; all branches share output shapes."""
+        rt = self.rt
+        h = self.cfg.overlap_cluster
+        wolff = h.cluster_mode == "wolff"
+        update = h.action == "update"
+        g = mode.group_size
+        n_groups = rt.n_replicas // g
+        nb = rt.n_spins + 1
+        winding = self.with_winding and self.observe_overlap
+
+        def branch(spins, sid, key, coup):
+            k_shuffle, k_tasks = jax.random.split(jax.random.fold_in(key, _PH_OVERLAP))
+            tasks = ov.build_tasks(sid, k_shuffle, g)  # [T, n_groups, g]
+            flat = tasks.reshape(-1, g)
+            tspins = spins[flat]  # [n_tasks, g, n_spins]
+            task_temps = jnp.repeat(rt.temps, n_groups)
+            tkeys = jax.random.split(k_tasks, flat.shape[0])
+
+            def run_task(ts, temp, k):
+                if mode.kind == "houdayer":
+                    return ov.houdayer_task(
+                        ts, k, rt.fwd, rt.bwd, rt.offsets,
+                        wolff=wolff, update=update, with_winding=winding,
+                    )
+                if mode.kind == "jorg":
+                    return ov.jorg_task(
+                        ts, k, coup, temp, rt.fwd, rt.bwd, rt.offsets,
+                        wolff=wolff, update=update, with_winding=winding,
+                    )
+                return ov.cmr_task(
+                    ts, k, coup, temp, rt.fwd, rt.bwd, rt.offsets,
+                    wolff=wolff, update=update, with_winding=winding,
+                )
+
+            out = jax.vmap(run_task)(tspins, task_temps, tkeys)
+            new_spins = spins.at[flat.reshape(-1)].set(
+                out.spins.reshape(-1, rt.n_spins)
+            )
+
+            csd_t = out.csd.reshape(rt.n_temps, n_groups, nb).sum(1)
+            by_temp = lambda x: x.reshape((rt.n_temps, n_groups) + x.shape[1:])
+            obs_temp = cl.GraphObservation(
+                top4=by_temp(out.obs.top4),
+                active_bonds=by_temp(out.obs.active_bonds),
+                winding_x=by_temp(out.obs.winding_x),
+                winding_y=by_temp(out.obs.winding_y),
+                large_components=by_temp(out.obs.large_components),
+            )
+            obs_delta = _sum_slots_obs(
+                obs_temp, csd_t, n_groups, rt.n_spins, rt.lattice.n_neighbors
+            )
+            top4_frac = obs_delta["top4_frac"]  # [T, 4] summed over groups
+
+            # Snapshot payload: first group per temperature, first two
+            # replicas, pre-move spins (mod.rs:682-714).
+            labels_bt = out.labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
+            blue_bt = out.blue_labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
+            pair_sids = tasks[:, 0, :2]
+            pair_spins = tspins.reshape(rt.n_temps, n_groups, g, -1)[:, 0, :2]
+            snap = (labels_bt, blue_bt, pair_spins, pair_sids)
+            return new_spins, csd_t, top4_frac, obs_delta, snap
+
+        return branch
+
+    def _pt_phase(self, spins, sid, key, coup, parity, pt_state):
+        """PT event for one realization (energies re-derived from spins)."""
+        rt = self.rt
+        e = compute_energies(spins, coup, rt.fwd)
+        k = jax.random.fold_in(key, _PH_PT)
+        att, acc_, rtrips, ts = pt_state
+        if self.cfg.pt_schedule == "full_ladder":
+            sid, att, acc_, rtrips, ts = pt.pt_full_ladder(
+                e, sid, rt.temps, k, rt.n_spins, parity,
+                att, acc_, rtrips, ts, rt.hot_slot, rt.cold_slot,
+            )
+        else:
+            sid, att, acc_, rtrips, ts = pt.pt_single_random_edge(
+                e, sid, rt.temps, k, rt.n_spins,
+                att, acc_, rtrips, ts, rt.hot_slot, rt.cold_slot,
+            )
+        return sid, (att, acc_, rtrips, ts)
+
+    def _measure_phase(self, spins, sid, coup):
+        """Per-sweep records + histogram deltas for one realization."""
+        rt = self.rt
+        n = rt.n_spins
+        e, msum = energies_and_mags(spins, coup, rt.fwd)
+        m_rt = per_slot_values(msum, sid).astype(jnp.float32) / n  # [R, T]
+        e_rt = per_slot_values(e, sid)
+        rec = jnp.zeros((N_REC, rt.n_temps), jnp.float32)
+        m2 = m_rt * m_rt
+        rec = rec.at[REC["m_sum"]].set(m_rt.sum(0))
+        rec = rec.at[REC["m2_sum"]].set(m2.sum(0))
+        rec = rec.at[REC["m4_sum"]].set((m2 * m2).sum(0))
+        rec = rec.at[REC["e_sum"]].set(e_rt.sum(0))
+        rec = rec.at[REC["e2_sum"]].set((e_rt * e_rt).sum(0))
+        rec = rec.at[REC["m2_ac"]].set(m2.sum(0) / rt.n_replicas)
+        rec = rec.at[REC["diag_e"]].set(e_rt.sum(0) / rt.n_replicas)
+
+        hist_delta = None
+        if self.has_pairs:
+            dot_spin, dot_link = overlap_dots(spins, sid, rt.fwd)  # [P, T]
+            n_bonds = n * rt.lattice.n_neighbors
+            q = dot_spin.astype(jnp.float32) / n
+            ql = dot_link.astype(jnp.float32) / n_bonds
+            q2 = q * q
+            ql2 = ql * ql
+            rec = rec.at[REC["q_sum"]].set(q.sum(0))
+            rec = rec.at[REC["q2_sum"]].set(q2.sum(0))
+            rec = rec.at[REC["q4_sum"]].set((q2 * q2).sum(0))
+            rec = rec.at[REC["ql_sum"]].set(ql.sum(0))
+            rec = rec.at[REC["ql2_sum"]].set(ql2.sum(0))
+            rec = rec.at[REC["ql4_sum"]].set((ql2 * ql2).sum(0))
+            rec = rec.at[REC["q2_ac"]].set(q2.sum(0) / rt.n_pairs)
+            rec = rec.at[REC["diag_ql"]].set(ql.sum(0) / rt.n_pairs)
+            idx = (dot_spin + n) // 2  # histogram bin (overlap.rs:303)
+            hist_delta = (idx, ql)
+        return rec, hist_delta
+
+    # ----------------------------------------------------------------- step
+
+    def make_step(self, with_snapshot=False):
+        rt = self.rt
+        cfg = self.cfg
+        c = cfg.cluster_update
+        h = cfg.overlap_cluster
+
+        branches = [self._overlap_branch(m) for m in (h.modes if h else [])]
+        mode_kinds = (
+            np.array([OBS_KINDS.index(m.kind) for m in h.modes], dtype=np.int32)
+            if h
+            else None
+        )
+
+        def step(carry, sweep_local):
+            state, acc = carry
+            counter = state["counter"]
+            record = sweep_local >= state["warmup"]
+            rec_i32 = record.astype(jnp.int32)
+            rec_f32 = record.astype(jnp.float32)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, counter))(
+                state["base_keys"]
+            )
+            spins, sid = state["spins"], state["system_ids"]
+
+            # 1. single-spin sweep
+            spins = jax.vmap(self._sweep_phase)(
+                spins, sid, keys, rt.couplings, rt.coup_bwd
+            )
+
+            # 2. FK cluster update
+            if c is not None:
+                do_cluster = (sweep_local % c.interval) == 0
+
+                def run_fk(args):
+                    spins, acc = args
+                    new_spins, csd_t, obs_delta = jax.vmap(self._fk_phase)(
+                        spins, sid, keys, rt.couplings
+                    )
+                    acc = dict(acc)
+                    if self.collect_fk:
+                        acc["fk_csd"] = acc["fk_csd"] + rec_i32 * csd_t
+                    if self.observe_fk:
+                        acc["fk_obs"] = jax.vmap(
+                            lambda a, d: _obs_add(a, d, rec_i32)
+                        )(acc["fk_obs"], obs_delta)
+                    return new_spins, acc
+
+                spins, acc = jax.lax.cond(
+                    do_cluster, run_fk, lambda args: args, (spins, acc)
+                )
+
+            # 3+4. measurement (energies/mags recomputed from spins)
+            rec, hist_delta = jax.vmap(self._measure_phase)(
+                spins, sid, rt.couplings
+            )
+            if self.has_pairs:
+                idx, ql = hist_delta  # each [D, P, T]
+                t_cols = jnp.broadcast_to(
+                    jnp.arange(rt.n_temps)[None, :], idx.shape[1:]
+                )
+
+                def upd_hist(qh, qla, qla2, ix, qlv):
+                    qh = qh.at[t_cols, ix].add(rec_i32)
+                    qla = qla.at[t_cols, ix].add(rec_f32 * qlv)
+                    qla2 = qla2.at[t_cols, ix].add(rec_f32 * qlv * qlv)
+                    return qh, qla, qla2
+
+                acc = dict(acc)
+                acc["q_hist"], acc["ql_at_q"], acc["ql2_at_q"] = jax.vmap(upd_hist)(
+                    acc["q_hist"], acc["ql_at_q"], acc["ql2_at_q"], idx, ql
+                )
+
+            # 5. overlap cluster move
+            snap_out = (
+                jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
+                jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
+                jnp.zeros((rt.n_disorder, rt.n_temps, 2, rt.n_spins), jnp.int8),
+                jnp.zeros((rt.n_disorder, rt.n_temps, 2), jnp.int32),
+            )
+            if h is not None:
+                do_overlap = (sweep_local % h.interval) == 0
+                mode_idx = (sweep_local // h.interval) % self.n_modes
+
+                def run_overlap(args):
+                    spins, acc, _ = args
+
+                    def dispatch(s, si, k, cp):
+                        return jax.lax.switch(mode_idx, branches, s, si, k, cp)
+
+                    new_spins, csd_t, top4_frac, obs_delta, snap = jax.vmap(
+                        dispatch
+                    )(spins, sid, keys, rt.couplings)
+                    acc = dict(acc)
+                    if self.collect_overlap:
+                        acc["overlap_csd"] = (
+                            acc["overlap_csd"].at[:, mode_idx].add(rec_i32 * csd_t)
+                        )
+                        acc["top4_sum"] = (
+                            acc["top4_sum"].at[:, mode_idx].add(rec_f32 * top4_frac)
+                        )
+                        acc["top4_n"] = acc["top4_n"].at[:, mode_idx].add(rec_i32)
+                    if self.observe_overlap:
+                        active_kind = jnp.asarray(mode_kinds)[mode_idx]
+                        for kind in self.obs_kinds_used:
+                            gate = rec_i32 * (
+                                active_kind == OBS_KINDS.index(kind)
+                            ).astype(jnp.int32)
+                            acc[f"ov_obs_{kind}"] = jax.vmap(
+                                lambda a, d: _obs_add(a, d, gate)
+                            )(acc[f"ov_obs_{kind}"], obs_delta)
+                    return new_spins, acc, snap
+
+                spins, acc, snap_out = jax.lax.cond(
+                    do_overlap,
+                    run_overlap,
+                    lambda args: args,
+                    (spins, acc, snap_out),
+                )
+
+            # 6. parallel tempering
+            if cfg.pt_interval is not None and rt.n_temps >= 2:
+                do_pt = (sweep_local % cfg.pt_interval) == 0
+
+                def run_pt(args):
+                    sid, att, pacc, rtrips, ts, parity = args
+
+                    def one(s, si, k, cp, a, b, r, t):
+                        return self._pt_phase(s, si, k, cp, parity, (a, b, r, t))
+
+                    new_sid, (att, pacc, rtrips, ts) = jax.vmap(one)(
+                        spins, sid, keys, rt.couplings, att, pacc, rtrips, ts
+                    )
+                    if cfg.pt_schedule == "full_ladder":
+                        parity = 1 - parity
+                    return new_sid, att, pacc, rtrips, ts, parity
+
+                sid, att, pacc, rtrips, ts, parity = jax.lax.cond(
+                    do_pt,
+                    run_pt,
+                    lambda args: args,
+                    (
+                        sid,
+                        state["pt_edge_attempts"],
+                        state["pt_edge_acceptances"],
+                        state["pt_round_trips"],
+                        state["pt_trip_state"],
+                        state["pt_parity"],
+                    ),
+                )
+            else:
+                att = state["pt_edge_attempts"]
+                pacc = state["pt_edge_acceptances"]
+                rtrips = state["pt_round_trips"]
+                ts = state["pt_trip_state"]
+                parity = state["pt_parity"]
+
+            new_state = {
+                "spins": spins,
+                "system_ids": sid,
+                "base_keys": state["base_keys"],
+                "counter": counter + 1,
+                "warmup": state["warmup"],
+                "pt_edge_attempts": att,
+                "pt_edge_acceptances": pacc,
+                "pt_round_trips": rtrips,
+                "pt_trip_state": ts,
+                "pt_parity": parity,
+            }
+            if with_snapshot:
+                return (new_state, acc), (rec, snap_out)
+            return (new_state, acc), rec
+
+        return step
+
+    # ------------------------------------------------------------- runners
+
+    def chunk_runner(self, chunk_len: int):
+        """Jitted scan over ``chunk_len`` sweeps (cached per length)."""
+        if chunk_len not in self._chunk_cache:
+            step = self.make_step(with_snapshot=False)
+
+            @jax.jit
+            def run(carry, xs):
+                return jax.lax.scan(step, carry, xs)
+
+            self._chunk_cache[chunk_len] = run
+        return self._chunk_cache[chunk_len]
+
+    def snapshot_runner(self):
+        """Jitted single-sweep step that also returns snapshot payloads."""
+        if self._snap_fn is None:
+            step = self.make_step(with_snapshot=True)
+            self._snap_fn = jax.jit(step)
+        return self._snap_fn

@@ -1,0 +1,34 @@
+"""Per-system energy and magnetization reductions.
+
+Counterpart of ``/root/reference/spin-sim/src/spins/energy.rs:14-110``.
+The reference's (deliberate) sign convention is kept: the reported "energy"
+is the **positive** sum of forward-bond interactions per spin,
+``e = +sum_{i,d} J[i,d] s_i s_{fwd(i,d)} / n_spins`` (energy.rs:92-109; noted
+in the reference Python docstring spin_models.py:343-349).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["energies", "energies_and_mags", "bond_interactions"]
+
+
+def bond_interactions(spins_f, coup_fwd, fwd):
+    """``f32 [n_systems, n_spins, n_neighbors]``: ``J[i,d] s_i s_fwd``."""
+    return spins_f[..., :, None] * spins_f[..., fwd] * coup_fwd
+
+
+def energies(spins, coup_fwd, fwd):
+    """Mean energy per spin, per system: ``f32 [n_systems]``."""
+    s = spins.astype(jnp.float32)
+    n_spins = spins.shape[-1]
+    tot = (bond_interactions(s, coup_fwd, fwd)).sum((-1, -2))
+    return tot / n_spins
+
+
+def energies_and_mags(spins, coup_fwd, fwd):
+    """(energy per spin ``f32 [n_systems]``, magnetization sum ``int32``)."""
+    e = energies(spins, coup_fwd, fwd)
+    m = spins.astype(jnp.int32).sum(-1)
+    return e, m

@@ -1,0 +1,210 @@
+"""Replica-overlap cluster moves: Houdayer(N), Joerg, CMR.
+
+TPU-native counterpart of ``/root/reference/spin-sim/src/clusters/overlap.rs``.
+The reference fans (temperature x replica-group) tasks out over rayon threads;
+here every task is one element of a vmapped batch: replicas at each
+temperature are shuffled on-device, grouped, their spin configurations
+gathered into a ``[n_tasks, group_size, n_spins]`` tensor, transformed by one
+of the three pure per-task kernels below, and scattered back (groups partition
+the systems, so the scatter is disjoint).
+
+Per-task rules (with T the task's temperature, J the couplings):
+
+* **Houdayer(N)** (overlap.rs:146-339): active site iff the spin sum over the
+  N grouped replicas is 0; deterministic bonds between adjacent active sites;
+  flip the cluster in all N replicas.  Wolff seeds from 64 random probes of
+  the active set; SW flips each non-singleton cluster with p=1/2.
+* **Joerg** (overlap.rs:341-553): active iff sigma_i != tau_i; stochastic
+  bonds on satisfied active edges with ``p = 1 - exp(-4 J s^a_i s^a_j / T)``;
+  flip both replicas.
+* **CMR** (overlap.rs:555-971): phase 1 builds *blue* bonds on doubly
+  satisfied edges with ``p = 1 - r^2`` (``r = exp(-2|J|/T)``) and flips blue
+  clusters jointly (Wolff: the random seed's cluster, always; SW: each
+  non-singleton with p=1/2).  Phase 2 extends with *red* bonds on singly
+  satisfied edges (evaluated post-flip; the classification is invariant under
+  the joint blue flip, overlap.rs:564-569) with ``p = 1 - r``; grey = blue
+  plus red clusters flip with k in {1..3} (Wolff) / {0..3} (SW, non-singleton)
+  choosing which replica(s) flip.
+
+Statistics (CSD, top-4, graph observations) are measured on the move's bond
+graph — for CMR, on the *blue* graph (matching the reference's cmr_blue).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cluster as cl
+
+__all__ = ["build_tasks", "OverlapMoveOut", "houdayer_task", "jorg_task", "cmr_task"]
+
+
+def build_tasks(system_ids, key, group_size: int):
+    """Shuffled per-temperature replica groups (overlap.rs:35-56).
+
+    Args:
+        system_ids: ``int32 [n_replicas, n_temps]`` PT permutation.
+        group_size: replicas per task.
+
+    Returns:
+        ``int32 [n_temps, n_groups, group_size]`` system indices per task.
+    """
+    n_replicas, n_temps = system_ids.shape
+    n_groups = n_replicas // group_size
+    keys = jax.random.split(key, n_temps)
+    shuffled = jax.vmap(jax.random.permutation)(keys, system_ids.T)
+    return shuffled[:, : n_groups * group_size].reshape(
+        n_temps, n_groups, group_size
+    )
+
+
+class OverlapMoveOut(NamedTuple):
+    """Per-task outputs of one overlap move."""
+
+    spins: jax.Array  # int8 [group_size, n_spins] post-move
+    labels: jax.Array  # int32 [n_spins] final cluster ids (grey for CMR)
+    blue_labels: jax.Array  # int32 [n_spins] CMR blue ids (== labels otherwise)
+    counts: jax.Array  # int32 [n_spins] stats-graph component sizes
+    csd: jax.Array  # int32 [n_spins + 1]
+    obs: cl.GraphObservation
+
+
+def _stats(active, counts, labels, fwd, bwd, offsets, with_winding):
+    return (
+        cl.csd_histogram(counts),
+        cl.graph_observation(active, counts, labels, fwd, bwd, offsets, with_winding),
+    )
+
+
+def houdayer_task(
+    tspins, key, fwd, bwd, offsets, *, wolff: bool, update: bool, with_winding: bool
+):
+    """Houdayer(N) move on one (temperature, group) task.
+
+    Args:
+        tspins: ``int8 [group_size, n_spins]``.
+        update: mutate spins (False = observe).
+    """
+    active = tspins.astype(jnp.int32).sum(0) == 0
+    bonds = active[:, None] & active[fwd]
+    labels = cl.connected_components(bonds, fwd, bwd)
+    counts = cl.component_counts(labels)
+    csd, obs = _stats(bonds, counts, labels, fwd, bwd, offsets, with_winding)
+
+    k_seed, k_coin = jax.random.split(key)
+    if wolff:
+        seed, found = cl.find_seed(k_seed, active)
+        flip = cl.wolff_flip_mask(labels, seed) & found
+    else:
+        flip = cl.cluster_coin_flip_mask(k_coin, labels, counts, nonsingleton=True)
+    if update:
+        tspins = jnp.where(flip[None, :], -tspins, tspins)
+    return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
+
+
+def jorg_task(
+    tspins,
+    key,
+    coup_fwd,
+    temp,
+    fwd,
+    bwd,
+    offsets,
+    *,
+    wolff: bool,
+    update: bool,
+    with_winding: bool,
+):
+    """Joerg stochastic overlap move on one pair task (``group_size == 2``)."""
+    a, b = tspins[0], tspins[1]
+    active = a != b
+    k_bond, k_seed, k_coin = jax.random.split(key, 3)
+    fk = cl.fk_bond_activation(a, coup_fwd, fwd, temp, k_bond, factor=4.0)
+    bonds = fk & active[:, None] & active[fwd]
+    labels = cl.connected_components(bonds, fwd, bwd)
+    counts = cl.component_counts(labels)
+    csd, obs = _stats(bonds, counts, labels, fwd, bwd, offsets, with_winding)
+
+    if wolff:
+        seed, found = cl.find_seed(k_seed, active)
+        flip = cl.wolff_flip_mask(labels, seed) & found
+    else:
+        flip = cl.cluster_coin_flip_mask(k_coin, labels, counts, nonsingleton=True)
+    if update:
+        tspins = jnp.where(flip[None, :], -tspins, tspins)
+    return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
+
+
+def _cmr_satisfied(a, b, coup_fwd, fwd):
+    """(a_satisfied, b_satisfied) per forward bond."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    a_sat = af[:, None] * af[fwd] * coup_fwd > 0.0
+    b_sat = bf[:, None] * bf[fwd] * coup_fwd > 0.0
+    return a_sat, b_sat
+
+
+def cmr_task(
+    tspins,
+    key,
+    coup_fwd,
+    temp,
+    fwd,
+    bwd,
+    offsets,
+    *,
+    wolff: bool,
+    update: bool,
+    with_winding: bool,
+):
+    """CMR two-phase (blue -> grey) move on one pair task."""
+    a, b = tspins[0], tspins[1]
+    k_blue, k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
+    r = jnp.exp(-2.0 * jnp.abs(coup_fwd) / temp)
+
+    # Phase 1: blue bonds on doubly-satisfied edges, p = 1 - r^2.
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, fwd)
+    u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
+    blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
+    blue_labels = cl.connected_components(blue, fwd, bwd)
+    blue_counts = cl.component_counts(blue_labels)
+    csd, obs = _stats(blue, blue_counts, blue_labels, fwd, bwd, offsets, with_winding)
+
+    seed = jax.random.randint(k_seed, (), 0, a.shape[0])
+    if wolff:
+        blue_flip = cl.wolff_flip_mask(blue_labels, seed)
+    else:
+        blue_flip = cl.cluster_coin_flip_mask(
+            k_bcoin, blue_labels, blue_counts, nonsingleton=True
+        )
+    if update:
+        a = jnp.where(blue_flip, -a, a)
+        b = jnp.where(blue_flip, -b, b)
+
+    # Phase 2: red bonds on singly-satisfied edges (post-flip), p = 1 - r.
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, fwd)
+    u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
+    red = (a_sat != b_sat) & (u_red < 1.0 - r)
+    grey_labels = cl.connected_components(blue | red, fwd, bwd)
+    grey_counts = cl.component_counts(grey_labels)
+
+    if wolff:
+        k = jax.random.randint(k_gcoin, (), 1, 4)
+        in_grey = cl.wolff_flip_mask(grey_labels, seed)
+        flip_a = in_grey & ((k & 1) != 0)
+        flip_b = in_grey & ((k & 2) != 0)
+    else:
+        k_site = jax.random.randint(k_gcoin, (a.shape[0],), 0, 4)
+        k = k_site[grey_labels]
+        nonsingleton = grey_counts[grey_labels] > 1
+        flip_a = nonsingleton & ((k & 1) != 0)
+        flip_b = nonsingleton & ((k & 2) != 0)
+    if update:
+        a = jnp.where(flip_a, -a, a)
+        b = jnp.where(flip_b, -b, b)
+
+    tspins = jnp.stack([a, b])
+    return OverlapMoveOut(tspins, grey_labels, blue_labels, blue_counts, csd, obs)
