@@ -1,0 +1,64 @@
+"""Benchmark: spin-flip attempts/sec/chip on the driver's flagship config.
+
+Config from /root/repo/BASELINE.json: 256x256 2D Ising ferromagnet, 24-temp
+parallel-tempering ladder, Metropolis sweeps.  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+The reference publishes no absolute numbers (BASELINE.md); the baseline used
+for ``vs_baseline`` is the driver-provided north star of 1e10 spin-flip
+attempts/sec/chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FLIPS_PER_SEC = 1.0e10
+
+
+def main():
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    L = 256
+    n_temps = 24
+    n_replicas = 1
+    temps = np.geomspace(1.8, 3.2, n_temps).astype(np.float32)
+    coup = np.ones((L, L, 2), np.float32)
+    sim = IsingSimulation(
+        [L, L], coup, temps, n_replicas, None, 42, default_chunk=64, mesh=None
+    )
+
+    n_systems = n_temps * n_replicas
+    n_sites = L * L
+
+    # warmup: compile + settle
+    sim.sample(64, "metropolis", pt_interval=1, warmup_ratio=0.0)
+
+    n_sweeps = 256
+    t0 = time.perf_counter()
+    sim.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.0)
+    elapsed = time.perf_counter() - t0
+
+    sweeps_per_sec = n_sweeps / elapsed
+    flips_per_sec = sweeps_per_sec * n_systems * n_sites
+    print(
+        json.dumps(
+            {
+                "metric": "spin_flip_attempts_per_sec_chip_256x256_24T_pt",
+                "value": flips_per_sec,
+                "unit": "flips/s",
+                "vs_baseline": flips_per_sec / BASELINE_FLIPS_PER_SEC,
+                "extra": {
+                    "sweeps_per_sec": sweeps_per_sec,
+                    "ms_per_sweep": 1000.0 / sweeps_per_sec,
+                    "n_systems": n_systems,
+                    "lattice": f"{L}x{L}",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

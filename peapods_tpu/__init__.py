@@ -8,6 +8,7 @@ the whole sweep+cluster+PT loop fused into one jitted scan on device and
 disorder realizations sharded across a chip mesh.
 """
 
+from . import _cache  # noqa: F401  (XLA compilation cache side effect)
 from .models.ising import Ising
 from .sweep import run_sweep
 

@@ -51,6 +51,7 @@ class IsingSimulation:
         neighbor_offsets=None,
         seed=None,
         default_chunk=256,
+        mesh="auto",
     ):
         lattice_shape = [int(s) for s in lattice_shape]
         if neighbor_offsets is not None:
@@ -88,6 +89,16 @@ class IsingSimulation:
         self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas)
         self._programs = {}
         self.state = None
+
+        # Disorder sharding across the device mesh (parallel/mesh.py): the
+        # reference's rayon disorder fan-out becomes a partitioned batch axis.
+        from ..parallel.mesh import auto_mesh, shard_runtime
+
+        if mesh == "auto":
+            mesh = auto_mesh(self.n_realizations)
+        self.mesh = mesh
+        if self.mesh is not None:
+            shard_runtime(self.rt, self.mesh)
         self._init_state(self.constructor_seed)
 
     # ----------------------------------------------------------------- state
@@ -134,6 +145,10 @@ class IsingSimulation:
             "pt_trip_state": trip,
             "pt_parity": jnp.int32(0),
         }
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
 
     def get_spins(self) -> np.ndarray:
         """Flat int8 spins of the first realization (src/lib.rs:620-622)."""
@@ -261,9 +276,14 @@ class IsingSimulation:
                 s += 1
                 snap_i += 1
             else:
-                stop = min(n_sweeps, s + self.default_chunk)
+                limit = min(n_sweeps, s + self.default_chunk)
                 if snap_i < len(snap_sweeps):
-                    stop = min(stop, snap_sweeps[snap_i])
+                    limit = min(limit, snap_sweeps[snap_i])
+                # Quantize chunk lengths to powers of two so compiled scan
+                # programs are reused across calls with different n_sweeps.
+                span = limit - s
+                chunk = 1 << (span.bit_length() - 1)
+                stop = s + chunk
                 acc = program.init_accumulators()
                 runner = program.chunk_runner(stop - s)
                 xs = jnp.arange(s, stop, dtype=jnp.int32)

@@ -1,0 +1,87 @@
+"""Device-mesh sharding of the simulation state.
+
+TPU-native replacement for the reference's process/thread parallelism
+(SURVEY.md section 2.4): disorder realizations — rayon's ``par_iter_mut`` fan
+-out in the reference (simulation/mod.rs:887-903) — become a sharded leading
+batch axis of every state array, partitioned across chips with
+``jax.sharding.NamedSharding``.  Realizations are independent between
+measurements, so the fused sweep loop runs with **zero** cross-chip
+communication; XLA inserts collectives only for host-bound reductions at
+chunk boundaries.  A second optional mesh axis shards the systems
+(replicas x temperatures) batch; the small cross-system gathers of the
+overlap moves and parallel tempering ride ICI via XLA-inserted collectives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "auto_mesh",
+    "shard_state",
+    "shard_runtime",
+    "state_shardings",
+]
+
+_SCALAR_KEYS = ("counter", "warmup", "pt_parity")
+_SYSTEM_AXIS_KEYS = ("spins", "pt_round_trips", "pt_trip_state")
+
+
+def make_mesh(n_devices=None, axis_names=("disorder",), devices=None):
+    """Build a mesh over the first ``n_devices`` devices (1D by default)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[: int(n_devices)]
+    if len(axis_names) == 1:
+        return Mesh(np.array(devs), axis_names)
+    # factor devices into a 2D grid: as many on the disorder axis as divide
+    n = len(devs)
+    d0 = int(np.floor(np.sqrt(n)))
+    while n % d0:
+        d0 -= 1
+    return Mesh(np.array(devs).reshape(d0, n // d0), axis_names)
+
+
+def auto_mesh(n_disorder):
+    """Mesh over all local devices when the disorder batch divides evenly."""
+    devs = jax.devices()
+    if len(devs) > 1 and n_disorder % len(devs) == 0:
+        return Mesh(np.array(devs), ("disorder",))
+    return None
+
+
+def state_shardings(mesh, state, shard_systems=False):
+    """PartitionSpec tree for a SimState dict."""
+    has_sys = shard_systems and "systems" in mesh.axis_names
+
+    def spec_for(key, v):
+        if key in _SCALAR_KEYS:
+            return NamedSharding(mesh, P())
+        if has_sys and key in _SYSTEM_AXIS_KEYS:
+            return NamedSharding(mesh, P("disorder", "systems"))
+        return NamedSharding(mesh, P("disorder"))
+
+    return {k: spec_for(k, v) for k, v in state.items()}
+
+
+def shard_state(state, mesh, shard_systems=False):
+    """Place a SimState dict onto the mesh (disorder-major)."""
+    specs = state_shardings(mesh, state, shard_systems)
+    return {k: jax.device_put(v, specs[k]) for k, v in state.items()}
+
+
+def shard_runtime(rt, mesh):
+    """Shard the Runtime's per-disorder constants; replicate lattice tables."""
+    dspec = NamedSharding(mesh, P("disorder"))
+    rspec = NamedSharding(mesh, P())
+    rt.couplings = jax.device_put(rt.couplings, dspec)
+    rt.coup_bwd = jax.device_put(rt.coup_bwd, dspec)
+    rt.fwd = jax.device_put(rt.fwd, rspec)
+    rt.bwd = jax.device_put(rt.bwd, rspec)
+    rt.color_masks = jax.device_put(rt.color_masks, rspec)
+    rt.temps = jax.device_put(rt.temps, rspec)
+    rt.offsets = jax.device_put(rt.offsets, rspec)
+    return rt

@@ -1,0 +1,106 @@
+"""Cluster machinery tests: CC vs union-find oracle, CSD, winding.
+
+Mirrors the reference's hand-drawn-fixture style for union-find and winding
+(clusters/utils.rs:457-782) with a python union-find as the oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from peapods_tpu.ops import cluster as cl
+from peapods_tpu.ops.lattice import Lattice
+
+
+def uf_labels(lat, active):
+    """Python union-find oracle with union-to-min (labels = min site index)."""
+    parent = list(range(lat.n_spins))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(lat.n_spins):
+        for d in range(lat.n_neighbors):
+            if active[i, d]:
+                a, b = find(i), find(int(lat.fwd[i, d]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    return np.array([find(i) for i in range(lat.n_spins)])
+
+
+def test_connected_components_matches_union_find():
+    rng = np.random.default_rng(0)
+    for shape, offsets in [([6, 6], None), ([4, 4], [[1, 0], [0, 1], [1, -1]]), ([3, 4, 5], None)]:
+        lat = Lattice(shape, offsets)
+        for p in (0.1, 0.4, 0.7):
+            active = rng.random((lat.n_spins, lat.n_neighbors)) < p
+            labels = np.asarray(
+                cl.connected_components(
+                    jnp.asarray(active), jnp.asarray(lat.fwd), jnp.asarray(lat.bwd)
+                )
+            )
+            np.testing.assert_array_equal(labels, uf_labels(lat, active))
+
+
+def test_counts_histogram_top4():
+    lat = Lattice([6, 6])
+    rng = np.random.default_rng(1)
+    active = rng.random((lat.n_spins, 2)) < 0.4
+    labels = cl.connected_components(
+        jnp.asarray(active), jnp.asarray(lat.fwd), jnp.asarray(lat.bwd)
+    )
+    counts = cl.component_counts(labels)
+    hist = np.asarray(cl.csd_histogram(counts))
+    # total sites accounted for
+    assert (np.arange(lat.n_spins + 1) * hist).sum() == lat.n_spins
+    top4 = np.asarray(cl.top4_sizes(counts))
+    c = np.asarray(counts)
+    np.testing.assert_array_equal(top4, np.sort(c)[::-1][:4])
+
+
+def _winding(lat, active):
+    act = jnp.asarray(active)
+    labels = cl.connected_components(act, jnp.asarray(lat.fwd), jnp.asarray(lat.bwd))
+    wx, wy = cl.winding_flags(
+        act, labels, jnp.asarray(lat.fwd), jnp.asarray(lat.bwd),
+        jnp.asarray(lat.offsets),
+    )
+    return bool(wx), bool(wy)
+
+
+def test_winding_full_lattice_wraps_both():
+    lat = Lattice([4, 4])
+    assert _winding(lat, np.ones((16, 2), bool)) == (True, True)
+
+
+def test_winding_single_column_wraps_x_only():
+    lat = Lattice([4, 4])
+    act = np.zeros((16, 2), bool)
+    act[[0, 4, 8, 12], 0] = True  # vertical ring through column 0
+    assert _winding(lat, act) == (True, False)
+
+
+def test_winding_seam_crossing_path_does_not_wind():
+    # Path 12-0-4-8 crosses the periodic seam once but has no cycle: the
+    # seam-vs-cycle discrimination from clusters/utils.rs:371-455.
+    lat = Lattice([4, 4])
+    act = np.zeros((16, 2), bool)
+    act[[0, 4, 12], 0] = True  # bonds 0-4, 4-8, 12-0
+    assert _winding(lat, act) == (False, False)
+
+
+def test_winding_empty_graph():
+    lat = Lattice([4, 4])
+    assert _winding(lat, np.zeros((16, 2), bool)) == (False, False)
+
+
+def test_find_seed_masks_off_when_no_eligible_site():
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    seed, found = cl.find_seed(key, jnp.zeros(32, bool))
+    assert not bool(found)
+    seed, found = cl.find_seed(key, jnp.ones(32, bool))
+    assert bool(found)
