@@ -35,6 +35,7 @@ from ..ops import overlap as ov
 from ..ops import tempering as pt
 from ..ops.energy import energies as compute_energies
 from ..ops.energy import energies_and_mags
+from ..ops.geometry import GridOps
 from ..ops.lattice import Lattice
 from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
@@ -77,14 +78,12 @@ class Runtime:
     """Device-resident constants for one model instance."""
 
     lattice: Lattice
+    geom: GridOps
     n_replicas: int
     n_temps: int
     n_disorder: int
     temps_np: np.ndarray  # f32 [n_temps]
-    fwd: jax.Array  # i32 [n_spins, n_nb]
-    bwd: jax.Array
     color_masks: jax.Array  # bool [n_colors, n_spins]
-    offsets: jax.Array  # i32 [n_nb, n_dims]
     temps: jax.Array  # f32 [n_temps]
     couplings: jax.Array  # f32 [n_disorder, n_spins, n_nb]
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
@@ -97,14 +96,12 @@ class Runtime:
         coup_bwd = coup[:, lattice.bwd, np.arange(n_nb)[None, :]]
         return cls(
             lattice=lattice,
+            geom=GridOps.from_lattice(lattice),
             n_replicas=int(n_replicas),
             n_temps=int(len(temps)),
             n_disorder=int(coup.shape[0]),
             temps_np=np.asarray(temps, dtype=np.float32),
-            fwd=jnp.asarray(lattice.fwd),
-            bwd=jnp.asarray(lattice.bwd),
             color_masks=jnp.asarray(lattice.color_masks()),
-            offsets=jnp.asarray(lattice.offsets, dtype=jnp.int32),
             temps=jnp.asarray(temps, dtype=jnp.float32),
             couplings=coup,
             coup_bwd=coup_bwd,
@@ -234,8 +231,7 @@ class LoopProgram:
             spins,
             coup,
             coup_bwd,
-            rt.fwd,
-            rt.bwd,
+            rt.geom,
             rt.color_masks,
             sys_temps,
             jax.random.fold_in(key, _PH_SWEEP),
@@ -253,8 +249,8 @@ class LoopProgram:
 
         def one_system(s, temp, k):
             kb, ks = jax.random.split(k)
-            active = cl.fk_bond_activation(s, coup, rt.fwd, temp, kb)
-            labels = cl.connected_components(active, rt.fwd, rt.bwd)
+            active = cl.fk_bond_activation(s, coup, rt.geom, temp, kb)
+            labels = cl.connected_components(active, rt.geom)
             counts = cl.component_counts(labels)
             if wolff:
                 seed = jax.random.randint(ks, (), 0, rt.n_spins)
@@ -265,8 +261,7 @@ class LoopProgram:
             csd = cl.csd_histogram(counts) if self.collect_fk else None
             obs = (
                 cl.graph_observation(
-                    active, counts, labels, rt.fwd, rt.bwd, rt.offsets,
-                    self.with_winding,
+                    active, counts, labels, rt.geom, self.with_winding
                 )
                 if self.observe_fk
                 else None
@@ -316,16 +311,16 @@ class LoopProgram:
             def run_task(ts, temp, k):
                 if mode.kind == "houdayer":
                     return ov.houdayer_task(
-                        ts, k, rt.fwd, rt.bwd, rt.offsets,
+                        ts, k, rt.geom,
                         wolff=wolff, update=update, with_winding=winding,
                     )
                 if mode.kind == "jorg":
                     return ov.jorg_task(
-                        ts, k, coup, temp, rt.fwd, rt.bwd, rt.offsets,
+                        ts, k, coup, temp, rt.geom,
                         wolff=wolff, update=update, with_winding=winding,
                     )
                 return ov.cmr_task(
-                    ts, k, coup, temp, rt.fwd, rt.bwd, rt.offsets,
+                    ts, k, coup, temp, rt.geom,
                     wolff=wolff, update=update, with_winding=winding,
                 )
 
@@ -362,7 +357,7 @@ class LoopProgram:
     def _pt_phase(self, spins, sid, key, coup, parity, pt_state):
         """PT event for one realization (energies re-derived from spins)."""
         rt = self.rt
-        e = compute_energies(spins, coup, rt.fwd)
+        e = compute_energies(spins, coup, rt.geom)
         k = jax.random.fold_in(key, _PH_PT)
         att, acc_, rtrips, ts = pt_state
         if self.cfg.pt_schedule == "full_ladder":
@@ -381,7 +376,7 @@ class LoopProgram:
         """Per-sweep records + histogram deltas for one realization."""
         rt = self.rt
         n = rt.n_spins
-        e, msum = energies_and_mags(spins, coup, rt.fwd)
+        e, msum = energies_and_mags(spins, coup, rt.geom)
         m_rt = per_slot_values(msum, sid).astype(jnp.float32) / n  # [R, T]
         e_rt = per_slot_values(e, sid)
         rec = jnp.zeros((N_REC, rt.n_temps), jnp.float32)
@@ -396,7 +391,7 @@ class LoopProgram:
 
         hist_delta = None
         if self.has_pairs:
-            dot_spin, dot_link = overlap_dots(spins, sid, rt.fwd)  # [P, T]
+            dot_spin, dot_link = overlap_dots(spins, sid, rt.geom)  # [P, T]
             n_bonds = n * rt.lattice.n_neighbors
             q = dot_spin.astype(jnp.float32) / n
             ql = dot_link.astype(jnp.float32) / n_bonds

@@ -11,7 +11,9 @@ Design (SURVEY.md section 7): the sequential union-find becomes a fixed-point
 interleaved with pointer jumping (``label <- label[label]``), inside a
 ``lax.while_loop`` until convergence.  Labels converge to the minimum site
 index of each component, so every site of a component carries the same id
-(the role of the reference's flattened union-find parent array).
+(the role of the reference's flattened union-find parent array).  Neighbor
+access is roll-based (:mod:`peapods_tpu.ops.geometry`); the only true gathers
+are the pointer jumps.
 
 Cluster-level randomness (SW coin flips, CMR's k in {0..3}) is realized by
 drawing one uniform per *site* and reading it at the component label: all
@@ -33,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "active_bwd_from_fwd",
     "connected_components",
     "component_counts",
     "csd_histogram",
@@ -50,32 +51,30 @@ __all__ = [
 _NO_WINDING = (jnp.array(False), jnp.array(False))
 
 
-def active_bwd_from_fwd(active_fwd, bwd):
-    """``active_bwd[i, d] = active_fwd[bwd[i, d], d]`` — the bond into ``i``."""
-    n_nb = bwd.shape[1]
-    return active_fwd[bwd, jnp.arange(n_nb)[None, :]]
-
-
-def connected_components(active_fwd, fwd, bwd):
+def connected_components(active_fwd, geom):
     """Labels of the bond graph's connected components.
 
     Args:
-        active_fwd: ``bool [n_spins, n_neighbors]`` — forward-bond activation.
-        fwd, bwd: ``int32 [n_spins, n_neighbors]`` neighbor tables.
+        active_fwd: ``bool [n_spins, n_neighbors]`` — forward-bond activation
+            (``active_fwd[i, d]`` is the bond from ``i`` to ``fwd(i, d)``).
+        geom: :class:`~peapods_tpu.ops.geometry.GridOps`.
 
     Returns:
         ``int32 [n_spins]`` labels; ``label[i]`` is the minimum site index of
         ``i``'s component.
     """
-    n_spins = fwd.shape[0]
+    n_spins = geom.n_spins
     big = jnp.int32(n_spins)
-    active_bwd = active_bwd_from_fwd(active_fwd, bwd)
+    # active_bwd[i, d]: the bond arriving at i from its backward neighbor.
+    active_bwd = [geom.shift_bwd(active_fwd[:, d], d) for d in range(geom.n_neighbors)]
     init = jnp.arange(n_spins, dtype=jnp.int32)
 
     def propagate(labels):
-        lf = jnp.where(active_fwd, labels[fwd], big).min(-1)
-        lb = jnp.where(active_bwd, labels[bwd], big).min(-1)
-        new = jnp.minimum(labels, jnp.minimum(lf, lb))
+        new = labels
+        for d in range(geom.n_neighbors):
+            lf = jnp.where(active_fwd[:, d], geom.shift_fwd(labels, d), big)
+            lb = jnp.where(active_bwd[d], geom.shift_bwd(labels, d), big)
+            new = jnp.minimum(new, jnp.minimum(lf, lb))
         # Pointer jumping: label values are site indices with label[j] <= j,
         # so this halves chain depths while staying within the component.
         new = new[new]
@@ -83,7 +82,7 @@ def connected_components(active_fwd, fwd, bwd):
         return new
 
     def cond(carry):
-        labels, changed = carry
+        _, changed = carry
         return changed
 
     def body(carry):
@@ -151,14 +150,17 @@ def wolff_flip_mask(labels, seed):
     return labels == labels[seed]
 
 
-def fk_bond_activation(spins, coup_fwd, fwd, temp, key, *, factor=2.0):
+def fk_bond_activation(spins, coup_fwd, geom, temp, key, *, factor=2.0):
     """FK forward-bond activation for one system (fk.rs:74,106-114).
 
     ``factor`` is the exponent multiplier: 2 for FK, 4 for the Joerg move's
-    pair bonds (overlap.rs:424-436).
+    pair bonds (overlap.rs:424-436).  Returns ``bool [n_spins, n_neighbors]``.
     """
     s = spins.astype(jnp.float32)
-    inter = s[:, None] * s[fwd] * coup_fwd
+    inter = jnp.stack(
+        [s * geom.shift_fwd(s, d) * coup_fwd[:, d] for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
     p = 1.0 - jnp.exp(-factor * inter / temp)
     u = jax.random.uniform(key, inter.shape, dtype=jnp.float32)
     return (inter > 0.0) & (u < p)
@@ -174,16 +176,15 @@ class GraphObservation(NamedTuple):
     large_components: jax.Array  # int32 scalar
 
 
-def graph_observation(active_fwd, counts, labels, fwd, bwd, offsets, with_winding):
+def graph_observation(active_fwd, counts, labels, geom, with_winding):
     """Graph observables for one bond graph (clusters/utils.rs:334-368).
 
-    ``with_winding`` must be a static bool (canonical 2D lattices only);
-    ``offsets`` is the static ``int [n_neighbors, n_dims]`` offset table.
+    ``with_winding`` must be a static bool (canonical 2D lattices only).
     """
     n_spins = counts.shape[0]
     threshold = jnp.int32(-(-n_spins * 5 // 100))  # ceil(0.05 * n)
     if with_winding:
-        wx, wy = winding_flags(active_fwd, labels, fwd, bwd, offsets)
+        wx, wy = winding_flags(active_fwd, labels, geom)
     else:
         wx, wy = _NO_WINDING
     return GraphObservation(
@@ -195,7 +196,7 @@ def graph_observation(active_fwd, counts, labels, fwd, bwd, offsets, with_windin
     )
 
 
-def winding_flags(active_fwd, labels, fwd, bwd, offsets):
+def winding_flags(active_fwd, labels, geom):
     """Detect components wrapping the torus along each of the two axes.
 
     TPU-native replacement of the reference's displacement-tracking union-find
@@ -206,21 +207,17 @@ def winding_flags(active_fwd, labels, fwd, bwd, offsets):
     axis (any violation is a nonzero multiple of the lattice extent, exactly
     the noncontractible-cycle criterion).
 
-    Args:
-        active_fwd: ``bool [n_spins, n_neighbors]``.
-        labels: converged component labels (min site index per component).
-        offsets: ``int32 [n_neighbors, n_dims]`` (n_dims == 2).
-
     Returns:
         ``(winding_x, winding_y)`` bool scalars: does *any* component wind?
     """
-    n_spins, n_nb = active_fwd.shape
-    offsets = jnp.asarray(offsets, dtype=jnp.int32)
-    active_bwd = active_bwd_from_fwd(active_fwd, bwd)
+    n_spins = geom.n_spins
+    n_nb = geom.n_neighbors
+    offsets = geom.offsets  # static python ints
+    active_bwd = [geom.shift_bwd(active_fwd[:, d], d) for d in range(n_nb)]
     site_idx = jnp.arange(n_spins, dtype=jnp.int32)
 
     settled0 = labels == site_idx
-    disp0 = jnp.zeros((n_spins, 2), dtype=jnp.int32)
+    disp0 = jnp.zeros((2, n_spins), dtype=jnp.int32)  # sites last for rolls
 
     def cond(carry):
         settled, _ = carry
@@ -231,18 +228,25 @@ def winding_flags(active_fwd, labels, fwd, bwd, offsets):
         new_settled = settled
         new_disp = disp
         for d in range(n_nb):
-            j = fwd[:, d]
-            ok = active_fwd[:, d] & settled[j] & ~new_settled
-            new_disp = jnp.where(ok[:, None], disp[j] - offsets[d][None, :], new_disp)
+            off = jnp.array(offsets[d], jnp.int32)[:, None]
+            ok = active_fwd[:, d] & geom.shift_fwd(settled, d) & ~new_settled
+            cand = geom.shift_fwd(disp, d) - off
+            new_disp = jnp.where(ok[None, :], cand, new_disp)
             new_settled |= ok
-            jb = bwd[:, d]
-            ok = active_bwd[:, d] & settled[jb] & ~new_settled
-            new_disp = jnp.where(ok[:, None], disp[jb] + offsets[d][None, :], new_disp)
+            ok = active_bwd[d] & geom.shift_bwd(settled, d) & ~new_settled
+            cand = geom.shift_bwd(disp, d) + off
+            new_disp = jnp.where(ok[None, :], cand, new_disp)
             new_settled |= ok
         return new_settled, new_disp
 
     _, disp = jax.lax.while_loop(cond, body, (settled0, disp0))
 
-    viol = disp[fwd] - disp[:, None, :] - offsets[None, :, :]  # [n, n_nb, 2]
-    viol = jnp.where(active_fwd[:, :, None], viol, 0)
-    return (viol[..., 0] != 0).any(), (viol[..., 1] != 0).any()
+    wx = jnp.array(False)
+    wy = jnp.array(False)
+    for d in range(n_nb):
+        off = offsets[d]
+        viol_x = geom.shift_fwd(disp[0], d) - disp[0] - off[0]
+        viol_y = geom.shift_fwd(disp[1], d) - disp[1] - off[1]
+        wx |= (active_fwd[:, d] & (viol_x != 0)).any()
+        wy |= (active_fwd[:, d] & (viol_y != 0)).any()
+    return wx, wy

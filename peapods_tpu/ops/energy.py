@@ -1,4 +1,4 @@
-"""Per-system energy and magnetization reductions.
+"""Per-system energy and magnetization reductions (roll-based).
 
 Counterpart of ``/root/reference/spin-sim/src/spins/energy.rs:14-110``.
 The reference's (deliberate) sign convention is kept: the reported "energy"
@@ -14,21 +14,28 @@ import jax.numpy as jnp
 __all__ = ["energies", "energies_and_mags", "bond_interactions"]
 
 
-def bond_interactions(spins_f, coup_fwd, fwd):
-    """``f32 [n_systems, n_spins, n_neighbors]``: ``J[i,d] s_i s_fwd``."""
-    return spins_f[..., :, None] * spins_f[..., fwd] * coup_fwd
+def bond_interactions(spins_f, coup_fwd, geom):
+    """``f32 [..., n_spins, n_neighbors]``: ``J[i,d] s_i s_fwd``."""
+    return jnp.stack(
+        [
+            spins_f * geom.shift_fwd(spins_f, d) * coup_fwd[:, d]
+            for d in range(geom.n_neighbors)
+        ],
+        axis=-1,
+    )
 
 
-def energies(spins, coup_fwd, fwd):
+def energies(spins, coup_fwd, geom):
     """Mean energy per spin, per system: ``f32 [n_systems]``."""
     s = spins.astype(jnp.float32)
-    n_spins = spins.shape[-1]
-    tot = (bond_interactions(s, coup_fwd, fwd)).sum((-1, -2))
-    return tot / n_spins
+    tot = jnp.zeros(spins.shape[:-1], jnp.float32)
+    for d in range(geom.n_neighbors):
+        tot += (s * geom.shift_fwd(s, d) * coup_fwd[:, d]).sum(-1)
+    return tot / geom.n_spins
 
 
-def energies_and_mags(spins, coup_fwd, fwd):
+def energies_and_mags(spins, coup_fwd, geom):
     """(energy per spin ``f32 [n_systems]``, magnetization sum ``int32``)."""
-    e = energies(spins, coup_fwd, fwd)
+    e = energies(spins, coup_fwd, geom)
     m = spins.astype(jnp.int32).sum(-1)
     return e, m

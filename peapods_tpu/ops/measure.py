@@ -33,13 +33,13 @@ def per_slot_values(values_by_system, system_ids):
     return values_by_system[system_ids]
 
 
-def overlap_dots(spins, system_ids, fwd):
+def overlap_dots(spins, system_ids, geom):
     """Spin and link overlap dot products for all (pair, temp) combinations.
 
     Args:
         spins: ``int8 [n_systems, n_spins]``.
         system_ids: ``int32 [n_replicas, n_temps]``.
-        fwd: ``int32 [n_spins, n_neighbors]``.
+        geom: :class:`~peapods_tpu.ops.geometry.GridOps`.
 
     Returns:
         ``(dot_spin, dot_link)``, each ``int32 [n_pairs, n_temps]``.
@@ -48,6 +48,6 @@ def overlap_dots(spins, system_ids, fwd):
     b = spins[system_ids[1::2]]
     q_site = (a * b).astype(jnp.int32)
     dot_spin = q_site.sum(-1)
-    nbr_sum = q_site[..., fwd].sum(-1)
+    nbr_sum = geom.neighbor_sum_fwd(q_site)
     dot_link = (q_site * nbr_sum).sum(-1)
     return dot_spin, dot_link

@@ -72,15 +72,15 @@ class OverlapMoveOut(NamedTuple):
     obs: cl.GraphObservation
 
 
-def _stats(active, counts, labels, fwd, bwd, offsets, with_winding):
+def _stats(active, counts, labels, geom, with_winding):
     return (
         cl.csd_histogram(counts),
-        cl.graph_observation(active, counts, labels, fwd, bwd, offsets, with_winding),
+        cl.graph_observation(active, counts, labels, geom, with_winding),
     )
 
 
 def houdayer_task(
-    tspins, key, fwd, bwd, offsets, *, wolff: bool, update: bool, with_winding: bool
+    tspins, key, geom, *, wolff: bool, update: bool, with_winding: bool
 ):
     """Houdayer(N) move on one (temperature, group) task.
 
@@ -89,10 +89,13 @@ def houdayer_task(
         update: mutate spins (False = observe).
     """
     active = tspins.astype(jnp.int32).sum(0) == 0
-    bonds = active[:, None] & active[fwd]
-    labels = cl.connected_components(bonds, fwd, bwd)
+    bonds = jnp.stack(
+        [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
+    labels = cl.connected_components(bonds, geom)
     counts = cl.component_counts(labels)
-    csd, obs = _stats(bonds, counts, labels, fwd, bwd, offsets, with_winding)
+    csd, obs = _stats(bonds, counts, labels, geom, with_winding)
 
     k_seed, k_coin = jax.random.split(key)
     if wolff:
@@ -110,9 +113,7 @@ def jorg_task(
     key,
     coup_fwd,
     temp,
-    fwd,
-    bwd,
-    offsets,
+    geom,
     *,
     wolff: bool,
     update: bool,
@@ -122,11 +123,15 @@ def jorg_task(
     a, b = tspins[0], tspins[1]
     active = a != b
     k_bond, k_seed, k_coin = jax.random.split(key, 3)
-    fk = cl.fk_bond_activation(a, coup_fwd, fwd, temp, k_bond, factor=4.0)
-    bonds = fk & active[:, None] & active[fwd]
-    labels = cl.connected_components(bonds, fwd, bwd)
+    fk = cl.fk_bond_activation(a, coup_fwd, geom, temp, k_bond, factor=4.0)
+    active_pair = jnp.stack(
+        [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
+    bonds = fk & active_pair
+    labels = cl.connected_components(bonds, geom)
     counts = cl.component_counts(labels)
-    csd, obs = _stats(bonds, counts, labels, fwd, bwd, offsets, with_winding)
+    csd, obs = _stats(bonds, counts, labels, geom, with_winding)
 
     if wolff:
         seed, found = cl.find_seed(k_seed, active)
@@ -138,12 +143,18 @@ def jorg_task(
     return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
 
 
-def _cmr_satisfied(a, b, coup_fwd, fwd):
+def _cmr_satisfied(a, b, coup_fwd, geom):
     """(a_satisfied, b_satisfied) per forward bond."""
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
-    a_sat = af[:, None] * af[fwd] * coup_fwd > 0.0
-    b_sat = bf[:, None] * bf[fwd] * coup_fwd > 0.0
+    a_sat = jnp.stack(
+        [af * geom.shift_fwd(af, d) * coup_fwd[:, d] > 0.0 for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
+    b_sat = jnp.stack(
+        [bf * geom.shift_fwd(bf, d) * coup_fwd[:, d] > 0.0 for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
     return a_sat, b_sat
 
 
@@ -152,9 +163,7 @@ def cmr_task(
     key,
     coup_fwd,
     temp,
-    fwd,
-    bwd,
-    offsets,
+    geom,
     *,
     wolff: bool,
     update: bool,
@@ -166,12 +175,12 @@ def cmr_task(
     r = jnp.exp(-2.0 * jnp.abs(coup_fwd) / temp)
 
     # Phase 1: blue bonds on doubly-satisfied edges, p = 1 - r^2.
-    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, fwd)
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
     u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
     blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
-    blue_labels = cl.connected_components(blue, fwd, bwd)
+    blue_labels = cl.connected_components(blue, geom)
     blue_counts = cl.component_counts(blue_labels)
-    csd, obs = _stats(blue, blue_counts, blue_labels, fwd, bwd, offsets, with_winding)
+    csd, obs = _stats(blue, blue_counts, blue_labels, geom, with_winding)
 
     seed = jax.random.randint(k_seed, (), 0, a.shape[0])
     if wolff:
@@ -185,10 +194,10 @@ def cmr_task(
         b = jnp.where(blue_flip, -b, b)
 
     # Phase 2: red bonds on singly-satisfied edges (post-flip), p = 1 - r.
-    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, fwd)
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
     u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
     red = (a_sat != b_sat) & (u_red < 1.0 - r)
-    grey_labels = cl.connected_components(blue | red, fwd, bwd)
+    grey_labels = cl.connected_components(blue | red, geom)
     grey_counts = cl.component_counts(grey_labels)
 
     if wolff:

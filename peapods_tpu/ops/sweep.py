@@ -50,22 +50,24 @@ __all__ = ["local_fields", "mc_sweep", "METROPOLIS_LAZINESS"]
 METROPOLIS_LAZINESS = 1.0 / 16.0
 
 
-def local_fields(spins_f, fwd, bwd, coup_fwd, coup_bwd):
-    """Local field ``h_i`` for all sites of all systems.
+def local_fields(spins_f, geom, coup_fwd, coup_bwd):
+    """Local field ``h_i`` for all sites of all systems, via rolls.
 
     Args:
         spins_f: ``f32 [n_systems, n_spins]`` spin values (+-1).
-        fwd/bwd: ``int32 [n_spins, n_neighbors]`` neighbor tables.
+        geom: :class:`~peapods_tpu.ops.geometry.GridOps`.
         coup_fwd: ``f32 [n_spins, n_neighbors]`` forward couplings ``J[i, d]``.
-        coup_bwd: ``f32 [n_spins, n_neighbors]`` pre-gathered backward
-            couplings ``J[bwd[i, d], d]`` (couplings own forward bonds;
-            reference sweep.rs:14-17).
+        coup_bwd: ``f32 [n_spins, n_neighbors]`` backward couplings
+            ``J[bwd[i, d], d]`` (couplings own forward bonds; reference
+            sweep.rs:14-17).
 
     Returns:
         ``f32 [n_systems, n_spins]``.
     """
-    h = (spins_f[:, fwd] * coup_fwd).sum(-1)
-    h += (spins_f[:, bwd] * coup_bwd).sum(-1)
+    h = jnp.zeros_like(spins_f)
+    for d in range(geom.n_neighbors):
+        h += geom.shift_fwd(spins_f, d) * coup_fwd[:, d]
+        h += geom.shift_bwd(spins_f, d) * coup_bwd[:, d]
     return h
 
 
@@ -73,8 +75,7 @@ def mc_sweep(
     spins,
     coup_fwd,
     coup_bwd,
-    fwd,
-    bwd,
+    geom,
     color_masks,
     sys_temps,
     key,
@@ -104,7 +105,7 @@ def mc_sweep(
         ck = jax.random.fold_in(key, c)
         u = jax.random.uniform(ck, spins.shape, dtype=jnp.float32)
         s = spins.astype(jnp.float32)
-        h = local_fields(s, fwd, bwd, coup_fwd, coup_bwd)
+        h = local_fields(s, geom, coup_fwd, coup_bwd)
         eng_change = -s * h
         if gibbs:
             flip = eng_change >= half_t * jnp.log(u / (1.0 - u))

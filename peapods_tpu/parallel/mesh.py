@@ -79,9 +79,6 @@ def shard_runtime(rt, mesh):
     rspec = NamedSharding(mesh, P())
     rt.couplings = jax.device_put(rt.couplings, dspec)
     rt.coup_bwd = jax.device_put(rt.coup_bwd, dspec)
-    rt.fwd = jax.device_put(rt.fwd, rspec)
-    rt.bwd = jax.device_put(rt.bwd, rspec)
     rt.color_masks = jax.device_put(rt.color_masks, rspec)
     rt.temps = jax.device_put(rt.temps, rspec)
-    rt.offsets = jax.device_put(rt.offsets, rspec)
     return rt

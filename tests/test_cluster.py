@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from peapods_tpu.ops import cluster as cl
+from peapods_tpu.ops.geometry import GridOps
 from peapods_tpu.ops.lattice import Lattice
 
 
@@ -38,7 +39,7 @@ def test_connected_components_matches_union_find():
             active = rng.random((lat.n_spins, lat.n_neighbors)) < p
             labels = np.asarray(
                 cl.connected_components(
-                    jnp.asarray(active), jnp.asarray(lat.fwd), jnp.asarray(lat.bwd)
+                    jnp.asarray(active), GridOps.from_lattice(lat)
                 )
             )
             np.testing.assert_array_equal(labels, uf_labels(lat, active))
@@ -48,9 +49,7 @@ def test_counts_histogram_top4():
     lat = Lattice([6, 6])
     rng = np.random.default_rng(1)
     active = rng.random((lat.n_spins, 2)) < 0.4
-    labels = cl.connected_components(
-        jnp.asarray(active), jnp.asarray(lat.fwd), jnp.asarray(lat.bwd)
-    )
+    labels = cl.connected_components(jnp.asarray(active), GridOps.from_lattice(lat))
     counts = cl.component_counts(labels)
     hist = np.asarray(cl.csd_histogram(counts))
     # total sites accounted for
@@ -62,11 +61,9 @@ def test_counts_histogram_top4():
 
 def _winding(lat, active):
     act = jnp.asarray(active)
-    labels = cl.connected_components(act, jnp.asarray(lat.fwd), jnp.asarray(lat.bwd))
-    wx, wy = cl.winding_flags(
-        act, labels, jnp.asarray(lat.fwd), jnp.asarray(lat.bwd),
-        jnp.asarray(lat.offsets),
-    )
+    geom = GridOps.from_lattice(lat)
+    labels = cl.connected_components(act, geom)
+    wx, wy = cl.winding_flags(act, labels, geom)
     return bool(wx), bool(wy)
 
 
