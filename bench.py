@@ -26,16 +26,17 @@ def main():
     temps = np.geomspace(1.8, 3.2, n_temps).astype(np.float32)
     coup = np.ones((L, L, 2), np.float32)
     sim = IsingSimulation(
-        [L, L], coup, temps, n_replicas, None, 42, default_chunk=64, mesh=None
+        [L, L], coup, temps, n_replicas, None, 42, default_chunk=4096, mesh=None
     )
 
     n_systems = n_temps * n_replicas
     n_sites = L * L
 
-    # warmup: compile + settle
-    sim.sample(64, "metropolis", pt_interval=1, warmup_ratio=0.0)
+    # warmup: compile + settle (same chunk lengths as the timed run)
+    n_sweeps = 4096
+    sim.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.0)
 
-    n_sweeps = 256
+    n_sweeps = 4096
     t0 = time.perf_counter()
     sim.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.0)
     elapsed = time.perf_counter() - t0

@@ -39,6 +39,7 @@ from ..ops.geometry import GridOps
 from ..ops.lattice import Lattice
 from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
+from ..ops import pallas_sweep
 from .config import SimConfig
 
 __all__ = ["Runtime", "LoopProgram", "REC", "N_REC", "OBS_KINDS"]
@@ -70,7 +71,21 @@ N_REC = len(REC)
 
 OBS_KINDS = ("houdayer", "jorg", "cmr")  # overlap observation accumulator kinds
 
+# Per-sweep series emitted as scan outputs (only when autocorrelation or the
+# equilibration diagnostic is configured); everything else accumulates on
+# device so a sample() call needs no mid-run host synchronization.
+SERIES = {"m2_ac": 0, "q2_ac": 1, "diag_e": 2, "diag_ql": 3}
+N_SERIES = len(SERIES)
+
 _PH_SWEEP, _PH_FK, _PH_OVERLAP, _PH_PT = range(1, 5)
+
+
+def _kahan_add(total, comp, value):
+    """Compensated f32 accumulation (f64 is unavailable on TPU)."""
+    y = value - comp
+    t = total + y
+    comp = (t - total) - y
+    return t, comp
 
 
 @dataclass
@@ -87,6 +102,8 @@ class Runtime:
     temps: jax.Array  # f32 [n_temps]
     couplings: jax.Array  # f32 [n_disorder, n_spins, n_nb]
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
+    jgrids: jax.Array | None = None  # f32 [n_disorder, 4, H, W] (pallas path)
+    use_pallas: bool = False
 
     @classmethod
     def build(cls, lattice, couplings_nd, temps, n_replicas):
@@ -94,7 +111,22 @@ class Runtime:
         coup = jnp.asarray(couplings_nd, dtype=jnp.float32)
         n_nb = lattice.n_neighbors
         coup_bwd = coup[:, lattice.bwd, np.arange(n_nb)[None, :]]
+        import os
+
+        use_pallas = pallas_sweep.supports(lattice) and (
+            jax.default_backend() not in ("cpu",)
+            or os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        )
+        jgrids = (
+            jax.vmap(lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape))(
+                coup
+            )
+            if use_pallas
+            else None
+        )
         return cls(
+            jgrids=jgrids,
+            use_pallas=use_pallas,
             lattice=lattice,
             geom=GridOps.from_lattice(lattice),
             n_replicas=int(n_replicas),
@@ -196,6 +228,9 @@ class LoopProgram:
             else ()
         )
         self.with_winding = rt.lattice.canonical_square_shape is not None
+        self.emit_series = (
+            cfg.autocorrelation_max_lag is not None or cfg.equilibration_diagnostic
+        )
         self._chunk_cache = {}
         self._snap_fn = None
 
@@ -205,7 +240,11 @@ class LoopProgram:
         rt = self.rt
         n_bins = rt.n_spins + 1
         d, t = rt.n_disorder, rt.n_temps
-        acc = {}
+        acc = {
+            "rec_sums": jnp.zeros((d, N_REC, t), jnp.float32),
+            "rec_comp": jnp.zeros((d, N_REC, t), jnp.float32),
+            "n_recorded": jnp.int32(0),
+        }
         if self.has_pairs:
             acc["q_hist"] = jnp.zeros((d, t, n_bins), jnp.int32)
             acc["ql_at_q"] = jnp.zeros((d, t, n_bins), jnp.float32)
@@ -224,9 +263,26 @@ class LoopProgram:
 
     # --------------------------------------------------------------- phases
 
-    def _sweep_phase(self, spins, sid, key, coup, coup_bwd):
+    def _sweep_phase(self, spins, sid, key, coup, coup_bwd, jgrids=None):
         rt = self.rt
         sys_temps = slot_temps_for_systems(sid, rt.temps)
+        skey = jax.random.fold_in(key, _PH_SWEEP)
+        gibbs = self.cfg.sweep_mode == "gibbs"
+        if rt.use_pallas:
+            import os
+
+            seeds = jax.random.randint(
+                skey, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
+            )
+            return pallas_sweep.sweep_2d(
+                spins,
+                jgrids,
+                sys_temps,
+                seeds,
+                shape=rt.lattice.shape,
+                gibbs=gibbs,
+                interpret=os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1",
+            )
         return mc_sweep(
             spins,
             coup,
@@ -234,8 +290,8 @@ class LoopProgram:
             rt.geom,
             rt.color_masks,
             sys_temps,
-            jax.random.fold_in(key, _PH_SWEEP),
-            gibbs=(self.cfg.sweep_mode == "gibbs"),
+            skey,
+            gibbs=gibbs,
         )
 
     def _fk_phase(self, spins, sid, key, coup):
@@ -354,10 +410,16 @@ class LoopProgram:
 
         return branch
 
-    def _pt_phase(self, spins, sid, key, coup, parity, pt_state):
-        """PT event for one realization (energies re-derived from spins)."""
+    def _pt_phase(self, spins, sid, key, coup, parity, pt_state, e=None):
+        """PT event for one realization.
+
+        Energies are re-derived from spins when an overlap move may have
+        mutated them this sweep (mod.rs:748-754); otherwise the values from
+        the measurement phase are reused (mod.rs:492-509 computes once).
+        """
         rt = self.rt
-        e = compute_energies(spins, coup, rt.geom)
+        if e is None:
+            e = compute_energies(spins, coup, rt.geom)
         k = jax.random.fold_in(key, _PH_PT)
         att, acc_, rtrips, ts = pt_state
         if self.cfg.pt_schedule == "full_ladder":
@@ -373,7 +435,7 @@ class LoopProgram:
         return sid, (att, acc_, rtrips, ts)
 
     def _measure_phase(self, spins, sid, coup):
-        """Per-sweep records + histogram deltas for one realization."""
+        """Per-sweep records + histogram deltas + energies for one realization."""
         rt = self.rt
         n = rt.n_spins
         e, msum = energies_and_mags(spins, coup, rt.geom)
@@ -407,7 +469,7 @@ class LoopProgram:
             rec = rec.at[REC["diag_ql"]].set(ql.sum(0) / rt.n_pairs)
             idx = (dot_spin + n) // 2  # histogram bin (overlap.rs:303)
             hist_delta = (idx, ql)
-        return rec, hist_delta
+        return rec, hist_delta, e
 
     # ----------------------------------------------------------------- step
 
@@ -436,9 +498,14 @@ class LoopProgram:
             spins, sid = state["spins"], state["system_ids"]
 
             # 1. single-spin sweep
-            spins = jax.vmap(self._sweep_phase)(
-                spins, sid, keys, rt.couplings, rt.coup_bwd
-            )
+            if rt.use_pallas:
+                spins = jax.vmap(
+                    lambda s, si, k, jg: self._sweep_phase(s, si, k, None, None, jg)
+                )(spins, sid, keys, rt.jgrids)
+            else:
+                spins = jax.vmap(self._sweep_phase)(
+                    spins, sid, keys, rt.couplings, rt.coup_bwd
+                )
 
             # 2. FK cluster update
             if c is not None:
@@ -463,9 +530,26 @@ class LoopProgram:
                 )
 
             # 3+4. measurement (energies/mags recomputed from spins)
-            rec, hist_delta = jax.vmap(self._measure_phase)(
+            rec, hist_delta, e_sys = jax.vmap(self._measure_phase)(
                 spins, sid, rt.couplings
             )
+            acc = dict(acc)
+            acc["rec_sums"], acc["rec_comp"] = _kahan_add(
+                acc["rec_sums"], acc["rec_comp"], rec * rec_f32
+            )
+            acc["n_recorded"] = acc["n_recorded"] + rec_i32
+            if self.emit_series:
+                series = jnp.stack(
+                    [
+                        rec[:, REC["m2_ac"], :],
+                        rec[:, REC["q2_ac"], :],
+                        rec[:, REC["diag_e"], :],
+                        rec[:, REC["diag_ql"], :],
+                    ],
+                    axis=1,
+                )  # [D, N_SERIES, T]
+            else:
+                series = None
             if self.has_pairs:
                 idx, ql = hist_delta  # each [D, P, T]
                 t_cols = jnp.broadcast_to(
@@ -536,12 +620,19 @@ class LoopProgram:
 
                 def run_pt(args):
                     sid, att, pacc, rtrips, ts, parity = args
+                    # reuse measured energies unless an overlap move may have
+                    # mutated spins after measurement
+                    reuse_e = h is None
 
-                    def one(s, si, k, cp, a, b, r, t):
-                        return self._pt_phase(s, si, k, cp, parity, (a, b, r, t))
+                    def one(s, si, k, cp, a, b, r, t, e):
+                        return self._pt_phase(
+                            s, si, k, cp, parity, (a, b, r, t),
+                            e=e if reuse_e else None,
+                        )
 
                     new_sid, (att, pacc, rtrips, ts) = jax.vmap(one)(
-                        spins, sid, keys, rt.couplings, att, pacc, rtrips, ts
+                        spins, sid, keys, rt.couplings, att, pacc, rtrips, ts,
+                        e_sys,
                     )
                     if cfg.pt_schedule == "full_ladder":
                         parity = 1 - parity
@@ -580,8 +671,8 @@ class LoopProgram:
                 "pt_parity": parity,
             }
             if with_snapshot:
-                return (new_state, acc), (rec, snap_out)
-            return (new_state, acc), rec
+                return (new_state, acc), (series, snap_out)
+            return (new_state, acc), series
 
         return step
 

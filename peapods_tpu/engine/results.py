@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .loop import N_REC, OBS_KINDS, REC
+from .loop import N_REC, OBS_KINDS, REC, SERIES
 from ..utils.autocorr import AutocorrStream, clamp_max_lag
 
 __all__ = ["HostAccum"]
@@ -94,30 +94,33 @@ class HostAccum:
 
     # ------------------------------------------------------------- ingest
 
-    def add_records(self, rec_block: np.ndarray) -> None:
-        """``rec_block``: f32 ``[n_new, n_disorder, N_REC, n_temps]``."""
-        rec_block = np.asarray(rec_block)
-        n_new = rec_block.shape[0]
+    def add_series(self, block: np.ndarray) -> None:
+        """``block``: f32 ``[n_new, n_disorder, N_SERIES, n_temps]``.
+
+        Only produced (and only needed) when autocorrelation or the
+        equilibration diagnostic is enabled; all other statistics accumulate
+        on device.
+        """
+        block = np.asarray(block)
+        n_new = block.shape[0]
         start = self.sweeps_seen
 
-        # recorded (post-warmup) slice
+        # recorded (post-warmup) slice feeds the autocorrelation series
         lo = max(0, self.warmup - start)
         if lo < n_new:
-            recd = rec_block[lo:].astype(np.float64)
-            self.rec_sums += recd.sum(0)
-            self.n_recorded += recd.shape[0]
+            n_rec = n_new - lo
             if self.ac is not None:
                 self.ac.push_block(
-                    rec_block[lo:, :, REC["m2_ac"], :].reshape(recd.shape[0], -1)
+                    block[lo:, :, SERIES["m2_ac"], :].reshape(n_rec, -1)
                 )
             if self.ac_q is not None:
                 self.ac_q.push_block(
-                    rec_block[lo:, :, REC["q2_ac"], :].reshape(recd.shape[0], -1)
+                    block[lo:, :, SERIES["q2_ac"], :].reshape(n_rec, -1)
                 )
 
         if self.equil is not None:
-            e = rec_block[:, :, REC["diag_e"], :].astype(np.float64)
-            ql = rec_block[:, :, REC["diag_ql"], :].astype(np.float64)
+            e = block[:, :, SERIES["diag_e"], :].astype(np.float64)
+            ql = block[:, :, SERIES["diag_ql"], :].astype(np.float64)
             eq = self.equil
             cum_e = np.cumsum(e, axis=0)
             cum_ql = np.cumsum(ql, axis=0)
@@ -137,8 +140,10 @@ class HostAccum:
         self.sweeps_seen += n_new
 
     def drain_device_acc(self, acc) -> None:
-        """Fold a chunk's device accumulators into the f64/u64 host state."""
+        """Fold the run's device accumulators into the f64/u64 host state."""
         get = lambda x: np.asarray(x)
+        self.rec_sums += get(acc["rec_sums"]).astype(np.float64)
+        self.n_recorded += int(get(acc["n_recorded"]))
         if self.q_hist is not None:
             self.q_hist += get(acc["q_hist"]).astype(np.uint64)
             self.ql_at_q += get(acc["ql_at_q"]).astype(np.float64)

@@ -259,16 +259,21 @@ class IsingSimulation:
             first = ((warmup_sweeps + si - 1) // si) * si
             snap_sweeps = list(range(first, n_sweeps, si))
 
+        # Everything accumulates on device; the python loop below dispatches
+        # chunks asynchronously and only synchronizes once at the end (plus
+        # snapshot payload pulls) — host round-trips are expensive on a
+        # remote-attached chip.
         s = 0
         snap_i = 0
         state = self.state
+        acc = program.init_accumulators()
+        series_blocks = []  # device arrays, materialized after the loop
         while s < n_sweeps:
             if snap_i < len(snap_sweeps) and s == snap_sweeps[snap_i]:
-                acc = program.init_accumulators()
                 run1 = program.snapshot_runner()
-                (state, acc), (rec, snap) = run1((state, acc), jnp.int32(s))
-                accum.add_records(np.asarray(rec)[None])
-                accum.drain_device_acc(acc)
+                (state, acc), (series, snap) = run1((state, acc), jnp.int32(s))
+                if series is not None:
+                    series_blocks.append(series[None])
                 mode_idx = (s // h.interval) % program.n_modes
                 accum.add_snapshot(
                     s, mode_idx, snap, h.modes[mode_idx].kind == "cmr"
@@ -284,17 +289,19 @@ class IsingSimulation:
                 span = limit - s
                 chunk = 1 << (span.bit_length() - 1)
                 stop = s + chunk
-                acc = program.init_accumulators()
                 runner = program.chunk_runner(stop - s)
                 xs = jnp.arange(s, stop, dtype=jnp.int32)
-                (state, acc), rec = runner((state, acc), xs)
-                accum.add_records(np.asarray(rec))
-                accum.drain_device_acc(acc)
+                (state, acc), series = runner((state, acc), xs)
+                if series is not None:
+                    series_blocks.append(series)
                 s = stop
             if progress is not None:
                 progress(s, n_sweeps)
 
         self.state = state
+        for block in series_blocks:
+            accum.add_series(np.asarray(block))
+        accum.drain_device_acc(acc)
         return accum.finalize(
             {k: np.asarray(v) for k, v in state.items() if k.startswith("pt_")}
         )

@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: fused checkerboard Metropolis/Gibbs sweep (2D lattices).
+
+The hot path of the whole framework (SURVEY.md section 7, stage 9).  One
+kernel invocation performs a complete sweep of one system: both checkerboard
+colors, local fields via in-VMEM rolls, acceptance tests against hardware
+PRNG bits — no HBM round-trips between colors and no host-visible
+intermediates.  Couplings are passed as four pre-shifted grids so the kernel
+body is pure elementwise work over ``[H, W]`` tiles:
+
+    ju[i,j] = J0[i-1,j]   (bond arriving from above; couplings own forward
+    jd[i,j] = J0[i,j]      bonds, reference mcmc/sweep.rs:22-32)
+    jl[i,j] = J1[i,j-1]
+    jr[i,j] = J1[i,j]
+
+Acceptance matches :mod:`peapods_tpu.ops.sweep` exactly: lazy Metropolis
+``p = (1-eps) * min(1, exp(2*eng/T))`` (see the ergodicity discussion there)
+and Gibbs ``p = sigmoid(2*eng/T)``; uniforms are built from the top 24 bits
+of ``pltpu.prng_random_bits`` like the reference's 24-bit uniform grid
+(mcmc/sweep.rs:99-100).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import METROPOLIS_LAZINESS
+
+__all__ = ["sweep_2d", "pack_coupling_grids", "supports"]
+
+_INV24 = np.float32(1.0 / (1 << 24))
+
+
+def supports(lattice) -> bool:
+    """Kernel applicability: 2D hypercubic with TPU-tileable extents."""
+    return (
+        lattice.n_dims == 2
+        and lattice.n_neighbors == 2
+        and np.array_equal(lattice.offsets, [[1, 0], [0, 1]])
+        and lattice.shape[0] % 8 == 0
+        and lattice.shape[1] % 128 == 0
+    )
+
+
+def pack_coupling_grids(coup_fwd, shape):
+    """``[4, H, W]`` pre-shifted coupling grids (ju, jd, jl, jr) from
+    ``coup_fwd [n_spins, 2]``."""
+    h, w = shape
+    j0 = coup_fwd[:, 0].reshape(h, w)
+    j1 = coup_fwd[:, 1].reshape(h, w)
+    return jnp.stack(
+        [jnp.roll(j0, 1, axis=0), j0, jnp.roll(j1, 1, axis=1), j1]
+    )
+
+
+def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
+    sys_idx = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[sys_idx])
+    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+
+    s = spins_ref[0].astype(jnp.float32)  # [H, W]
+    ju = jgrids_ref[0]
+    jd = jgrids_ref[1]
+    jl = jgrids_ref[2]
+    jr = jgrids_ref[3]
+    h_dim, w_dim = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, w_dim), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, w_dim), 1)
+    parity = (row + col) & 1
+
+    for c in range(2):
+        field = (
+            pltpu.roll(s, 1, 0) * ju
+            + pltpu.roll(s, h_dim - 1, 0) * jd
+            + pltpu.roll(s, 1, 1) * jl
+            + pltpu.roll(s, w_dim - 1, 1) * jr
+        )
+        eng = -s * field
+        x = eng * inv_half_t
+        bits = pltpu.bitcast(pltpu.prng_random_bits((h_dim, w_dim)), jnp.int32)
+        u = (
+            jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+        ).astype(jnp.float32) * _INV24
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        flip = (u < p) & (parity == c)
+        s = jnp.where(flip, -s, s)
+
+    out_ref[0] = s.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))
+def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=False):
+    """Full checkerboard sweep of all systems of one realization.
+
+    Args:
+        spins: ``int8 [n_systems, n_spins]``.
+        jgrids: ``f32 [4, H, W]`` from :func:`pack_coupling_grids`.
+        sys_temps: ``f32 [n_systems]`` per-system temperatures.
+        seeds: ``int32 [n_systems]`` per-(system, sweep) PRNG seeds.
+        shape: static ``(H, W)``.
+
+    Returns:
+        ``int8 [n_systems, n_spins]``.
+    """
+    h, w = shape
+    n_systems = spins.shape[0]
+    s3 = spins.reshape(n_systems, h, w)
+    kernel = functools.partial(_kernel, gibbs=gibbs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_systems,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
+        interpret=interpret,
+    )(seeds, sys_temps, s3, jgrids)
+    return out.reshape(n_systems, h * w)
