@@ -474,6 +474,44 @@ class LoopProgram:
     # ----------------------------------------------------------------- step
 
     def make_step(self, with_snapshot=False):
+        step_body = self._make_step_body(with_snapshot)
+        skip = self._make_step_skip(with_snapshot)
+
+        def step(carry, sweep_local):
+            # Chunks are padded to a fixed compiled length with sweep_local=-1
+            # sentinels (cheap cond-skip) so each config compiles exactly once.
+            active = sweep_local >= 0
+            return jax.lax.cond(active, step_body, skip, carry, sweep_local)
+
+        return step
+
+    def _make_step_skip(self, with_snapshot):
+        rt = self.rt
+
+        def skip(carry, sweep_local):
+            state, acc = carry
+            if self.emit_series:
+                series = jnp.zeros(
+                    (rt.n_disorder, N_SERIES, rt.n_temps), jnp.float32
+                )
+            else:
+                series = None
+            if with_snapshot:
+                return (state, acc), (series, self._dummy_snap())
+            return (state, acc), series
+
+        return skip
+
+    def _dummy_snap(self):
+        rt = self.rt
+        return (
+            jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
+            jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
+            jnp.zeros((rt.n_disorder, rt.n_temps, 2, rt.n_spins), jnp.int8),
+            jnp.zeros((rt.n_disorder, rt.n_temps, 2), jnp.int32),
+        )
+
+    def _make_step_body(self, with_snapshot):
         rt = self.rt
         cfg = self.cfg
         c = cfg.cluster_update
@@ -486,7 +524,7 @@ class LoopProgram:
             else None
         )
 
-        def step(carry, sweep_local):
+        def step_body(carry, sweep_local):
             state, acc = carry
             counter = state["counter"]
             record = sweep_local >= state["warmup"]
@@ -674,7 +712,7 @@ class LoopProgram:
                 return (new_state, acc), (series, snap_out)
             return (new_state, acc), series
 
-        return step
+        return step_body
 
     # ------------------------------------------------------------- runners
 

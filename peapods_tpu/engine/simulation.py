@@ -267,13 +267,17 @@ class IsingSimulation:
         snap_i = 0
         state = self.state
         acc = program.init_accumulators()
-        series_blocks = []  # device arrays, materialized after the loop
+        series_blocks = []  # (n_real_sweeps, device array); materialized later
+        # One fixed compiled chunk length per config: shorter spans are padded
+        # with sweep_local = -1 sentinels that the step cond-skips.
+        chunk = min(self.default_chunk, 1 << max(0, (n_sweeps - 1)).bit_length())
+        chunk = max(chunk, 1)
         while s < n_sweeps:
             if snap_i < len(snap_sweeps) and s == snap_sweeps[snap_i]:
                 run1 = program.snapshot_runner()
                 (state, acc), (series, snap) = run1((state, acc), jnp.int32(s))
                 if series is not None:
-                    series_blocks.append(series[None])
+                    series_blocks.append((1, series[None]))
                 mode_idx = (s // h.interval) % program.n_modes
                 accum.add_snapshot(
                     s, mode_idx, snap, h.modes[mode_idx].kind == "cmr"
@@ -281,26 +285,23 @@ class IsingSimulation:
                 s += 1
                 snap_i += 1
             else:
-                limit = min(n_sweeps, s + self.default_chunk)
+                limit = min(n_sweeps, s + chunk)
                 if snap_i < len(snap_sweeps):
                     limit = min(limit, snap_sweeps[snap_i])
-                # Quantize chunk lengths to powers of two so compiled scan
-                # programs are reused across calls with different n_sweeps.
-                span = limit - s
-                chunk = 1 << (span.bit_length() - 1)
-                stop = s + chunk
-                runner = program.chunk_runner(stop - s)
-                xs = jnp.arange(s, stop, dtype=jnp.int32)
-                (state, acc), series = runner((state, acc), xs)
+                actual = limit - s
+                xs = np.full(chunk, -1, dtype=np.int32)
+                xs[:actual] = np.arange(s, limit, dtype=np.int32)
+                runner = program.chunk_runner(chunk)
+                (state, acc), series = runner((state, acc), jnp.asarray(xs))
                 if series is not None:
-                    series_blocks.append(series)
-                s = stop
+                    series_blocks.append((actual, series))
+                s = limit
             if progress is not None:
                 progress(s, n_sweeps)
 
         self.state = state
-        for block in series_blocks:
-            accum.add_series(np.asarray(block))
+        for actual, block in series_blocks:
+            accum.add_series(np.asarray(block)[:actual])
         accum.drain_device_acc(acc)
         return accum.finalize(
             {k: np.asarray(v) for k, v in state.items() if k.startswith("pt_")}
