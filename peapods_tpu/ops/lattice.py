@@ -98,6 +98,11 @@ class Lattice:
 
     def _build_neighbor_tables(self):
         """Vectorized equivalent of lattice.rs:63-81 (rem_euclid wraparound)."""
+        from ..utils import native
+
+        tables = native.build_neighbor_tables(self.shape, self.offsets)
+        if tables is not None:
+            return tables
         shape = np.asarray(self.shape, dtype=np.int64)
         idx = np.arange(self.n_spins, dtype=np.int64)
         # coords[i, dim]
@@ -126,6 +131,13 @@ class Lattice:
         if self._is_hypercubic() and all(s % 2 == 0 for s in self.shape):
             coords_sum = self._coords().sum(axis=1)
             return (coords_sum % 2).astype(np.int32), 2
+
+        from ..utils import native
+
+        colored = native.greedy_color(self.fwd, self.bwd)
+        if colored is not None:
+            colors, n_colors = colored
+            return colors, n_colors
 
         neighbors = np.concatenate([self.fwd, self.bwd], axis=1)
         colors = np.full(n, -1, dtype=np.int32)
