@@ -1,19 +1,28 @@
-"""Energy vs temperature for a 32x32 Ising ferromagnet (TPU engine)."""
+"""Plot the energy curve of a small 2D ferromagnet across a log temperature grid."""
 
 import numpy as np
 from matplotlib import pyplot as plt
 
 from peapods_tpu import Ising
 
-temperatures = np.geomspace(0.1, 10, 32)
-ising = Ising(lattice_shape=(32, 32), temperatures=temperatures, n_replicas=2)
-results = ising.sample(
-    n_sweeps=2**12, warmup_ratio=0.25, cluster_update_interval=2**3, pt_interval=2**3
+model = Ising(
+    lattice_shape=(32, 32),
+    temperatures=np.geomspace(0.1, 10, 32),
+    n_replicas=2,
+)
+model.sample(
+    n_sweeps=4096,
+    warmup_ratio=0.25,
+    cluster_update_interval=8,
+    pt_interval=8,
 )
 
-plt.plot(temperatures, results["energies"])
-plt.xlabel("Temperature")
-plt.ylabel("Energy per spin")
-plt.title("Energy vs temperature for a 32x32 Ising ferromagnet")
-plt.savefig("energy_vs_temperature.png", dpi=150)
+fig, ax = plt.subplots()
+ax.plot(model.temperatures, model.energies_avg)
+ax.set(
+    xlabel="Temperature",
+    ylabel="Energy per spin",
+    title="Energy vs temperature for a 32x32 Ising ferromagnet",
+)
+fig.savefig("energy_vs_temperature.png", dpi=150)
 plt.show()

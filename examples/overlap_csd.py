@@ -1,8 +1,7 @@
-"""Overlap cluster size distribution for a 2D +-J spin glass (TPU engine).
+"""Overlap-cluster size distributions of a 2D +-J glass across temperatures.
 
-Collects the Houdayer overlap-cluster CSD at several temperatures and plots
-the distribution on a log-log scale; at low T the distribution develops a
-heavy tail with system-spanning clusters.
+At low temperature the Houdayer overlap-cluster distribution develops a heavy
+tail with system-spanning clusters; near and above T_c it decays quickly.
 """
 
 import numpy as np
@@ -10,17 +9,9 @@ from matplotlib import pyplot as plt
 
 from peapods_tpu import Ising
 
-L = 64
-temperatures = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
-
-ising = Ising(
-    lattice_shape=(L, L),
-    couplings="bimodal",
-    temperatures=temperatures,
-    n_replicas=2,
-    n_disorder=100,
-)
-results = ising.sample(
+SIZE = 64
+temps = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+SAMPLING = dict(
     n_sweeps=2**14,
     warmup_ratio=0.25,
     overlap_cluster_update_interval=1,
@@ -30,19 +21,31 @@ results = ising.sample(
     collect_cluster_stats=True,
 )
 
+model = Ising(
+    lattice_shape=(SIZE, SIZE),
+    couplings="bimodal",
+    temperatures=temps,
+    n_replicas=2,
+    n_disorder=100,
+)
+results = model.sample(**SAMPLING)
+
 fig, ax = plt.subplots(figsize=(6, 4))
-for t, temp in enumerate(temperatures):
-    csd = results["overlap_csd"][0][t]  # mode 0; csd[s] = count of size-s clusters
+for t_idx, temp in enumerate(temps):
+    csd = np.asarray(results["overlap_csd"][0][t_idx], dtype=np.float64)
     sizes = np.arange(len(csd))
-    mask = csd > 0
-    total = csd[mask].sum()
-    ax.scatter(sizes[mask], csd[mask] / total, s=8, label=f"T = {temp:.1f}")
+    populated = csd > 0
+    ax.scatter(
+        sizes[populated],
+        csd[populated] / csd.sum(),
+        s=8,
+        label=f"T = {temp:.1f}",
+    )
 
 ax.set_xscale("log")
 ax.set_yscale("log")
-ax.set_xlabel("Cluster size s")
-ax.set_ylabel("P(s)")
-ax.set_title(f"Overlap CSD ({L}x{L} +-J spin glass)")
+ax.set(xlabel="Cluster size s", ylabel="P(s)",
+       title=f"Overlap CSD ({SIZE}x{SIZE} +-J spin glass)")
 ax.legend()
 fig.tight_layout()
 fig.savefig("overlap_csd.png", dpi=150)

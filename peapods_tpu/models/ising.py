@@ -1,12 +1,11 @@
-"""Public `Ising` model class — API-parity with the reference Python layer.
+"""Public `Ising` model class — API parity with the reference Python layer.
 
-Counterpart of ``/root/reference/python/peapods/spin_models.py``: same
-constructor signature, seed discipline (``np.random.SeedSequence`` spawn for
-independent coupling vs dynamics streams, spin_models.py:13-23), coupling
-synthesis (ferro/bimodal/gaussian per disorder child seed, :104-127), sample
-kwargs and derived observables (Binder cumulant, heat capacity, SG Binder,
-mean cluster size, :270-335), and the Zhu et al. equilibration diagnostic
-(:339-358).
+Counterpart of ``/root/reference/python/peapods/spin_models.py``: identical
+constructor/`sample` signatures, seed discipline (independent SeedSequence
+streams for couplings vs dynamics, spin_models.py:13-23), coupling synthesis
+(per-disorder child seeds so realization 0 is stable as n_disorder grows,
+:104-127), derived observables (:270-335), and the Zhu et al. equilibration
+diagnostic (:339-358).
 """
 
 from __future__ import annotations
@@ -19,29 +18,54 @@ from ..ops.lattice import GEOMETRY_OFFSETS as GEOMETRIES
 
 __all__ = ["Ising", "GEOMETRIES"]
 
+_COUPLING_MODES = ("ferro", "bimodal", "gaussian")
+
+# result-dict keys copied onto the instance verbatim when present
+_PASSTHROUGH_ATTRS = {
+    "overlap_histogram": "overlap_histogram",
+    "ql_at_q_sum": "ql_at_q_sum",
+    "ql2_at_q_sum": "ql2_at_q_sum",
+    "per_sample_overlap_histogram": "per_sample_overlap_histogram",
+    "per_sample_ql_at_q_sum": "per_sample_ql_at_q_sum",
+    "per_sample_ql2_at_q_sum": "per_sample_ql2_at_q_sum",
+    "top_cluster_sizes": "top_cluster_sizes",
+    "mags2_tau": "mags2_tau",
+    "overlap2_tau": "overlap2_tau",
+    "equil_sweeps": "_equil_sweeps",
+    "equil_energy_avg": "_equil_energy_avg",
+    "equil_link_overlap_avg": "_equil_link_overlap_avg",
+    "cluster_snapshots": "cluster_snapshots",
+}
+
+
+def _synthesize_couplings(mode, coupling_seed, n_disorder, single_shape):
+    """Per-disorder coupling arrays from independent SeedSequence children."""
+    if mode not in _COUPLING_MODES:
+        raise ValueError("Invalid mode for couplings.")
+    samples = []
+    for child in coupling_seed.spawn(n_disorder):
+        rng = np.random.default_rng(child)
+        if mode == "ferro":
+            j = np.ones(single_shape, dtype=np.float32)
+        elif mode == "bimodal":
+            j = (2 * rng.integers(0, 2, size=single_shape) - 1).astype(np.float32)
+        else:  # gaussian
+            j = rng.standard_normal(single_shape).astype(np.float32)
+        samples.append(j)
+    return samples[0] if n_disorder == 1 else np.stack(samples)
+
 
 class Ising:
     """Ising model on a periodic Bravais lattice with Monte Carlo sampling.
 
-    Supports ferromagnets and spin glasses on hypercubic, triangular, FCC, BCC,
-    or any custom lattice defined by neighbor offsets. Multiple replicas enable
-    overlap-based spin glass order parameters.
-
-    Attributes:
-        lattice_shape: Shape of the lattice as a tuple of ints.
-        n_dims: Number of spatial dimensions.
-        n_neighbors: Number of nearest neighbors per site.
-        temperatures: Array of temperatures for parallel tempering.
-        n_temps: Number of temperature points.
-        n_replicas: Number of replicas per temperature.
-        n_disorder: Number of disorder realizations.
-        couplings: Coupling array with shape `(*lattice_shape, n_neighbors)`.
-        binder_cumulant: Binder cumulant `1 - <m^4> / (3 <m^2>^2)`, set after
-            `sample`.
-        heat_capacity: Heat capacity `(<E^2> - <E>^2) / T^2`, set after
-            `sample`.
-        sg_binder: Spin glass Binder parameter `1 - <q^4> / (3 <q^2>^2)`, set
-            after `sample` with `n_replicas >= 2`.
+    Covers ferromagnets and spin glasses on hypercubic, triangular, FCC, BCC,
+    or custom offset-defined lattices; with two or more replicas per
+    temperature the full replica-overlap observable set becomes available.
+    After `sample`, derived observables live on the instance:
+    ``binder_cumulant``, ``heat_capacity``, and (with replicas) ``sg_binder``
+    and ``link_overlap_binder``; optional statistics (``fk_csd``,
+    ``top_cluster_sizes``, taus, equilibration curves, snapshots) appear when
+    the corresponding sampling options are enabled.
     """
 
     def __init__(
@@ -58,25 +82,21 @@ class Ising:
         """Create an Ising model.
 
         Args:
-            lattice_shape: Shape of the periodic lattice, e.g. `(32, 32)` for a
-                2D 32x32 grid.
-            couplings: Coupling configuration. One of `"ferro"` (all +1),
-                `"bimodal"` (random +/-1), `"gaussian"` (standard normal), or a
-                NumPy array of shape `(*lattice_shape, n_neighbors)`.
-            temperatures: Array of temperatures for the simulation. Defaults to
-                32 points log-spaced from 0.1 to 10.
-            n_replicas: Number of independent replicas per temperature. Must be
-                >= 2 for overlap statistics and Houdayer moves.
-            n_disorder: Number of disorder realizations. Each realization gets
-                its own coupling array.
-            neighbor_offsets: List of integer offset vectors defining nearest
-                neighbors, e.g. `[[1, 0], [0, 1]]` for a square lattice.
-                Mutually exclusive with `geometry`.
-            geometry: Named lattice geometry. One of `"triangular"` / `"tri"`,
-                `"fcc"`, or `"bcc"`. Mutually exclusive with `neighbor_offsets`.
-                If neither is given, defaults to a hypercubic lattice.
-            seed: Optional non-negative integer controlling built-in random
-                couplings and initial dynamics. `None` uses fresh entropy.
+            lattice_shape: periodic lattice extents, e.g. ``(32, 32)``.
+            couplings: ``"ferro"`` (all +1), ``"bimodal"`` (random +-1),
+                ``"gaussian"`` (standard normal), or an explicit array of
+                shape ``(*lattice_shape, n_neighbors)`` (optionally with a
+                leading ``n_disorder`` axis).
+            temperatures: temperature grid for the ladder.
+            n_replicas: independent replicas per temperature; >= 2 enables
+                overlap statistics and the replica cluster moves.
+            n_disorder: number of coupling realizations.
+            neighbor_offsets: integer offset vectors defining the forward
+                bonds (mutually exclusive with ``geometry``).
+            geometry: named lattice (``"triangular"``/``"tri"``, ``"fcc"``,
+                ``"bcc"``); hypercubic when neither is given.
+            seed: non-negative integer controlling both coupling synthesis
+                and the dynamics; ``None`` draws fresh entropy.
         """
         if geometry is not None:
             if neighbor_offsets is not None:
@@ -100,32 +120,18 @@ class Ising:
         coupling_seed, self._constructor_dynamics_seed = seed_material(seed)
 
         if isinstance(couplings, np.ndarray):
-            coup = couplings.astype(np.float32)
+            self.couplings = couplings.astype(np.float32)
         else:
-            single_shape = self.lattice_shape + (self.n_neighbors,)
-            coupling_children = coupling_seed.spawn(n_disorder)
-            realizations = []
-            for child in coupling_children:
-                rng = np.random.default_rng(child)
-                if couplings == "ferro":
-                    realization = np.ones(single_shape, dtype=np.float32)
-                elif couplings == "bimodal":
-                    realization = (
-                        2 * rng.integers(0, 2, size=single_shape) - 1
-                    ).astype(np.float32)
-                elif couplings == "gaussian":
-                    realization = rng.standard_normal(single_shape).astype(
-                        np.float32
-                    )
-                else:
-                    raise ValueError("Invalid mode for couplings.")
-                realizations.append(realization)
-            coup = realizations[0] if n_disorder == 1 else np.stack(realizations)
+            self.couplings = _synthesize_couplings(
+                couplings,
+                coupling_seed,
+                n_disorder,
+                self.lattice_shape + (self.n_neighbors,),
+            )
 
-        self.couplings = coup
         self._sim = IsingSimulation(
             list(lattice_shape),
-            coup,
+            self.couplings,
             self.temperatures,
             n_replicas,
             neighbor_offsets,
@@ -133,10 +139,11 @@ class Ising:
         )
 
     def reset(self, seed=None):
-        """Reset dynamics while keeping the model's couplings fixed.
+        """Reset dynamics while keeping the couplings fixed.
 
-        A bare reset replays the constructor's initial dynamics. Passing a seed
-        performs a deterministic one-off reset without replacing that seed.
+        With no argument the constructor's initial dynamics replay exactly; a
+        seed performs a deterministic one-off reset without replacing the
+        constructor seed.
         """
         self._sim.reset(None if seed is None else dynamics_seed(seed))
 
@@ -163,24 +170,21 @@ class Ising:
     ):
         """Run Monte Carlo sampling and compute observables.
 
-        After sampling, the following attributes are set on the instance:
+        All kwargs carry the reference semantics (spin_models.py:146-269):
+        ``sweep_mode`` in {metropolis, gibbs}; optional FK cluster updates
+        every ``cluster_update_interval`` sweeps with ``cluster_mode`` in
+        {sw, wolff} and ``cluster_action`` in {update, observe}; optional
+        parallel tempering every ``pt_interval`` sweeps with
+        ``pt_schedule`` in {single_random_edge, full_ladder}; optional
+        replica-overlap moves every ``overlap_cluster_update_interval``
+        sweeps with a '+'-separated ``overlap_cluster_build_mode`` mix of
+        houdayer/houdN/jorg/cmr (houdN with N > 2 is experimental and very
+        likely violates detailed balance).  ``warmup_ratio`` of the sweeps
+        is discarded before recording; ``sequential`` is accepted for API
+        compatibility (the TPU engine always fuses the inner parallelism).
 
-        - `binder_cumulant` — Binder cumulant per temperature.
-        - `heat_capacity` — Heat capacity per temperature.
-        - `sg_binder` — Spin glass Binder parameter (only with
-          `n_replicas >= 2`).
-        - `fk_csd` — FK cluster size distribution (only with
-          `collect_cluster_stats=True`).
-        - `top_cluster_sizes` — List of arrays (one per overlap mode), each
-          shape `(n_temps, 4)`, giving average relative sizes of the 4 largest
-          overlap clusters per temperature (only with
-          `collect_cluster_stats=True`).
-
-        Args mirror the reference exactly (spin_models.py:146-269); see the
-        package docs for details.
-
-        Returns:
-            Raw results dictionary with keys like `"mags"`, `"energies"`, etc.
+        Returns the raw results dictionary (keys like ``"mags"``,
+        ``"energies"``, ``"overlap2"``, ``"per_disorder"``, ...).
         """
         if cluster_action not in {"update", "observe"}:
             raise ValueError("cluster_action must be 'update' or 'observe'")
@@ -230,6 +234,11 @@ class Ising:
             equilibration_diagnostic=equilibration_diagnostic,
             snapshot_interval=snapshot_interval if oci else None,
         )
+        self._attach_observables(result)
+        return result
+
+    def _attach_observables(self, result):
+        """Derived quantities + passthrough attributes (spin_models.py:270-335)."""
         self.mags = result["mags"]
         self.mags2 = result["mags2"]
         self.mags4 = result["mags4"]
@@ -244,76 +253,46 @@ class Ising:
         )
 
         if "overlap2" in result:
-            self.overlap = result["overlap"]
-            self.overlap2 = result["overlap2"]
-            self.overlap4 = result["overlap4"]
+            for key in (
+                "overlap", "overlap2", "overlap4",
+                "link_overlap", "link_overlap2", "link_overlap4",
+            ):
+                setattr(self, key, result[key])
             self.sg_binder = 1 - self.overlap4 / (3 * self.overlap2**2)
-            self.link_overlap = result["link_overlap"]
-            self.link_overlap2 = result["link_overlap2"]
-            self.link_overlap4 = result["link_overlap4"]
             self.link_overlap_binder = 1 - self.link_overlap4 / (
                 3 * self.link_overlap2**2
             )
 
-        if "overlap_histogram" in result:
-            self.overlap_histogram = result["overlap_histogram"]
-
-        if "ql_at_q_sum" in result:
-            self.ql_at_q_sum = result["ql_at_q_sum"]
-            self.ql2_at_q_sum = result["ql2_at_q_sum"]
-
-        if "per_sample_overlap_histogram" in result:
-            self.per_sample_overlap_histogram = result["per_sample_overlap_histogram"]
-
-        if "per_sample_ql_at_q_sum" in result:
-            self.per_sample_ql_at_q_sum = result["per_sample_ql_at_q_sum"]
-            self.per_sample_ql2_at_q_sum = result["per_sample_ql2_at_q_sum"]
+        for key, attr in _PASSTHROUGH_ATTRS.items():
+            if key in result:
+                setattr(self, attr, result[key])
 
         if "fk_csd" in result:
             self.fk_csd = result["fk_csd"]
-            mcs = np.empty(self.n_temps)
-            for t, h in enumerate(self.fk_csd):
-                s = np.arange(len(h))
-                sh = s * h
-                n_sites = sh.sum()
-                mcs[t] = (s * sh).sum() / n_sites if n_sites > 0 else 0.0
-            self.mean_cluster_size = mcs
-
-        if "top_cluster_sizes" in result:
-            self.top_cluster_sizes = result["top_cluster_sizes"]
-
-        if "mags2_tau" in result:
-            self.mags2_tau = result["mags2_tau"]
-        if "overlap2_tau" in result:
-            self.overlap2_tau = result["overlap2_tau"]
-
-        if "equil_sweeps" in result:
-            self._equil_sweeps = result["equil_sweeps"]
-            self._equil_energy_avg = result["equil_energy_avg"]
-            self._equil_link_overlap_avg = result["equil_link_overlap_avg"]
-
-        if "cluster_snapshots" in result:
-            self.cluster_snapshots = result["cluster_snapshots"]
+            self.mean_cluster_size = np.array(
+                [self._mean_cluster_size(h) for h in self.fk_csd]
+            )
 
         self.per_disorder = result.get("per_disorder", {})
 
-        return result
+    @staticmethod
+    def _mean_cluster_size(hist):
+        """Site-weighted mean cluster size from a CSD histogram."""
+        sizes = np.arange(len(hist))
+        site_weights = sizes * hist
+        n_sites = site_weights.sum()
+        return (sizes * site_weights).sum() / n_sites if n_sites > 0 else 0.0
 
     def equilibration_delta(self, j_squared=1.0):
-        """Compute equilibration diagnostic Δ(t) = e(t) - J²β z (1 - q_l(t)).
+        """Zhu et al. thermalization diagnostic Delta(t).
 
-        Δ approaches zero as the system thermalizes (Zhu et al. 2015).
-        Note: the engine's energy convention is e = +Σ J s_i s_j / N (no minus
-        sign), so the sign here is flipped relative to the Hamiltonian form
-        (matching the reference, spin_models.py:339-358).
+        ``Delta = e(t) - J^2 beta z (1 - q_l(t))`` approaches zero as the
+        system equilibrates.  The engine's energy convention is the positive
+        bond sum ``e = +sum J s s / N`` (matching the reference,
+        spin_models.py:343-349), hence the flipped sign relative to the
+        Hamiltonian form.
 
-        Args:
-            j_squared: Average squared coupling ⟨J²⟩. 1.0 for bimodal and
-                Gaussian (unit variance) spin glasses.
-
-        Returns:
-            Tuple of (sweeps, delta) where sweeps has shape ``(n_checkpoints,)``
-            and delta has shape ``(n_checkpoints, n_temps)``.
+        Returns ``(sweeps [n_checkpoints], delta [n_checkpoints, n_temps])``.
         """
         beta = 1.0 / self.temperatures
         delta = self._equil_energy_avg - j_squared * beta * self.n_neighbors * (
@@ -322,5 +301,5 @@ class Ising:
         return self._equil_sweeps, delta
 
     def get_energies(self):
-        """Return the mean energies per temperature from the last sample run."""
+        """Mean energies per temperature from the last `sample` run."""
         return self.energies_avg
