@@ -1,0 +1,44 @@
+"""Multi-chip sharding validation on the virtual CPU device mesh."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_unsharded_trajectory():
+    """Disorder sharding must not change results (bitwise pytree equality)."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([1.0, 2.0], dtype=np.float32)
+    rng = np.random.default_rng(1)
+    coup = (2 * rng.integers(0, 2, size=(8, 4, 4, 2)) - 1).astype(np.float32)
+
+    kwargs = dict(
+        pt_interval=1,
+        overlap_cluster_update_interval=2,
+        warmup_ratio=0.25,
+    )
+    sharded = IsingSimulation([4, 4], coup, temps, 2, None, 3,
+                              mesh=make_mesh(8))
+    r_sh = sharded.sample(16, "metropolis", **kwargs)
+    plain = IsingSimulation([4, 4], coup, temps, 2, None, 3, mesh=None)
+    r_pl = plain.sample(16, "metropolis", **kwargs)
+
+    np.testing.assert_allclose(r_sh["mags2"], r_pl["mags2"], rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
