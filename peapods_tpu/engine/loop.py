@@ -40,6 +40,7 @@ from ..ops.lattice import Lattice
 from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
+from ..utils.profiling import phase_scope
 from .config import SimConfig
 
 __all__ = ["Runtime", "LoopProgram", "REC", "N_REC", "OBS_KINDS"]
@@ -536,6 +537,8 @@ class LoopProgram:
             spins, sid = state["spins"], state["system_ids"]
 
             # 1. single-spin sweep
+            sweep_scope = phase_scope("sweep")
+            sweep_scope.__enter__()
             if rt.use_pallas:
                 spins = jax.vmap(
                     lambda s, si, k, jg: self._sweep_phase(s, si, k, None, None, jg)
@@ -544,6 +547,7 @@ class LoopProgram:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd
                 )
+            sweep_scope.__exit__(None, None, None)
 
             # 2. FK cluster update
             if c is not None:
@@ -568,9 +572,10 @@ class LoopProgram:
                 )
 
             # 3+4. measurement (energies/mags recomputed from spins)
-            rec, hist_delta, e_sys = jax.vmap(self._measure_phase)(
-                spins, sid, rt.couplings
-            )
+            with phase_scope("measure"):
+                rec, hist_delta, e_sys = jax.vmap(self._measure_phase)(
+                    spins, sid, rt.couplings
+                )
             acc = dict(acc)
             acc["rec_sums"], acc["rec_comp"] = _kahan_add(
                 acc["rec_sums"], acc["rec_comp"], rec * rec_f32

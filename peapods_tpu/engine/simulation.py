@@ -150,6 +150,46 @@ class IsingSimulation:
 
             self.state = shard_state(self.state, self.mesh)
 
+    def save_checkpoint(self, path) -> None:
+        """Persist the full dynamics state (spins, PT permutation and
+        diagnostics, RNG counter) to an ``.npz`` file.
+
+        The reference has object-level resume only (consecutive ``sample``
+        calls continue the chain, SURVEY.md section 5); device state being a
+        pytree makes durable checkpointing a natural additive capability.
+        """
+        flat = {k: np.asarray(v) for k, v in self.state.items()
+                if k != "base_keys"}
+        flat["__constructor_seed"] = np.int64(self.constructor_seed)
+        flat["__key_data"] = np.asarray(
+            jax.random.key_data(self.state["base_keys"])
+        )
+        np.savez(path, **flat)
+
+    def load_checkpoint(self, path) -> None:
+        """Restore state saved by :meth:`save_checkpoint`."""
+        with np.load(path) as data:
+            seed = int(data["__constructor_seed"])
+            if seed != self.constructor_seed:
+                raise ValueError(
+                    f"checkpoint was written for constructor seed {seed}, "
+                    f"this simulation uses {self.constructor_seed}"
+                )
+            state = {}
+            for k in self.state:
+                if k == "base_keys":
+                    state[k] = jax.random.wrap_key_data(
+                        jnp.asarray(data["__key_data"])
+                    )
+                else:
+                    v = jnp.asarray(data[k])
+                    state[k] = v if v.ndim else v[()]
+            self.state = state
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+
     def get_spins(self) -> np.ndarray:
         """Flat int8 spins of the first realization (src/lib.rs:620-622)."""
         return np.asarray(self.state["spins"][0]).reshape(-1)
@@ -248,6 +288,14 @@ class IsingSimulation:
         program = self._program_for(cfg)
         accum = HostAccum(program, n_sweeps, warmup_sweeps)
         self.state["warmup"] = jnp.int32(warmup_sweeps)
+
+        if progress is None:
+            import sys
+
+            if sys.stderr.isatty():
+                from ..utils.progress import ProgressPrinter
+
+                progress = ProgressPrinter()
 
         h = cfg.overlap_cluster
         si = h.snapshot_interval if h is not None else None

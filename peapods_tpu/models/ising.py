@@ -300,6 +300,15 @@ class Ising:
         )
         return self._equil_sweeps, delta
 
+    def save_checkpoint(self, path):
+        """Write the dynamics state to ``path`` (couplings are derived from
+        the constructor seed and are not stored)."""
+        self._sim.save_checkpoint(path)
+
+    def load_checkpoint(self, path):
+        """Resume from a checkpoint written by :meth:`save_checkpoint`."""
+        self._sim.load_checkpoint(path)
+
     def get_energies(self):
         """Mean energies per temperature from the last `sample` run."""
         return self.energies_avg

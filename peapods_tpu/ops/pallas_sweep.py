@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import METROPOLIS_LAZINESS
 
-__all__ = ["sweep_2d", "pack_coupling_grids", "supports"]
+__all__ = ["sweep_2d", "sweep_2d_injected", "pack_coupling_grids", "supports"]
 
 _INV24 = np.float32(1.0 / (1 << 24))
 
@@ -58,13 +58,9 @@ def pack_coupling_grids(coup_fwd, shape):
     )
 
 
-def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
-    sys_idx = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[sys_idx])
-    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs):
+    """Shared both-color update; ``uniform_for_color(c)`` supplies u."""
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
-
-    s = spins_ref[0].astype(jnp.float32)  # [H, W]
     ju = jgrids_ref[0]
     jd = jgrids_ref[1]
     jl = jgrids_ref[2]
@@ -83,18 +79,41 @@ def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
         )
         eng = -s * field
         x = eng * inv_half_t
-        bits = pltpu.bitcast(pltpu.prng_random_bits((h_dim, w_dim)), jnp.int32)
-        u = (
-            jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
-        ).astype(jnp.float32) * _INV24
+        u = uniform_for_color(c)
         if gibbs:
             p = jax.nn.sigmoid(x)
         else:
             p = keep * jnp.exp(jnp.minimum(x, 0.0))
         flip = (u < p) & (parity == c)
         s = jnp.where(flip, -s, s)
+    return s
 
-    out_ref[0] = s.astype(jnp.int8)
+
+def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
+    sys_idx = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[sys_idx])
+    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+    s = spins_ref[0].astype(jnp.float32)  # [H, W]
+
+    def hw_uniform(_c):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(s.shape), jnp.int32)
+        return (
+            jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+        ).astype(jnp.float32) * _INV24
+
+    out_ref[0] = _kernel_body(
+        s, jgrids_ref, inv_half_t, hw_uniform, gibbs=gibbs
+    ).astype(jnp.int8)
+
+
+def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):
+    """Test-only variant: acceptance uniforms supplied by the caller."""
+    sys_idx = pl.program_id(0)
+    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+    s = spins_ref[0].astype(jnp.float32)
+    out_ref[0] = _kernel_body(
+        s, jgrids_ref, inv_half_t, lambda c: u_ref[0, c], gibbs=gibbs
+    ).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))
@@ -128,4 +147,29 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         out_shape=jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
         interpret=interpret,
     )(seeds, sys_temps, s3, jgrids)
+    return out.reshape(n_systems, h * w)
+
+
+def sweep_2d_injected(spins, jgrids, sys_temps, uniforms, *, shape, gibbs=False,
+                      interpret=False):
+    """Kernel-equivalence entry: uniforms ``f32 [n_systems, 2, H, W]``."""
+    h, w = shape
+    n_systems = spins.shape[0]
+    s3 = spins.reshape(n_systems, h, w)
+    kernel = functools.partial(_kernel_injected, gibbs=gibbs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_systems,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
+        interpret=interpret,
+    )(sys_temps, s3, jgrids, uniforms)
     return out.reshape(n_systems, h * w)

@@ -81,6 +81,7 @@ def mc_sweep(
     key,
     *,
     gibbs: bool,
+    uniforms=None,
 ):
     """One full multicolor sweep over all systems.
 
@@ -92,6 +93,8 @@ def mc_sweep(
             from the parallel-tempering permutation by the caller).
         key: per-(realization, sweep) PRNG key.
         gibbs: Gibbs threshold instead of Metropolis.
+        uniforms: optional ``[n_colors, n_systems, n_spins]`` acceptance
+            uniforms, used by the Pallas-vs-jnp equivalence tests.
 
     Returns:
         Updated ``int8 [n_systems, n_spins]`` spins.
@@ -102,8 +105,11 @@ def mc_sweep(
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
 
     for c in range(n_colors):
-        ck = jax.random.fold_in(key, c)
-        u = jax.random.uniform(ck, spins.shape, dtype=jnp.float32)
+        if uniforms is None:
+            ck = jax.random.fold_in(key, c)
+            u = jax.random.uniform(ck, spins.shape, dtype=jnp.float32)
+        else:
+            u = uniforms[c]  # [n_systems, n_spins], for kernel-equivalence tests
         s = spins.astype(jnp.float32)
         h = local_fields(s, geom, coup_fwd, coup_bwd)
         eng_change = -s * h
