@@ -6,15 +6,30 @@ parallel-tempering ladder, Metropolis sweeps.  Prints ONE JSON line:
 
 The reference publishes no absolute numbers (BASELINE.md); the baseline used
 for ``vs_baseline`` is the driver-provided north star of 1e10 spin-flip
-attempts/sec/chip.
+attempts/sec/chip.  Like the reference bench harness
+(spin-sim/examples/bench.rs:125-187), a determinism checksum over the final
+spins, PT permutation, and result arrays is included so repeated runs can be
+compared for reproducibility.
 """
 
+import hashlib
 import json
 import time
 
 import numpy as np
 
 BASELINE_FLIPS_PER_SEC = 1.0e10
+
+
+def state_checksum(sim, result):
+    """Hash of final spins + PT permutation + per-temp observables."""
+    h = hashlib.sha256()
+    h.update(np.asarray(sim.state["spins"]).tobytes())
+    h.update(np.asarray(sim.state["system_ids"]).tobytes())
+    h.update(np.asarray(sim.state["counter"]).tobytes())
+    for key in ("mags", "mags2", "energies", "energies2"):
+        h.update(np.asarray(result[key]).tobytes())
+    return h.hexdigest()[:16]
 
 
 def main():
@@ -38,7 +53,7 @@ def main():
 
     n_sweeps = 4096
     t0 = time.perf_counter()
-    sim.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.0)
+    result = sim.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.0)
     elapsed = time.perf_counter() - t0
 
     sweeps_per_sec = n_sweeps / elapsed
@@ -55,6 +70,7 @@ def main():
                     "ms_per_sweep": 1000.0 / sweeps_per_sec,
                     "n_systems": n_systems,
                     "lattice": f"{L}x{L}",
+                    "state_checksum": state_checksum(sim, result),
                 },
             }
         )
