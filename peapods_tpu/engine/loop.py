@@ -229,6 +229,9 @@ class LoopProgram:
             else ()
         )
         self.with_winding = rt.lattice.canonical_square_shape is not None
+        # Fused sweep+measurement kernel: only valid when nothing mutates
+        # spins between the sweep and the measurement (no FK cluster phase).
+        self.fuse_measure = rt.use_pallas and cfg.cluster_update is None
         self.emit_series = (
             cfg.autocorrelation_max_lag is not None or cfg.equilibration_diagnostic
         )
@@ -272,9 +275,15 @@ class LoopProgram:
         if rt.use_pallas:
             import os
 
+            interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
             seeds = jax.random.randint(
                 skey, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
             )
+            if self.fuse_measure:
+                return pallas_sweep.sweep_2d_fused(
+                    spins, jgrids, sys_temps, seeds,
+                    shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
+                )
             return pallas_sweep.sweep_2d(
                 spins,
                 jgrids,
@@ -282,7 +291,7 @@ class LoopProgram:
                 seeds,
                 shape=rt.lattice.shape,
                 gibbs=gibbs,
-                interpret=os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1",
+                interpret=interpret,
             )
         return mc_sweep(
             spins,
@@ -435,11 +444,19 @@ class LoopProgram:
             )
         return sid, (att, acc_, rtrips, ts)
 
-    def _measure_phase(self, spins, sid, coup):
-        """Per-sweep records + histogram deltas + energies for one realization."""
+    def _measure_phase(self, spins, sid, coup, fused=None):
+        """Per-sweep records + histogram deltas + energies for one realization.
+
+        ``fused`` carries (energies, magnetization sums) already computed by
+        the fused sweep kernel; otherwise they are re-derived from spins
+        (the reference's single-source-of-truth recompute, mod.rs:492-509).
+        """
         rt = self.rt
         n = rt.n_spins
-        e, msum = energies_and_mags(spins, coup, rt.geom)
+        if fused is not None:
+            e, msum = fused
+        else:
+            e, msum = energies_and_mags(spins, coup, rt.geom)
         m_rt = per_slot_values(msum, sid).astype(jnp.float32) / n  # [R, T]
         e_rt = per_slot_values(e, sid)
         rec = jnp.zeros((N_REC, rt.n_temps), jnp.float32)
@@ -537,12 +554,23 @@ class LoopProgram:
             spins, sid = state["spins"], state["system_ids"]
 
             # 1. single-spin sweep
+            fused_em = None
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
             if rt.use_pallas:
-                spins = jax.vmap(
-                    lambda s, si, k, jg: self._sweep_phase(s, si, k, None, None, jg)
-                )(spins, sid, keys, rt.jgrids)
+                if self.fuse_measure:
+                    spins, e_f, m_f = jax.vmap(
+                        lambda s, si, k, jg: self._sweep_phase(
+                            s, si, k, None, None, jg
+                        )
+                    )(spins, sid, keys, rt.jgrids)
+                    fused_em = (e_f, m_f)
+                else:
+                    spins = jax.vmap(
+                        lambda s, si, k, jg: self._sweep_phase(
+                            s, si, k, None, None, jg
+                        )
+                    )(spins, sid, keys, rt.jgrids)
             else:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd
@@ -573,9 +601,16 @@ class LoopProgram:
 
             # 3+4. measurement (energies/mags recomputed from spins)
             with phase_scope("measure"):
-                rec, hist_delta, e_sys = jax.vmap(self._measure_phase)(
-                    spins, sid, rt.couplings
-                )
+                if fused_em is not None:
+                    rec, hist_delta, e_sys = jax.vmap(
+                        lambda s, si, cp, e, m: self._measure_phase(
+                            s, si, cp, fused=(e, m)
+                        )
+                    )(spins, sid, rt.couplings, *fused_em)
+                else:
+                    rec, hist_delta, e_sys = jax.vmap(self._measure_phase)(
+                        spins, sid, rt.couplings
+                    )
             acc = dict(acc)
             acc["rec_sums"], acc["rec_comp"] = _kahan_add(
                 acc["rec_sums"], acc["rec_comp"], rec * rec_f32

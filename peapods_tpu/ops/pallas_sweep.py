@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import METROPOLIS_LAZINESS
 
-__all__ = ["sweep_2d", "sweep_2d_injected", "pack_coupling_grids", "supports"]
+__all__ = ["sweep_2d", "sweep_2d_fused", "sweep_2d_injected", "pack_coupling_grids", "supports"]
 
 _INV24 = np.float32(1.0 / (1 << 24))
 
@@ -89,21 +89,49 @@ def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs):
     return s
 
 
+def _hw_uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return (
+        jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+    ).astype(jnp.float32) * _INV24
+
+
 def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
     sys_idx = pl.program_id(0)
     pltpu.prng_seed(seed_ref[sys_idx])
     inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
     s = spins_ref[0].astype(jnp.float32)  # [H, W]
-
-    def hw_uniform(_c):
-        bits = pltpu.bitcast(pltpu.prng_random_bits(s.shape), jnp.int32)
-        return (
-            jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
-        ).astype(jnp.float32) * _INV24
-
     out_ref[0] = _kernel_body(
-        s, jgrids_ref, inv_half_t, hw_uniform, gibbs=gibbs
+        s, jgrids_ref, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
     ).astype(jnp.int8)
+
+
+def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
+                  m_ref, *, gibbs):
+    """Sweep + fused energy/magnetization measurement.
+
+    Valid only when no cluster update runs between the sweep and the
+    measurement (the engine gates on that).  Energy uses the positive
+    forward-bond sum convention (ops/energy.py) computed from the already
+    resident post-sweep spins and coupling grids — the separate measurement
+    pass over HBM disappears.
+    """
+    sys_idx = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[sys_idx])
+    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+    s = spins_ref[0].astype(jnp.float32)
+    h_dim, w_dim = s.shape
+    s = _kernel_body(
+        s, jgrids_ref, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
+    )
+    out_ref[0] = s.astype(jnp.int8)
+    jd = jgrids_ref[1]
+    jr = jgrids_ref[3]
+    e_tot = (
+        s * (pltpu.roll(s, h_dim - 1, 0) * jd + pltpu.roll(s, w_dim - 1, 1) * jr)
+    ).sum()
+    e_ref[0, 0] = e_tot / (h_dim * w_dim)
+    m_ref[0, 0] = s.sum().astype(jnp.int32)
 
 
 def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):
@@ -148,6 +176,42 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         interpret=interpret,
     )(seeds, sys_temps, s3, jgrids)
     return out.reshape(n_systems, h * w)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))
+def sweep_2d_fused(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False,
+                   interpret=False):
+    """Sweep + measurement in one kernel.
+
+    Returns ``(spins int8 [n_systems, n_spins], energies f32 [n_systems],
+    mag_sums int32 [n_systems])``.
+    """
+    h, w = shape
+    n_systems = spins.shape[0]
+    s3 = spins.reshape(n_systems, h, w)
+    kernel = functools.partial(_kernel_fused, gibbs=gibbs)
+    out, e, m = pl.pallas_call(
+        kernel,
+        grid=(n_systems,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
+            jax.ShapeDtypeStruct((n_systems, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_systems, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(seeds, sys_temps, s3, jgrids)
+    return out.reshape(n_systems, h * w), e[:, 0], m[:, 0]
 
 
 def sweep_2d_injected(spins, jgrids, sys_temps, uniforms, *, shape, gibbs=False,

@@ -55,3 +55,24 @@ def test_pallas_matches_jnp_with_shared_uniforms(gibbs):
             np.asarray(got), np.asarray(ref), err_msg=f"step {step}"
         )
         spins = ref
+
+
+def test_fused_measurement_matches_recompute():
+    """sweep_2d_fused's (e, m) must equal recomputation from its own output."""
+    from peapods_tpu.ops.energy import energies_and_mags
+
+    L, n_sys = 8, 2
+    lat = Lattice([L, L])
+    geom = GridOps.from_lattice(lat)
+    rng = np.random.default_rng(11)
+    coup = rng.standard_normal((lat.n_spins, 2)).astype(np.float32)
+    jg = ps.pack_coupling_grids(jnp.asarray(coup), (L, L))
+    temps = jnp.asarray([1.2, 3.0], jnp.float32)
+    spins = jnp.asarray(rng.choice([-1, 1], size=(n_sys, lat.n_spins)).astype(np.int8))
+    seeds = jnp.asarray([3, 9], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, e, m = ps.sweep_2d_fused(spins, jg, temps, seeds, shape=(L, L))
+    e_ref, m_ref = energies_and_mags(out, jnp.asarray(coup), geom)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
