@@ -24,6 +24,7 @@ that the driver drains after every chunk.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -761,7 +762,7 @@ class LoopProgram:
         if chunk_len not in self._chunk_cache:
             step = self.make_step(with_snapshot=False)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def run(carry, xs):
                 return jax.lax.scan(step, carry, xs)
 
