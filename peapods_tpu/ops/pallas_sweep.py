@@ -130,8 +130,8 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
     e_tot = (
         s * (pltpu.roll(s, h_dim - 1, 0) * jd + pltpu.roll(s, w_dim - 1, 1) * jr)
     ).sum()
-    e_ref[0, 0] = e_tot / (h_dim * w_dim)
-    m_ref[0, 0] = s.sum().astype(jnp.int32)
+    e_ref[sys_idx] = e_tot / (h_dim * w_dim)
+    m_ref[sys_idx] = s.sum().astype(jnp.int32)
 
 
 def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):
@@ -201,17 +201,17 @@ def sweep_2d_fused(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False,
         ],
         out_specs=(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
-            jax.ShapeDtypeStruct((n_systems, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_systems, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_systems,), jnp.float32),
+            jax.ShapeDtypeStruct((n_systems,), jnp.int32),
         ),
         interpret=interpret,
     )(seeds, sys_temps, s3, jgrids)
-    return out.reshape(n_systems, h * w), e[:, 0], m[:, 0]
+    return out.reshape(n_systems, h * w), e, m
 
 
 def sweep_2d_injected(spins, jgrids, sys_temps, uniforms, *, shape, gibbs=False,
