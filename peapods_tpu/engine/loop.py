@@ -318,12 +318,16 @@ class LoopProgram:
             kb, ks = jax.random.split(k)
             active = cl.fk_bond_activation(s, coup, rt.geom, temp, kb)
             labels = cl.connected_components(active, rt.geom)
-            counts = cl.component_counts(labels)
+            counts = (
+                cl.component_counts(labels)
+                if (self.collect_fk or self.observe_fk)
+                else None
+            )
             if wolff:
                 seed = jax.random.randint(ks, (), 0, rt.n_spins)
                 flip = cl.wolff_flip_mask(labels, seed)
             else:
-                flip = cl.cluster_coin_flip_mask(ks, labels, counts)
+                flip = cl.cluster_coin_flip_mask(ks, labels)
             new_s = jnp.where(flip, -s, s) if update else s
             csd = cl.csd_histogram(counts) if self.collect_fk else None
             obs = (

@@ -102,7 +102,9 @@ def houdayer_task(
         seed, found = cl.find_seed(k_seed, active)
         flip = cl.wolff_flip_mask(labels, seed) & found
     else:
-        flip = cl.cluster_coin_flip_mask(k_coin, labels, counts, nonsingleton=True)
+        flip = cl.cluster_coin_flip_mask(
+            k_coin, labels, nonsingleton=cl.nonsingleton_mask(bonds, geom)
+        )
     if update:
         tspins = jnp.where(flip[None, :], -tspins, tspins)
     return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
@@ -137,7 +139,9 @@ def jorg_task(
         seed, found = cl.find_seed(k_seed, active)
         flip = cl.wolff_flip_mask(labels, seed) & found
     else:
-        flip = cl.cluster_coin_flip_mask(k_coin, labels, counts, nonsingleton=True)
+        flip = cl.cluster_coin_flip_mask(
+            k_coin, labels, nonsingleton=cl.nonsingleton_mask(bonds, geom)
+        )
     if update:
         tspins = jnp.where(flip[None, :], -tspins, tspins)
     return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
@@ -187,7 +191,7 @@ def cmr_task(
         blue_flip = cl.wolff_flip_mask(blue_labels, seed)
     else:
         blue_flip = cl.cluster_coin_flip_mask(
-            k_bcoin, blue_labels, blue_counts, nonsingleton=True
+            k_bcoin, blue_labels, nonsingleton=cl.nonsingleton_mask(blue, geom)
         )
     if update:
         a = jnp.where(blue_flip, -a, a)
@@ -206,9 +210,9 @@ def cmr_task(
         flip_a = in_grey & ((k & 1) != 0)
         flip_b = in_grey & ((k & 2) != 0)
     else:
-        k_site = jax.random.randint(k_gcoin, (a.shape[0],), 0, 4)
-        k = k_site[grey_labels]
-        nonsingleton = grey_counts[grey_labels] > 1
+        # one k in {0..3} per grey cluster (overlap.rs:822-842)
+        k = (cl.cluster_uniform(k_gcoin, grey_labels) * 4.0).astype(jnp.int32)
+        nonsingleton = cl.nonsingleton_mask(blue | red, geom)
         flip_a = nonsingleton & ((k & 1) != 0)
         flip_b = nonsingleton & ((k & 2) != 0)
     if update:

@@ -93,7 +93,7 @@ def test_cluster_coin_is_constant_per_cluster():
     labels = cl.connected_components(active, geom)
     counts = cl.component_counts(labels)
     flip = np.asarray(
-        cl.cluster_coin_flip_mask(jax.random.PRNGKey(2), labels, counts)
+        cl.cluster_coin_flip_mask(jax.random.PRNGKey(2), labels)
     )
     lab = np.asarray(labels)
     for root in np.unique(lab):
