@@ -83,6 +83,9 @@ def connected_components(active_fwd, geom):
     """
     n_spins = geom.n_spins
     big = jnp.int32(n_spins)
+    # Pointer jumping only off-TPU: CPU gathers are cheap and halve the
+    # round count, keeping the (CPU) test suite fast.
+    use_jump = jax.default_backend() == "cpu"
     # active_bwd[i, d]: the bond arriving at i from its backward neighbor.
     active_bwd = [geom.shift_bwd(active_fwd[:, d], d) for d in range(geom.n_neighbors)]
     init = jnp.arange(n_spins, dtype=jnp.int32)
@@ -93,6 +96,10 @@ def connected_components(active_fwd, geom):
             lf = jnp.where(active_fwd[:, d], geom.shift_fwd(labels, d), big)
             lb = jnp.where(active_bwd[d], geom.shift_bwd(labels, d), big)
             new = jnp.minimum(new, jnp.minimum(lf, lb))
+        if use_jump:
+            # label values are site indices with label[j] <= j: jumping
+            # stays within the component and halves chain depths.
+            new = new[new]
         return new
 
     def cond(carry):
