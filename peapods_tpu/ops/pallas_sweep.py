@@ -31,20 +31,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import METROPOLIS_LAZINESS
 
-__all__ = ["sweep_2d", "sweep_2d_fused", "sweep_2d_injected", "pack_coupling_grids", "supports"]
+__all__ = [
+    "sweep_2d",
+    "sweep_2d_fused",
+    "sweep_2d_injected",
+    "sweep_2d_packed",
+    "pack_coupling_grids",
+    "pack_coupling_grids_packed",
+    "pack_factor",
+    "supports",
+]
 
 _INV24 = np.float32(1.0 / (1 << 24))
 
 
-def supports(lattice) -> bool:
-    """Kernel applicability: 2D hypercubic with TPU-tileable extents."""
+def _is_2d_hypercubic(lattice) -> bool:
     return (
         lattice.n_dims == 2
         and lattice.n_neighbors == 2
         and np.array_equal(lattice.offsets, [[1, 0], [0, 1]])
         and lattice.shape[0] % 8 == 0
-        and lattice.shape[1] % 128 == 0
     )
+
+
+def supports(lattice) -> bool:
+    """Direct-kernel applicability: 2D hypercubic with TPU-tileable extents."""
+    return _is_2d_hypercubic(lattice) and lattice.shape[1] % 128 == 0
+
+
+def pack_factor(lattice, n_systems) -> int:
+    """Systems packed per lane group for narrow lattices (0 = unsupported).
+
+    Lattices with W < 128 cannot fill TPU lanes one system at a time; when
+    128 % W == 0 and the system count divides evenly, k = 128 / W systems are
+    packed side-by-side along the lane dimension and the kernel corrects the
+    periodic wrap at the internal seams.
+    """
+    if not _is_2d_hypercubic(lattice):
+        return 0
+    w = lattice.shape[1]
+    if w >= 128 or w < 8 or 128 % w != 0:
+        return 0
+    k = 128 // w
+    return k if n_systems % k == 0 else 0
 
 
 def pack_coupling_grids(coup_fwd, shape):
@@ -176,6 +205,126 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         interpret=interpret,
     )(seeds, sys_temps, s3, jgrids)
     return out.reshape(n_systems, h * w)
+
+
+def _packed_kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
+                   gibbs, w, k):
+    """Checkerboard sweep over k lane-packed systems (column c belongs to
+    system ``g*k + c // w`` at lattice column ``c % w``)."""
+    grp = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[grp])
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+
+    s = spins_ref[0].astype(jnp.float32)  # [H, k*w]
+    ju = jgrids_ref[0]
+    jd = jgrids_ref[1]
+    jl = jgrids_ref[2]
+    jr = jgrids_ref[3]
+    h_dim, kw = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 1)
+    # parity of the LATTICE coordinates (row, col % w)
+    parity = (row + col % w) & 1
+    at_left_edge = (col % w) == 0
+    at_right_edge = (col % w) == (w - 1)
+
+    # per-column inverse half temperature from the k per-system scalars
+    inv_half_t = jnp.zeros((h_dim, kw), jnp.float32)
+    for j in range(k):
+        t_j = temp_ref[grp * k + j]
+        inv_half_t = jnp.where((col // w) == j, 1.0 / (0.5 * t_j), inv_half_t)
+
+    def lane_left(x):
+        # value of the within-system left neighbor (periodic in w)
+        base = pltpu.roll(x, 1, 1)
+        wrap = pltpu.roll(x, kw - (w - 1), 1)
+        return jnp.where(at_left_edge, wrap, base)
+
+    def lane_right(x):
+        base = pltpu.roll(x, kw - 1, 1)
+        wrap = pltpu.roll(x, w - 1, 1)
+        return jnp.where(at_right_edge, wrap, base)
+
+    for c in range(2):
+        field = (
+            pltpu.roll(s, 1, 0) * ju
+            + pltpu.roll(s, h_dim - 1, 0) * jd
+            + lane_left(s) * jl
+            + lane_right(s) * jr
+        )
+        eng = -s * field
+        x = eng * inv_half_t
+        u = _hw_uniform(s.shape)
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        flip = (u < p) & (parity == c)
+        s = jnp.where(flip, -s, s)
+
+    out_ref[0] = s.astype(jnp.int8)
+
+
+def pack_spins(spins, shape, k):
+    """``int8 [S, n_spins] -> [S//k, H, k*W]`` lane-packed groups."""
+    h, w = shape
+    n_sys = spins.shape[0]
+    g = n_sys // k
+    return (
+        spins.reshape(g, k, h, w).transpose(0, 2, 1, 3).reshape(g, h, k * w)
+    )
+
+
+def unpack_spins(packed, shape, k):
+    h, w = shape
+    g = packed.shape[0]
+    return (
+        packed.reshape(g, h, k, w).transpose(0, 2, 1, 3).reshape(g * k, h * w)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "k", "gibbs", "interpret"))
+def sweep_2d_packed(spins, jgrids, sys_temps, seeds, *, shape, k, gibbs=False,
+                    interpret=False):
+    """Checkerboard sweep with ``k`` systems lane-packed per kernel instance.
+
+    Args:
+        spins: ``int8 [n_systems, n_spins]`` (n_systems divisible by k).
+        jgrids: ``f32 [4, H, k*W]`` per-group coupling grids — tiles of the
+            per-system pre-shifted grids (couplings are shared by the packed
+            systems of one realization).
+        sys_temps: ``f32 [n_systems]``; system ``g*k + j`` sits at lattice
+            columns ``[j*W, (j+1)*W)`` of group g.
+        seeds: ``int32 [n_groups]``.
+    """
+    h, w = shape
+    n_systems = spins.shape[0]
+    g = n_systems // k
+    packed = pack_spins(spins, shape, k)
+    kernel = functools.partial(_packed_kernel, gibbs=gibbs, w=w, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, k * w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, k * w), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, k * w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, h, k * w), jnp.int8),
+        interpret=interpret,
+    )(seeds, sys_temps, packed, jgrids)
+    return unpack_spins(out, shape, k)
+
+
+def pack_coupling_grids_packed(coup_fwd, shape, k):
+    """``f32 [4, H, k*W]``: tiled per-system pre-shifted coupling grids."""
+    base = pack_coupling_grids(coup_fwd, shape)  # [4, H, W]
+    return jnp.tile(base, (1, 1, k))
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))

@@ -76,3 +76,45 @@ def test_fused_measurement_matches_recompute():
     e_ref, m_ref = energies_and_mags(out, jnp.asarray(coup), geom)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pack_unpack_roundtrip_and_layout():
+    L, k = 8, 16
+    n_sys = 32
+    rng = np.random.default_rng(0)
+    spins = jnp.asarray(rng.choice([-1, 1], size=(n_sys, L * L)).astype(np.int8))
+    packed = ps.pack_spins(spins, (L, L), k)
+    assert packed.shape == (n_sys // k, L, k * L)
+    # column block j of group g is system g*k + j
+    p = np.asarray(packed)
+    s = np.asarray(spins).reshape(n_sys, L, L)
+    for g in range(n_sys // k):
+        for j in range(k):
+            np.testing.assert_array_equal(
+                p[g, :, j * L : (j + 1) * L], s[g * k + j]
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ps.unpack_spins(packed, (L, L), k)), np.asarray(spins)
+    )
+
+
+def test_packed_coupling_grids_tile_per_system():
+    L, k = 8, 4
+    rng = np.random.default_rng(1)
+    coup = jnp.asarray(rng.standard_normal((L * L, 2)).astype(np.float32))
+    base = np.asarray(ps.pack_coupling_grids(coup, (L, L)))
+    tiled = np.asarray(ps.pack_coupling_grids_packed(coup, (L, L), k))
+    assert tiled.shape == (4, L, k * L)
+    for j in range(k):
+        np.testing.assert_array_equal(tiled[:, :, j * L : (j + 1) * L], base)
+
+
+def test_pack_factor_rules():
+    from peapods_tpu.ops.lattice import Lattice
+
+    assert ps.pack_factor(Lattice([8, 8]), 16) == 16
+    assert ps.pack_factor(Lattice([8, 8]), 17) == 0  # not divisible
+    assert ps.pack_factor(Lattice([64, 64]), 32) == 2
+    assert ps.pack_factor(Lattice([256, 256]), 24) == 0  # wide enough already
+    assert ps.pack_factor(Lattice([8, 8, 8]), 16) == 0  # not 2D
+    assert ps.pack_factor(Lattice([8, 48]), 16) == 0  # 128 % 48 != 0
