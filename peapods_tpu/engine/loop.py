@@ -104,8 +104,9 @@ class Runtime:
     temps: jax.Array  # f32 [n_temps]
     couplings: jax.Array  # f32 [n_disorder, n_spins, n_nb]
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
-    jgrids: jax.Array | None = None  # f32 [n_disorder, 4, H, W] (pallas path)
-    use_pallas: bool = False
+    jgrids: jax.Array | None = None  # f32 [n_disorder, 4, H, (k)W] (pallas)
+    use_pallas: bool = False  # wide-lattice direct kernel
+    pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
 
     @classmethod
     def build(cls, lattice, couplings_nd, temps, n_replicas):
@@ -115,20 +116,33 @@ class Runtime:
         coup_bwd = coup[:, lattice.bwd, np.arange(n_nb)[None, :]]
         import os
 
-        use_pallas = pallas_sweep.supports(lattice) and (
+        on_device = (
             jax.default_backend() not in ("cpu",)
             or os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         )
-        jgrids = (
-            jax.vmap(lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape))(
-                coup
-            )
-            if use_pallas
-            else None
+        use_pallas = pallas_sweep.supports(lattice) and on_device
+        n_systems = int(n_replicas) * int(len(temps))
+        pack_k = (
+            pallas_sweep.pack_factor(lattice, n_systems)
+            if (on_device and not use_pallas)
+            else 0
         )
+        if use_pallas:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
+            )(coup)
+        elif pack_k:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep.pack_coupling_grids_packed(
+                    c, lattice.shape, pack_k
+                )
+            )(coup)
+        else:
+            jgrids = None
         return cls(
             jgrids=jgrids,
             use_pallas=use_pallas,
+            pack_k=pack_k,
             lattice=lattice,
             geom=GridOps.from_lattice(lattice),
             n_replicas=int(n_replicas),
@@ -273,10 +287,20 @@ class LoopProgram:
         sys_temps = slot_temps_for_systems(sid, rt.temps)
         skey = jax.random.fold_in(key, _PH_SWEEP)
         gibbs = self.cfg.sweep_mode == "gibbs"
-        if rt.use_pallas:
+        if rt.use_pallas or rt.pack_k:
             import os
 
             interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+            if rt.pack_k:
+                seeds = jax.random.randint(
+                    skey, (rt.n_systems // rt.pack_k,), -(2**31), 2**31 - 1,
+                    dtype=jnp.int32,
+                )
+                return pallas_sweep.sweep_2d_packed(
+                    spins, jgrids, sys_temps, seeds,
+                    shape=rt.lattice.shape, k=rt.pack_k, gibbs=gibbs,
+                    interpret=interpret,
+                )
             seeds = jax.random.randint(
                 skey, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
             )
@@ -562,7 +586,7 @@ class LoopProgram:
             fused_em = None
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
-            if rt.use_pallas:
+            if rt.use_pallas or rt.pack_k:
                 if self.fuse_measure:
                     spins, e_f, m_f = jax.vmap(
                         lambda s, si, k, jg: self._sweep_phase(
