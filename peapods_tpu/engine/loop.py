@@ -282,42 +282,11 @@ class LoopProgram:
 
     # --------------------------------------------------------------- phases
 
-    def _sweep_phase(self, spins, sid, key, coup, coup_bwd, jgrids=None):
+    def _sweep_phase(self, spins, sid, key, coup, coup_bwd):
         rt = self.rt
         sys_temps = slot_temps_for_systems(sid, rt.temps)
         skey = jax.random.fold_in(key, _PH_SWEEP)
         gibbs = self.cfg.sweep_mode == "gibbs"
-        if rt.use_pallas or rt.pack_k:
-            import os
-
-            interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
-            if rt.pack_k:
-                seeds = jax.random.randint(
-                    skey, (rt.n_systems // rt.pack_k,), -(2**31), 2**31 - 1,
-                    dtype=jnp.int32,
-                )
-                return pallas_sweep.sweep_2d_packed(
-                    spins, jgrids, sys_temps, seeds,
-                    shape=rt.lattice.shape, k=rt.pack_k, gibbs=gibbs,
-                    interpret=interpret,
-                )
-            seeds = jax.random.randint(
-                skey, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
-            )
-            if self.fuse_measure:
-                return pallas_sweep.sweep_2d_fused(
-                    spins, jgrids, sys_temps, seeds,
-                    shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
-                )
-            return pallas_sweep.sweep_2d(
-                spins,
-                jgrids,
-                sys_temps,
-                seeds,
-                shape=rt.lattice.shape,
-                gibbs=gibbs,
-                interpret=interpret,
-            )
         return mc_sweep(
             spins,
             coup,
@@ -328,6 +297,49 @@ class LoopProgram:
             skey,
             gibbs=gibbs,
         )
+
+    def _sweep_phase_pallas(self, spins, sid, keys):
+        """Disorder-batched Pallas sweep (kernels carry the disorder grid
+        axis themselves; SMEM operands cannot be vmapped).
+
+        Returns ``(spins, fused_em_or_None)``.
+        """
+        import os
+
+        rt = self.rt
+        gibbs = self.cfg.sweep_mode == "gibbs"
+        interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
+        skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
+        if rt.pack_k:
+            seeds = jax.vmap(
+                lambda k: jax.random.randint(
+                    k, (rt.n_systems // rt.pack_k,), -(2**31), 2**31 - 1,
+                    dtype=jnp.int32,
+                )
+            )(skeys)
+            spins = pallas_sweep.sweep_2d_packed(
+                spins, rt.jgrids, sys_temps, seeds,
+                shape=rt.lattice.shape, k=rt.pack_k, gibbs=gibbs,
+                interpret=interpret,
+            )
+            return spins, None
+        seeds = jax.vmap(
+            lambda k: jax.random.randint(
+                k, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
+            )
+        )(skeys)
+        if self.fuse_measure:
+            spins, e, m = pallas_sweep.sweep_2d_fused(
+                spins, rt.jgrids, sys_temps, seeds,
+                shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
+            )
+            return spins, (e, m)
+        spins = pallas_sweep.sweep_2d(
+            spins, rt.jgrids, sys_temps, seeds,
+            shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
+        )
+        return spins, None
 
     def _fk_phase(self, spins, sid, key, coup):
         """FK update for one realization; returns (spins, csd_t, obs_delta)."""
@@ -587,19 +599,7 @@ class LoopProgram:
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
             if rt.use_pallas or rt.pack_k:
-                if self.fuse_measure:
-                    spins, e_f, m_f = jax.vmap(
-                        lambda s, si, k, jg: self._sweep_phase(
-                            s, si, k, None, None, jg
-                        )
-                    )(spins, sid, keys, rt.jgrids)
-                    fused_em = (e_f, m_f)
-                else:
-                    spins = jax.vmap(
-                        lambda s, si, k, jg: self._sweep_phase(
-                            s, si, k, None, None, jg
-                        )
-                    )(spins, sid, keys, rt.jgrids)
+                spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             else:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd

@@ -126,12 +126,14 @@ def _hw_uniform(shape):
 
 
 def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
-    sys_idx = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[sys_idx])
-    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
-    s = spins_ref[0].astype(jnp.float32)  # [H, W]
-    out_ref[0] = _kernel_body(
-        s, jgrids_ref, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
+    d_idx = pl.program_id(0)
+    sys_idx = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[d_idx, sys_idx])
+    inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
+    s = spins_ref[0, 0].astype(jnp.float32)  # [H, W]
+    jg = jgrids_ref[0]
+    out_ref[0, 0] = _kernel_body(
+        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
     ).astype(jnp.int8)
 
 
@@ -145,22 +147,24 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
     resident post-sweep spins and coupling grids — the separate measurement
     pass over HBM disappears.
     """
-    sys_idx = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[sys_idx])
-    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
-    s = spins_ref[0].astype(jnp.float32)
+    d_idx = pl.program_id(0)
+    sys_idx = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[d_idx, sys_idx])
+    inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
+    s = spins_ref[0, 0].astype(jnp.float32)
+    jg = jgrids_ref[0]
     h_dim, w_dim = s.shape
     s = _kernel_body(
-        s, jgrids_ref, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
+        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
     )
-    out_ref[0] = s.astype(jnp.int8)
-    jd = jgrids_ref[1]
-    jr = jgrids_ref[3]
+    out_ref[0, 0] = s.astype(jnp.int8)
+    jd = jg[1]
+    jr = jg[3]
     e_tot = (
         s * (pltpu.roll(s, h_dim - 1, 0) * jd + pltpu.roll(s, w_dim - 1, 1) * jr)
     ).sum()
-    e_ref[sys_idx] = e_tot / (h_dim * w_dim)
-    m_ref[sys_idx] = s.sum().astype(jnp.int32)
+    e_ref[d_idx, sys_idx] = e_tot / (h_dim * w_dim)
+    m_ref[d_idx, sys_idx] = s.sum().astype(jnp.int32)
 
 
 def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):
@@ -175,51 +179,56 @@ def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):
 
 @functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))
 def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=False):
-    """Full checkerboard sweep of all systems of one realization.
+    """Full checkerboard sweep of every (realization, system).
 
     Args:
-        spins: ``int8 [n_systems, n_spins]``.
-        jgrids: ``f32 [4, H, W]`` from :func:`pack_coupling_grids`.
-        sys_temps: ``f32 [n_systems]`` per-system temperatures.
-        seeds: ``int32 [n_systems]`` per-(system, sweep) PRNG seeds.
+        spins: ``int8 [n_disorder, n_systems, n_spins]``.
+        jgrids: ``f32 [n_disorder, 4, H, W]`` from :func:`pack_coupling_grids`.
+        sys_temps: ``f32 [n_disorder, n_systems]`` per-system temperatures.
+        seeds: ``int32 [n_disorder, n_systems]`` per-(system, sweep) seeds.
         shape: static ``(H, W)``.
 
     Returns:
-        ``int8 [n_systems, n_spins]``.
+        ``int8 [n_disorder, n_systems, n_spins]``.
     """
     h, w = shape
-    n_systems = spins.shape[0]
-    s3 = spins.reshape(n_systems, h, w)
+    n_d, n_systems = spins.shape[:2]
+    s4 = spins.reshape(n_d, n_systems, h, w)
     kernel = functools.partial(_kernel, gibbs=gibbs)
     out = pl.pallas_call(
         kernel,
-        grid=(n_systems,),
+        grid=(n_d, n_systems),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, h, w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_d, n_systems, h, w), jnp.int8),
         interpret=interpret,
-    )(seeds, sys_temps, s3, jgrids)
-    return out.reshape(n_systems, h * w)
+    )(seeds, sys_temps, s4, jgrids)
+    return out.reshape(n_d, n_systems, h * w)
 
 
 def _packed_kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
                    gibbs, w, k):
     """Checkerboard sweep over k lane-packed systems (column c belongs to
     system ``g*k + c // w`` at lattice column ``c % w``)."""
-    grp = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[grp])
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[d_idx, grp])
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
 
-    s = spins_ref[0].astype(jnp.float32)  # [H, k*w]
-    ju = jgrids_ref[0]
-    jd = jgrids_ref[1]
-    jl = jgrids_ref[2]
-    jr = jgrids_ref[3]
+    s = spins_ref[0, 0].astype(jnp.float32)  # [H, k*w]
+    jg = jgrids_ref[0]
+    ju = jg[0]
+    jd = jg[1]
+    jl = jg[2]
+    jr = jg[3]
     h_dim, kw = s.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 1)
@@ -231,7 +240,7 @@ def _packed_kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
     # per-column inverse half temperature from the k per-system scalars
     inv_half_t = jnp.zeros((h_dim, kw), jnp.float32)
     for j in range(k):
-        t_j = temp_ref[grp * k + j]
+        t_j = temp_ref[d_idx, grp * k + j]
         inv_half_t = jnp.where((col // w) == j, 1.0 / (0.5 * t_j), inv_half_t)
 
     def lane_left(x):
@@ -262,7 +271,7 @@ def _packed_kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
         flip = (u < p) & (parity == c)
         s = jnp.where(flip, -s, s)
 
-    out_ref[0] = s.astype(jnp.int8)
+    out_ref[0, 0] = s.astype(jnp.int8)
 
 
 def pack_spins(spins, shape, k):
@@ -289,36 +298,37 @@ def sweep_2d_packed(spins, jgrids, sys_temps, seeds, *, shape, k, gibbs=False,
     """Checkerboard sweep with ``k`` systems lane-packed per kernel instance.
 
     Args:
-        spins: ``int8 [n_systems, n_spins]`` (n_systems divisible by k).
-        jgrids: ``f32 [4, H, k*W]`` per-group coupling grids — tiles of the
-            per-system pre-shifted grids (couplings are shared by the packed
-            systems of one realization).
-        sys_temps: ``f32 [n_systems]``; system ``g*k + j`` sits at lattice
-            columns ``[j*W, (j+1)*W)`` of group g.
-        seeds: ``int32 [n_groups]``.
+        spins: ``int8 [n_disorder, n_systems, n_spins]`` (n_systems
+            divisible by k).
+        jgrids: ``f32 [n_disorder, 4, H, k*W]`` per-group coupling grids —
+            tiles of the per-system pre-shifted grids (couplings are shared
+            by the packed systems of one realization).
+        sys_temps: ``f32 [n_disorder, n_systems]``; system ``g*k + j`` sits
+            at lattice columns ``[j*W, (j+1)*W)`` of group g.
+        seeds: ``int32 [n_disorder, n_groups]``.
     """
     h, w = shape
-    n_systems = spins.shape[0]
+    n_d, n_systems = spins.shape[:2]
     g = n_systems // k
-    packed = pack_spins(spins, shape, k)
+    packed = jax.vmap(lambda s: pack_spins(s, shape, k))(spins)
     kernel = functools.partial(_packed_kernel, gibbs=gibbs, w=w, k=k)
     out = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(n_d, g),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, k * w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, h, k * w), lambda d, i: (d, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, h, k * w), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, 4, h, k * w), lambda d, i: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, k * w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, h, k * w), lambda d, i: (d, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, h, k * w), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n_d, g, h, k * w), jnp.int8),
         interpret=interpret,
     )(seeds, sys_temps, packed, jgrids)
-    return unpack_spins(out, shape, k)
+    return jax.vmap(lambda o: unpack_spins(o, shape, k))(out)
 
 
 def pack_coupling_grids_packed(coup_fwd, shape, k):
@@ -330,37 +340,40 @@ def pack_coupling_grids_packed(coup_fwd, shape, k):
 @functools.partial(jax.jit, static_argnames=("shape", "gibbs", "interpret"))
 def sweep_2d_fused(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False,
                    interpret=False):
-    """Sweep + measurement in one kernel.
+    """Sweep + measurement in one kernel (disorder-batched).
 
-    Returns ``(spins int8 [n_systems, n_spins], energies f32 [n_systems],
-    mag_sums int32 [n_systems])``.
+    Returns ``(spins int8 [n_d, n_systems, n_spins], energies
+    f32 [n_d, n_systems], mag_sums int32 [n_d, n_systems])``.
     """
     h, w = shape
-    n_systems = spins.shape[0]
-    s3 = spins.reshape(n_systems, h, w)
+    n_d, n_systems = spins.shape[:2]
+    s4 = spins.reshape(n_d, n_systems, h, w)
     kernel = functools.partial(_kernel_fused, gibbs=gibbs)
     out, e, m = pl.pallas_call(
         kernel,
-        grid=(n_systems,),
+        grid=(n_d, n_systems),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, h, w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_systems, h, w), jnp.int8),
-            jax.ShapeDtypeStruct((n_systems,), jnp.float32),
-            jax.ShapeDtypeStruct((n_systems,), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, n_systems, h, w), jnp.int8),
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
         ),
         interpret=interpret,
-    )(seeds, sys_temps, s3, jgrids)
-    return out.reshape(n_systems, h * w), e, m
+    )(seeds, sys_temps, s4, jgrids)
+    return out.reshape(n_d, n_systems, h * w), e, m
 
 
 def sweep_2d_injected(spins, jgrids, sys_temps, uniforms, *, shape, gibbs=False,

@@ -72,10 +72,12 @@ def test_fused_measurement_matches_recompute():
     seeds = jnp.asarray([3, 9], jnp.int32)
 
     with pltpu.force_tpu_interpret_mode():
-        out, e, m = ps.sweep_2d_fused(spins, jg, temps, seeds, shape=(L, L))
-    e_ref, m_ref = energies_and_mags(out, jnp.asarray(coup), geom)
-    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+        out, e, m = ps.sweep_2d_fused(
+            spins[None], jg[None], temps[None], seeds[None], shape=(L, L)
+        )
+    e_ref, m_ref = energies_and_mags(out[0], jnp.asarray(coup), geom)
+    np.testing.assert_allclose(np.asarray(e[0]), np.asarray(e_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m[0]), np.asarray(m_ref))
 
 
 def test_pack_unpack_roundtrip_and_layout():
