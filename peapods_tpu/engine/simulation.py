@@ -99,6 +99,14 @@ class IsingSimulation:
         self.mesh = mesh
         if self.mesh is not None:
             shard_runtime(self.rt, self.mesh)
+            if self.mesh.devices.size > 1:
+                # Pallas kernels do not auto-partition under jit sharding;
+                # multi-device meshes use the roll-based jnp path (which XLA
+                # partitions trivially along the disorder batch).  Wrapping
+                # the kernels in shard_map is the planned lift.
+                self.rt.use_pallas = False
+                self.rt.pack_k = 0
+                self.rt.jgrids = None
         self._init_state(self.constructor_seed)
 
     # ----------------------------------------------------------------- state

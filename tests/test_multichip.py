@@ -42,3 +42,17 @@ def test_sharded_matches_unsharded_trajectory():
     np.testing.assert_array_equal(
         np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_disables_unpartitionable_pallas_paths(monkeypatch):
+    """Pallas kernels cannot auto-partition; mesh mode must fall back."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")  # force pallas on CPU
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    coup = np.ones((8, 32, 32, 2), np.float32)
+    temps = np.array([1.0, 2.0], np.float32)
+    sim = IsingSimulation([32, 32], coup, temps, 2, None, 3, mesh=make_mesh(8))
+    assert sim.rt.pack_k == 0 and not sim.rt.use_pallas
+    sim.sample(2, "metropolis", warmup_ratio=0)  # runs on the jnp path
