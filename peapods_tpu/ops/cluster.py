@@ -8,17 +8,18 @@ Design (SURVEY.md section 7): the sequential union-find becomes a fixed-point
 
     label[i] <- min(label[i], min over active-bond neighbors of their label)
 
-interleaved with pointer jumping (``label <- label[label]``), inside a
-``lax.while_loop`` until convergence.  Labels converge to the minimum site
-index of each component, so every site of a component carries the same id
-(the role of the reference's flattened union-find parent array).  Neighbor
-access is roll-based (:mod:`peapods_tpu.ops.geometry`); the only true gathers
-are the pointer jumps.
+inside a ``lax.while_loop`` until convergence (check amortized over blocks of
+rounds).  Labels converge to the minimum site index of each component, so
+every site of a component carries the same id (the role of the reference's
+flattened union-find parent array).  Neighbor access is roll-based
+(:mod:`peapods_tpu.ops.geometry`); the TPU hot path contains no per-site
+gathers at all — pointer jumping is used only on CPU where gathers are cheap.
 
-Cluster-level randomness (SW coin flips, CMR's k in {0..3}) is realized by
-drawing one uniform per *site* and reading it at the component label: all
-sites of a cluster see the same draw, clusters see i.i.d. draws — the
-vectorized form of "one coin per union-find root" (fk.rs:153-162).
+Cluster-level randomness (SW coin flips, CMR's k in {0..3}) comes from
+hashing the cluster label with a per-call salt (:func:`cluster_uniform`):
+all sites of a cluster see the same draw, clusters see i.i.d. draws — the
+gather-free counter-based form of "one coin per union-find root"
+(fk.rs:153-162).
 
 All functions here operate on a single bond graph (one system / one replica
 pair); callers ``vmap`` over systems, tasks, and disorder realizations.
