@@ -140,168 +140,140 @@ def _apply(parser, options):
 
 
 def add_simulation_args(parser):
-    parser.add_argument(
-        "--shape",
-        type=int,
-        nargs="+",
-        required=True,
-        help="Lattice dimensions, e.g. --shape 32 32",
-    )
-    parser.add_argument(
-        "--couplings",
-        default="ferro",
-        choices=COUPLING_CHOICES,
-        help="Coupling distribution (default: ferro)",
-    )
-    parser.add_argument("--overlap-cluster-build-mode", default="houdayer")
-    parser.add_argument(
-        "--overlap-cluster-mode", default="wolff", choices=OVERLAP_CLUSTER_CHOICES
-    )
-    parser.add_argument(
-        "--overlap-cluster-action", default="update", choices=["update", "observe"]
-    )
+    _apply(parser, [
+        ("--shape", dict(type=int, nargs="+", required=True,
+                         help="Lattice dimensions, e.g. --shape 32 32")),
+        ("--couplings", dict(default="ferro", choices=COUPLING_CHOICES,
+                             help="Coupling distribution (default: ferro)")),
+        ("--overlap-cluster-build-mode", dict(default="houdayer")),
+        ("--overlap-cluster-mode", dict(default="wolff",
+                                        choices=OVERLAP_CLUSTER_CHOICES)),
+        ("--overlap-cluster-action", dict(default="update",
+                                          choices=["update", "observe"])),
+    ])
     _apply(parser, _common_options(required_temps=True))
 
 
 def _add_sweep_args(parser):
-    parser.add_argument(
-        "--config", type=str, default=None, help="Path to TOML config file"
-    )
-    parser.add_argument(
-        "--sizes",
-        nargs="+",
-        default=None,
-        help="Lattice sizes as comma-separated dims, e.g. --sizes 8,8 16,16 8,8,8",
-    )
-    parser.add_argument(
-        "--couplings",
-        nargs="+",
-        default=None,
-        choices=COUPLING_CHOICES,
-        help="Coupling distributions to sweep (default: ferro)",
-    )
-    parser.add_argument("--overlap-cluster-build-mode", nargs="+", default=None)
-    parser.add_argument(
-        "--overlap-cluster-mode",
-        nargs="+",
-        default=None,
-        choices=OVERLAP_CLUSTER_CHOICES,
-    )
-    parser.add_argument(
-        "--overlap-cluster-action", default=None, choices=["update", "observe"]
-    )
+    _apply(parser, [
+        ("--config", dict(type=str, default=None,
+                          help="Path to TOML config file")),
+        ("--sizes", dict(nargs="+", default=None,
+                         help="Lattice sizes as comma-separated dims, e.g. "
+                         "--sizes 8,8 16,16 8,8,8")),
+        ("--couplings", dict(nargs="+", default=None,
+                             choices=COUPLING_CHOICES,
+                             help="Coupling distributions to sweep "
+                             "(default: ferro)")),
+        ("--overlap-cluster-build-mode", dict(nargs="+", default=None)),
+        ("--overlap-cluster-mode", dict(nargs="+", default=None,
+                                        choices=OVERLAP_CLUSTER_CHOICES)),
+        ("--overlap-cluster-action", dict(default=None,
+                                          choices=["update", "observe"])),
+    ])
     _apply(parser, _common_options(required_temps=False))
-    parser.add_argument(
-        "--sequential",
-        action="store_true",
-        default=None,
-        help="Layout hint kept for API compatibility (the TPU engine fuses "
-        "replica and disorder parallelism on device)",
-    )
-    parser.add_argument(
-        "--snapshot-interval",
-        type=int,
-        default=None,
-        help="Save cluster snapshots every N sweeps (must be multiple of "
-        "overlap_cluster interval)",
-    )
-    parser.add_argument("--warmup-ratio", type=float, default=None)
-    parser.add_argument(
-        "--autocorrelation-plot-temp",
-        type=float,
-        default=None,
-        help="Temperature at which to plot τ vs L (uses nearest T in grid)",
-    )
-    parser.add_argument(
-        "--save-plots", action="store_true", default=None, help="Save plots to disk"
-    )
-    parser.add_argument(
-        "--save-data", action="store_true", default=None, help="Save data as .npz"
-    )
-    parser.add_argument(
-        "--output-dir", default=None, help="Output directory (default: .)"
-    )
+    _apply(parser, [
+        ("--sequential", dict(action="store_true", default=None,
+                              help="Layout hint kept for API compatibility "
+                              "(the TPU engine fuses replica and disorder "
+                              "parallelism on device)")),
+        ("--snapshot-interval", dict(type=int, default=None,
+                                     help="Save cluster snapshots every N "
+                                     "sweeps (must be multiple of "
+                                     "overlap_cluster interval)")),
+        ("--warmup-ratio", dict(type=float, default=None)),
+        ("--autocorrelation-plot-temp", dict(
+            type=float, default=None,
+            help="Temperature at which to plot τ vs L (uses nearest T in "
+            "grid)")),
+        ("--save-plots", dict(action="store_true", default=None,
+                              help="Save plots to disk")),
+        ("--save-data", dict(action="store_true", default=None,
+                             help="Save data as .npz")),
+        ("--output-dir", dict(default=None,
+                              help="Output directory (default: .)")),
+    ])
 
 
-def _build_temperatures(args):
-    if args.temp_scale == "linear":
-        return np.linspace(args.temp_min, args.temp_max, args.n_temps)
-    return np.geomspace(args.temp_min, args.temp_max, args.n_temps)
+def _temperature_grid(tmin, tmax, count, scale):
+    """Temperature ladder: geometric by default, linear on request."""
+    spacing = np.linspace if scale == "linear" else np.geomspace
+    return spacing(tmin, tmax, count)
 
 
 def build_model(args):
-    temperatures = _build_temperatures(args)
-
-    neighbor_offsets = None
-    if args.neighbor_offsets is not None:
-        neighbor_offsets = json.loads(args.neighbor_offsets)
-
+    offsets = args.neighbor_offsets
     return Ising(
         tuple(args.shape),
         couplings=args.couplings,
-        temperatures=temperatures,
+        temperatures=_temperature_grid(
+            args.temp_min, args.temp_max, args.n_temps, args.temp_scale
+        ),
         n_replicas=args.n_replicas,
         n_disorder=args.n_disorder,
-        neighbor_offsets=neighbor_offsets,
+        neighbor_offsets=json.loads(offsets) if offsets is not None else None,
         geometry=args.geometry,
         seed=args.seed,
     )
 
 
-def sample_kwargs(args):
-    return dict(
-        sweep_mode=args.sweep_mode,
-        cluster_update_interval=args.cluster_interval,
-        cluster_mode=args.cluster_mode,
-        cluster_action=args.cluster_action,
-        pt_interval=args.pt_interval,
-        pt_schedule=args.pt_schedule,
-        overlap_cluster_update_interval=args.overlap_cluster_update_interval,
-        overlap_cluster_build_mode=args.overlap_cluster_build_mode,
-        overlap_cluster_mode=args.overlap_cluster_mode,
-        overlap_cluster_action=args.overlap_cluster_action,
-        collect_cluster_stats=args.collect_cluster_stats,
-        autocorrelation_max_lag=args.autocorrelation_max_lag,
-        autocorrelation_backend=args.autocorrelation_backend,
-        equilibration_diagnostic=args.equilibration_diagnostic,
-    )
-
-
-_SWEEP_DEFAULTS = dict(
-    sizes=None,
-    couplings=("ferro",),
-    temp_min=None,
-    temp_max=None,
-    n_temps=32,
-    temp_scale="log",
-    n_replicas=1,
-    n_disorder=1,
-    seed=None,
-    neighbor_offsets=None,
-    geometry=None,
-    n_sweeps=None,
-    sweep_mode="metropolis",
-    cluster_interval=None,
-    cluster_mode="sw",
-    cluster_action="update",
-    pt_interval=None,
-    pt_schedule="single_random_edge",
-    overlap_cluster_update_interval=None,
-    overlap_cluster_build_mode=("houdayer",),
-    overlap_cluster_mode=("wolff",),
-    overlap_cluster_action="update",
-    warmup_ratio=0.25,
-    collect_cluster_stats=False,
-    autocorrelation_max_lag=None,
-    autocorrelation_backend="ring",
-    autocorrelation_plot_temp=None,
-    equilibration_diagnostic=False,
-    save_plots=False,
-    save_data=False,
-    output_dir=".",
-    sequential=False,
-    snapshot_interval=None,
+# `Ising.sample` kwargs forwarded straight from the parsed namespace; values
+# whose CLI flag is spelled differently go through _ARG_ALIASES.
+_SAMPLE_FORWARDS = (
+    "sweep_mode",
+    "cluster_update_interval",
+    "cluster_mode",
+    "cluster_action",
+    "pt_interval",
+    "pt_schedule",
+    "overlap_cluster_update_interval",
+    "overlap_cluster_build_mode",
+    "overlap_cluster_mode",
+    "overlap_cluster_action",
+    "collect_cluster_stats",
+    "autocorrelation_max_lag",
+    "autocorrelation_backend",
+    "equilibration_diagnostic",
 )
+_ARG_ALIASES = {"cluster_update_interval": "cluster_interval"}
+
+
+def sample_kwargs(args):
+    return {
+        kw: getattr(args, _ARG_ALIASES.get(kw, kw)) for kw in _SAMPLE_FORWARDS
+    }
+
+
+# Sweep-tool defaults, grouped like the TOML sections; required-but-unset
+# entries are None and checked in run_sweep_cli.
+_SWEEP_DEFAULTS = {
+    # lattice
+    "sizes": None, "couplings": ("ferro",),
+    "geometry": None, "neighbor_offsets": None,
+    # temperatures
+    "temp_min": None, "temp_max": None, "n_temps": 32, "temp_scale": "log",
+    # replicas
+    "n_replicas": 1, "n_disorder": 1,
+    # sampling
+    "n_sweeps": None, "sweep_mode": "metropolis", "warmup_ratio": 0.25,
+    "seed": None, "sequential": False,
+    # cluster
+    "cluster_interval": None, "cluster_mode": "sw", "cluster_action": "update",
+    # parallel tempering
+    "pt_interval": None, "pt_schedule": "single_random_edge",
+    # overlap cluster
+    "overlap_cluster_update_interval": None,
+    "overlap_cluster_build_mode": ("houdayer",),
+    "overlap_cluster_mode": ("wolff",),
+    "overlap_cluster_action": "update",
+    "snapshot_interval": None,
+    # diagnostics
+    "collect_cluster_stats": False,
+    "autocorrelation_max_lag": None, "autocorrelation_backend": "ring",
+    "autocorrelation_plot_temp": None, "equilibration_diagnostic": False,
+    # output
+    "save_plots": False, "save_data": False, "output_dir": ".",
+}
 
 # TOML section -> (toml key, run_sweep kwarg) mapping (cli.py:355-460)
 _TOML_SCHEMA = {
@@ -392,88 +364,190 @@ def _load_sweep_config(path):
     return kw
 
 
-def run_sweep_cli(args):
-    kw = {}
-    if args.config is not None:
-        kw = _load_sweep_config(args.config)
+# run_sweep kwargs whose CLI/TOML spelling differs, and kwargs that must
+# arrive as tuples (the sweep tool Cartesian-products over them).
+_RUN_SWEEP_RENAMES = {
+    "cluster_interval": "cluster_update_interval",
+    "overlap_cluster_build_mode": "overlap_cluster_build_modes",
+    "overlap_cluster_mode": "overlap_cluster_modes",
+}
+_RUN_SWEEP_TUPLES = {
+    "couplings",
+    "overlap_cluster_build_modes",
+    "overlap_cluster_modes",
+}
+# Consumed before forwarding (turned into `sizes` / the temperature grid).
+_RUN_SWEEP_LOCAL = {"sizes", "temp_min", "temp_max", "n_temps", "temp_scale"}
 
-    cli_fields = [
-        "sizes", "couplings", "temp_min", "temp_max", "n_temps", "temp_scale",
-        "n_replicas", "n_disorder", "seed", "neighbor_offsets", "geometry",
-        "n_sweeps", "sweep_mode", "cluster_interval", "cluster_mode",
-        "cluster_action", "pt_interval", "pt_schedule",
-        "overlap_cluster_update_interval", "overlap_cluster_build_mode",
-        "overlap_cluster_mode", "overlap_cluster_action", "warmup_ratio",
-        "collect_cluster_stats", "autocorrelation_max_lag",
-        "autocorrelation_backend", "autocorrelation_plot_temp",
-        "equilibration_diagnostic", "save_plots", "save_data", "output_dir",
-        "sequential", "snapshot_interval",
+
+def _parse_sizes(sizes):
+    """Normalize CLI ('8,8') or TOML ([8, 8]) size entries to int tuples."""
+    return [
+        tuple(int(d) for d in (s.split(",") if isinstance(s, str) else s))
+        for s in sizes
     ]
-    for key in cli_fields:
-        val = getattr(args, key)
-        if val is not None:
-            kw[key] = val
 
-    for key, default in _SWEEP_DEFAULTS.items():
-        kw.setdefault(key, default)
 
-    if kw["sizes"] is None:
-        print("error: --sizes is required (via CLI or config file)", file=sys.stderr)
-        sys.exit(1)
-    if kw["temp_min"] is None or kw["temp_max"] is None:
+def run_sweep_cli(args):
+    # Precedence: CLI flag > TOML config > _SWEEP_DEFAULTS.  Every sweep flag
+    # defaults to None, so "the user typed it" is simply "it is not None".
+    merged = dict(_SWEEP_DEFAULTS)
+    if args.config is not None:
+        merged.update(_load_sweep_config(args.config))
+    merged.update(
+        {
+            k: v
+            for k, v in vars(args).items()
+            if k in _SWEEP_DEFAULTS and v is not None
+        }
+    )
+
+    missing = [
+        k for k in ("sizes", "temp_min", "temp_max", "n_sweeps") if merged[k] is None
+    ]
+    if missing:
+        flags = ", ".join("--" + k.replace("_", "-") for k in missing)
         print(
-            "error: --temp-min and --temp-max are required (via CLI or config file)",
+            f"error: required option(s) not set: {flags} "
+            "(pass on the command line or in the config file)",
             file=sys.stderr,
         )
         sys.exit(1)
-    if kw["n_sweeps"] is None:
-        print("error: --n-sweeps is required (via CLI or config file)", file=sys.stderr)
-        sys.exit(1)
 
-    if isinstance(kw["sizes"][0], str):
-        kw["sizes"] = [tuple(int(x) for x in s.split(",")) for s in kw["sizes"]]
-
-    if kw["temp_scale"] == "linear":
-        temperatures = np.linspace(kw["temp_min"], kw["temp_max"], kw["n_temps"])
-    else:
-        temperatures = np.geomspace(kw["temp_min"], kw["temp_max"], kw["n_temps"])
-
-    neighbor_offsets = kw["neighbor_offsets"]
-    if isinstance(neighbor_offsets, str):
-        neighbor_offsets = json.loads(neighbor_offsets)
+    forwarded = {}
+    for key, value in merged.items():
+        if key in _RUN_SWEEP_LOCAL:
+            continue
+        name = _RUN_SWEEP_RENAMES.get(key, key)
+        if name in _RUN_SWEEP_TUPLES:
+            value = tuple(value)
+        elif name == "neighbor_offsets" and isinstance(value, str):
+            value = json.loads(value)
+        forwarded[name] = value
 
     run_sweep(
-        kw["sizes"],
-        couplings=tuple(kw["couplings"]),
-        temperatures=temperatures,
-        n_replicas=kw["n_replicas"],
-        n_disorder=kw["n_disorder"],
-        seed=kw["seed"],
-        neighbor_offsets=neighbor_offsets,
-        geometry=kw["geometry"],
-        n_sweeps=kw["n_sweeps"],
-        sweep_mode=kw["sweep_mode"],
-        cluster_update_interval=kw["cluster_interval"],
-        cluster_mode=kw["cluster_mode"],
-        cluster_action=kw["cluster_action"],
-        pt_interval=kw["pt_interval"],
-        pt_schedule=kw["pt_schedule"],
-        overlap_cluster_update_interval=kw["overlap_cluster_update_interval"],
-        overlap_cluster_build_modes=tuple(kw["overlap_cluster_build_mode"]),
-        overlap_cluster_modes=tuple(kw["overlap_cluster_mode"]),
-        overlap_cluster_action=kw["overlap_cluster_action"],
-        warmup_ratio=kw["warmup_ratio"],
-        collect_cluster_stats=kw["collect_cluster_stats"],
-        autocorrelation_max_lag=kw["autocorrelation_max_lag"],
-        autocorrelation_backend=kw["autocorrelation_backend"],
-        autocorrelation_plot_temp=kw["autocorrelation_plot_temp"],
-        equilibration_diagnostic=kw["equilibration_diagnostic"],
-        save_plots=kw["save_plots"],
-        save_data=kw["save_data"],
-        output_dir=kw["output_dir"],
-        sequential=kw["sequential"],
-        snapshot_interval=kw["snapshot_interval"],
+        _parse_sizes(merged["sizes"]),
+        temperatures=_temperature_grid(
+            merged["temp_min"],
+            merged["temp_max"],
+            merged["n_temps"],
+            merged["temp_scale"],
+        ),
+        **forwarded,
     )
+
+
+# ------------------------------------------------------------------ report
+
+# Results table, declaratively: (header, width, model attribute, cell
+# formatter).  Optional columns render only when the attribute exists —
+# presence mirrors the conditional result keys (engine/results.py).
+def _fmt_top4(quad):
+    return "(%.3f, %.3f, %.3f, %.3f)" % tuple(quad)
+
+
+_TABLE_COLUMNS = (
+    ("T", 8, "temperatures", "{:.4f}".format),
+    ("E", 10, "energies_avg", "{:.6f}".format),
+    ("Binder", 10, "binder_cumulant", "{:.6f}".format),
+    ("C_v", 10, "heat_capacity", "{:.4f}".format),
+    ("Overlap Binder", 15, "sg_binder", "{:.6f}".format),
+    ("Cluster Size", 14, "mean_cluster_size", "{:.2f}".format),
+    ("Top-4 Clusters", 30, "top_cluster_sizes", _fmt_top4),
+)
+
+
+def print_table(model):
+    """Per-temperature observable table from whatever the model exposes."""
+    live = [c for c in _TABLE_COLUMNS if hasattr(model, c[2])]
+    header = "  ".join(title.rjust(width) for title, width, _, _ in live)
+    lines = [header, "-" * len(header)]
+    columns = [
+        [fmt(cell).rjust(width) for cell in getattr(model, attr)]
+        for _, width, attr, fmt in live
+    ]
+    lines.extend("  ".join(cells) for cells in zip(*columns))
+    print("\n".join(lines))
+
+
+# npz export spec for `simulate -o`: raw result-dict keys plus derived model
+# attributes, each included only when present (src/lib.rs result presence
+# conditions flow through unchanged).
+_EXPORT_RESULT_KEYS = (
+    "mags", "mags2", "mags4", "energies", "energies2",
+    "overlap", "overlap2", "overlap4",
+)
+_EXPORT_MODEL_ATTRS = (
+    "sg_binder", "mean_cluster_size", "fk_csd", "top_cluster_sizes",
+    "per_sample_overlap_histogram",
+)
+
+
+def _export_payload(model, result):
+    payload = {
+        "temperatures": model.temperatures,
+        "binder_cumulant": model.binder_cumulant,
+        "heat_capacity": model.heat_capacity,
+    }
+    payload.update((k, result[k]) for k in _EXPORT_RESULT_KEYS if k in result)
+    payload.update(
+        (a, getattr(model, a)) for a in _EXPORT_MODEL_ATTRS if hasattr(model, a)
+    )
+    payload.update(_flatten_per_disorder_arrays(model.per_disorder))
+    return payload
+
+
+# ------------------------------------------------------------- subcommands
+
+
+def run_simulate(args):
+    model = build_model(args)
+    result = model.sample(
+        args.n_sweeps, warmup_ratio=args.warmup_ratio, **sample_kwargs(args)
+    )
+    print_table(model)
+    if args.output:
+        np.savez(args.output, **_export_payload(model, result))
+        print(f"\nResults saved to {args.output}")
+
+
+def run_bench(args):
+    model = build_model(args)
+    started = time.perf_counter()
+    model.sample(args.n_sweeps, warmup_ratio=0.0, **sample_kwargs(args))
+    seconds = time.perf_counter() - started
+
+    dims = "x".join(str(d) for d in args.shape)
+    flip_attempts = (
+        int(np.prod(args.shape)) * args.n_replicas * args.n_temps * args.n_sweeps
+    )
+    print(f"Lattice: {dims}  |  Temps: {args.n_temps}  |  Sweeps: {args.n_sweeps}")
+    print(
+        f"Total: {seconds:.3f} s  |  {1e3 * seconds / args.n_sweeps:.3f} ms/sweep"
+        f"  |  {flip_attempts / seconds:.3e} flip attempts/s"
+    )
+
+
+def _install_simulate(parser):
+    add_simulation_args(parser)
+    parser.add_argument("--warmup-ratio", type=float, default=0.25)
+    parser.add_argument(
+        "-o", "--output", type=str, default=None,
+        help="Save full results to .npz file",
+    )
+
+
+# name -> (help text, argument installer, runner); build_parser and main are
+# both driven by this registry.
+_SUBCOMMANDS = {
+    "simulate": ("Run an Ising simulation", _install_simulate, run_simulate),
+    "bench": ("Benchmark sampling performance", add_simulation_args, run_bench),
+    "sweep": (
+        "Run parameter sweeps with optional plotting",
+        _add_sweep_args,
+        run_sweep_cli,
+    ),
+}
 
 
 def build_parser():
@@ -482,137 +556,22 @@ def build_parser():
         description="Ising Monte Carlo simulations from the command line "
         "(TPU-native engine).",
     )
-    sub = parser.add_subparsers(dest="command")
-
-    sim = sub.add_parser("simulate", help="Run an Ising simulation")
-    add_simulation_args(sim)
-    sim.add_argument("--warmup-ratio", type=float, default=0.25)
-    sim.add_argument(
-        "-o", "--output", type=str, default=None, help="Save full results to .npz file"
-    )
-
-    bench = sub.add_parser("bench", help="Benchmark sampling performance")
-    add_simulation_args(bench)
-
-    sweep = sub.add_parser("sweep", help="Run parameter sweeps with optional plotting")
-    _add_sweep_args(sweep)
-
+    subparsers = parser.add_subparsers(dest="command")
+    for name, (help_text, install_args, runner) in _SUBCOMMANDS.items():
+        sub = subparsers.add_parser(name, help=help_text)
+        install_args(sub)
+        sub.set_defaults(_runner=runner)
     return parser
 
 
-def run_simulate(args):
-    model = build_model(args)
-
-    result = model.sample(
-        args.n_sweeps,
-        **sample_kwargs(args),
-        warmup_ratio=args.warmup_ratio,
-    )
-
-    has_overlap = hasattr(model, "sg_binder")
-    has_csd = hasattr(model, "mean_cluster_size")
-    print_table(model, has_overlap, has_csd)
-
-    if args.output:
-        save_dict = {
-            "temperatures": model.temperatures,
-            "binder_cumulant": model.binder_cumulant,
-            "heat_capacity": model.heat_capacity,
-        }
-        for key in (
-            "mags",
-            "mags2",
-            "mags4",
-            "energies",
-            "energies2",
-            "overlap",
-            "overlap2",
-            "overlap4",
-        ):
-            if key in result:
-                save_dict[key] = result[key]
-        if has_overlap:
-            save_dict["sg_binder"] = model.sg_binder
-        if has_csd:
-            save_dict["mean_cluster_size"] = model.mean_cluster_size
-        if hasattr(model, "fk_csd"):
-            save_dict["fk_csd"] = model.fk_csd
-        if hasattr(model, "top_cluster_sizes"):
-            save_dict["top_cluster_sizes"] = model.top_cluster_sizes
-        if hasattr(model, "per_sample_overlap_histogram"):
-            save_dict["per_sample_overlap_histogram"] = (
-                model.per_sample_overlap_histogram
-            )
-        save_dict.update(_flatten_per_disorder_arrays(model.per_disorder))
-        np.savez(args.output, **save_dict)
-        print(f"\nResults saved to {args.output}")
-
-
-def run_bench(args):
-    model = build_model(args)
-    shape_str = "x".join(str(s) for s in args.shape)
-
-    t0 = time.perf_counter()
-    model.sample(args.n_sweeps, **sample_kwargs(args), warmup_ratio=0.0)
-    elapsed = time.perf_counter() - t0
-
-    per_sweep = elapsed / args.n_sweeps * 1000
-    print(
-        f"Lattice: {shape_str}  |  Temps: {args.n_temps}  |  Sweeps: {args.n_sweeps}"
-    )
-    print(f"Total: {elapsed:.3f} s  |  {per_sweep:.3f} ms/sweep")
-
-
-def print_table(model, has_overlap, has_csd):
-    temps = model.temperatures
-    energy = model.energies_avg
-    binder = model.binder_cumulant
-    hcap = model.heat_capacity
-    has_top4 = hasattr(model, "top_cluster_sizes")
-
-    cols = [f"{'T':>8}", f"{'E':>10}", f"{'Binder':>10}", f"{'C_v':>10}"]
-    if has_overlap:
-        cols.append(f"{'Overlap Binder':>15}")
-    if has_csd:
-        cols.append(f"{'Cluster Size':>14}")
-    if has_top4:
-        cols.append(f"{'Top-4 Clusters':>30}")
-
-    header = "  ".join(cols)
-    print(header)
-    print("-" * len(header))
-
-    for i in range(len(temps)):
-        row = [
-            f"{temps[i]:8.4f}",
-            f"{energy[i]:10.6f}",
-            f"{binder[i]:10.6f}",
-            f"{hcap[i]:10.4f}",
-        ]
-        if has_overlap:
-            row.append(f"{model.sg_binder[i]:15.6f}")
-        if has_csd:
-            row.append(f"{model.mean_cluster_size[i]:14.2f}")
-        if has_top4:
-            t = model.top_cluster_sizes[i]
-            row.append(f"({t[0]:.3f}, {t[1]:.3f}, {t[2]:.3f}, {t[3]:.3f})".rjust(30))
-        print("  ".join(row))
-
-
-def main():
+def main(argv=None):
     parser = build_parser()
-    args = parser.parse_args()
-
-    if args.command is None:
+    args = parser.parse_args(argv)
+    runner = getattr(args, "_runner", None)
+    if runner is None:
         parser.print_help()
         sys.exit(1)
-
-    if args.command == "simulate":
-        run_simulate(args)
-    elif args.command == "bench":
-        run_bench(args)
-    elif args.command == "sweep":
-        run_sweep_cli(args)
+    runner(args)
 
 
 if __name__ == "__main__":
