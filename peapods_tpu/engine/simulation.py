@@ -13,6 +13,10 @@ progress reporting and Ctrl-C handling between chunks (the reference polls an
 
 from __future__ import annotations
 
+import contextlib
+import signal
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +41,35 @@ from .results import HostAccum
 __all__ = ["IsingSimulation"]
 
 _INIT_DOMAIN = 0x5EED
+
+
+@contextlib.contextmanager
+def _defer_sigint():
+    """Hold Ctrl-C while a donating dispatch is in flight.
+
+    The chunk runner donates the carry, so the input state buffers die at
+    dispatch; a KeyboardInterrupt raised inside the dispatch call would lose
+    the output and leave the simulation pointing at deleted arrays.  SIGINT
+    is parked until ``self.state`` has been re-pointed at the output, then
+    re-raised — the TPU analog of the reference's per-sweep AtomicBool poll
+    (src/lib.rs:304-333): interrupts land at chunk granularity with the
+    object consistent.
+    """
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+    hits = []
+    try:
+        prev = signal.signal(signal.SIGINT, lambda *_: hits.append(None))
+    except ValueError:  # non-main interpreter contexts
+        yield
+        return
+    try:
+        yield
+    finally:
+        signal.signal(signal.SIGINT, prev)
+    if hits:
+        raise KeyboardInterrupt
 
 
 class IsingSimulation:
@@ -319,6 +352,16 @@ class IsingSimulation:
         # chunks asynchronously and only synchronizes once at the end (plus
         # snapshot payload pulls) — host round-trips are expensive on a
         # remote-attached chip.
+        #
+        # Interrupt contract (reference src/lib.rs:304-333 polls an AtomicBool
+        # per sweep and surfaces KeyboardInterrupt with the object usable):
+        # chunk_runner donates the carry, so the *input* state buffers die at
+        # dispatch — self.state is therefore re-pointed at the output state
+        # immediately after every dispatch, before anything (progress
+        # callbacks, Ctrl-C between chunks) can raise.  An exception anywhere
+        # in this loop loses the partial results of the current sample() but
+        # leaves the simulation consistent at the last dispatched chunk, and
+        # a subsequent sample()/get_spins()/reset() works.
         s = 0
         snap_i = 0
         state = self.state
@@ -331,7 +374,11 @@ class IsingSimulation:
         while s < n_sweeps:
             if snap_i < len(snap_sweeps) and s == snap_sweeps[snap_i]:
                 run1 = program.snapshot_runner()
-                (state, acc), (series, snap) = run1((state, acc), jnp.int32(s))
+                with _defer_sigint():
+                    (state, acc), (series, snap) = run1(
+                        (state, acc), jnp.int32(s)
+                    )
+                    self.state = state
                 if series is not None:
                     series_blocks.append((1, series[None]))
                 mode_idx = (s // h.interval) % program.n_modes
@@ -348,14 +395,14 @@ class IsingSimulation:
                 xs = np.full(chunk, -1, dtype=np.int32)
                 xs[:actual] = np.arange(s, limit, dtype=np.int32)
                 runner = program.chunk_runner(chunk)
-                (state, acc), series = runner((state, acc), jnp.asarray(xs))
+                with _defer_sigint():
+                    (state, acc), series = runner((state, acc), jnp.asarray(xs))
+                    self.state = state
                 if series is not None:
                     series_blocks.append((actual, series))
                 s = limit
             if progress is not None:
                 progress(s, n_sweeps)
-
-        self.state = state
         for actual, block in series_blocks:
             accum.add_series(np.asarray(block)[:actual])
         accum.drain_device_acc(acc)
