@@ -37,14 +37,18 @@ def _zero_obs_host(d, t, nb):
 class HostAccum:
     """Accumulates chunk outputs; ``finalize()`` builds the results dict."""
 
-    def __init__(self, program, n_sweeps, warmup_sweeps):
+    def __init__(self, program, n_sweeps, warmup_sweeps, n_real=None):
         rt = program.rt
         self.program = program
         self.rt = rt
         self.n_sweeps = int(n_sweeps)
         self.warmup = int(warmup_sweeps)
         self.n_meas = self.n_sweeps - self.warmup
-        d, t, nb = rt.n_disorder, rt.n_temps, rt.n_spins + 1
+        # The device batch may carry mesh-padding realizations past n_real;
+        # every disorder-leading array is sliced to the real count at ingest
+        # so aggregation only ever sees genuine samples.
+        self.d_real = int(n_real) if n_real is not None else rt.n_disorder
+        d, t, nb = self.d_real, rt.n_temps, rt.n_spins + 1
 
         self.sweeps_seen = 0
         self.rec_sums = np.zeros((d, N_REC, t), np.float64)
@@ -101,7 +105,7 @@ class HostAccum:
         equilibration diagnostic is enabled; all other statistics accumulate
         on device.
         """
-        block = np.asarray(block)
+        block = np.asarray(block)[:, : self.d_real]
         n_new = block.shape[0]
         start = self.sweeps_seen
 
@@ -141,9 +145,9 @@ class HostAccum:
 
     def drain_device_acc(self, acc) -> None:
         """Fold the run's device accumulators into the f64/u64 host state."""
-        get = lambda x: np.asarray(x)
+        get = lambda x: np.asarray(x)[: self.d_real]
         self.rec_sums += get(acc["rec_sums"]).astype(np.float64)
-        self.n_recorded += int(get(acc["n_recorded"]))
+        self.n_recorded += int(np.asarray(acc["n_recorded"]))
         if self.q_hist is not None:
             self.q_hist += get(acc["q_hist"]).astype(np.uint64)
             self.ql_at_q += get(acc["ql_at_q"]).astype(np.float64)
@@ -159,14 +163,14 @@ class HostAccum:
         for kind in self.ov_obs:
             self._obs_drain(self.ov_obs[kind], acc[f"ov_obs_{kind}"])
 
-    @staticmethod
-    def _obs_drain(host, dev):
-        host["count"] += np.asarray(dev["count"]).astype(np.uint64)
-        host["csd"] += np.asarray(dev["csd"]).astype(np.uint64)
-        host["top4_frac"] += np.asarray(dev["top4_frac"]).astype(np.float64)
-        host["bond_frac"] += np.asarray(dev["bond_frac"]).astype(np.float64)
-        host["winding"] += np.asarray(dev["winding"]).astype(np.uint64)
-        host["large"] += np.asarray(dev["large"]).astype(np.float64)
+    def _obs_drain(self, host, dev):
+        r = self.d_real
+        host["count"] += np.asarray(dev["count"])[:r].astype(np.uint64)
+        host["csd"] += np.asarray(dev["csd"])[:r].astype(np.uint64)
+        host["top4_frac"] += np.asarray(dev["top4_frac"])[:r].astype(np.float64)
+        host["bond_frac"] += np.asarray(dev["bond_frac"])[:r].astype(np.float64)
+        host["winding"] += np.asarray(dev["winding"])[:r].astype(np.uint64)
+        host["large"] += np.asarray(dev["large"])[:r].astype(np.float64)
 
     def add_snapshot(self, sweep_id, mode_idx, snap, is_cmr) -> None:
         """Record a realization-0 cluster snapshot (mod.rs:682-714)."""
@@ -189,7 +193,7 @@ class HostAccum:
         rt = self.rt
         prog = self.program
         cfg = prog.cfg
-        d, t = rt.n_disorder, rt.n_temps
+        d, t = self.d_real, rt.n_temps
         n_rec = max(self.n_recorded, 0)
         result = {}
 
@@ -271,13 +275,13 @@ class HostAccum:
 
         if cfg.pt_interval is not None:
             per_disorder["parallel_tempering"] = {
-                "edge_attempts": np.asarray(state["pt_edge_attempts"]).astype(
+                "edge_attempts": np.asarray(state["pt_edge_attempts"])[:d].astype(
                     np.uint64
                 ),
-                "edge_acceptances": np.asarray(state["pt_edge_acceptances"]).astype(
-                    np.uint64
-                ),
-                "round_trips": np.asarray(state["pt_round_trips"])
+                "edge_acceptances": np.asarray(state["pt_edge_acceptances"])[
+                    :d
+                ].astype(np.uint64),
+                "round_trips": np.asarray(state["pt_round_trips"])[:d]
                 .astype(np.uint64)
                 .reshape(d, rt.n_replicas, t),
             }

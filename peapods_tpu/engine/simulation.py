@@ -119,10 +119,6 @@ class IsingSimulation:
         self.constructor_seed = int(seed) if seed is not None else 42
         self.default_chunk = int(default_chunk)
 
-        self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas)
-        self._programs = {}
-        self.state = None
-
         # Disorder sharding across the device mesh (parallel/mesh.py): the
         # reference's rayon disorder fan-out becomes a partitioned batch axis.
         from ..parallel.mesh import auto_mesh, shard_runtime
@@ -130,6 +126,24 @@ class IsingSimulation:
         if mesh == "auto":
             mesh = auto_mesh(self.n_realizations)
         self.mesh = mesh
+
+        # The disorder axis is padded to a multiple of the mesh's disorder
+        # extent (the reference fans out any realization count over rayon,
+        # mod.rs:887-903); padded slots replay realization 0's couplings
+        # under their own seeds and are sliced away at host aggregation
+        # (results.py HostAccum n_real).
+        self.n_padded = self.n_realizations
+        if mesh is not None:
+            pad = (-self.n_realizations) % mesh.shape["disorder"]
+            if pad:
+                coup_nd = np.concatenate(
+                    [coup_nd, np.repeat(coup_nd[:1], pad, axis=0)], axis=0
+                )
+                self.n_padded += pad
+
+        self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas)
+        self._programs = {}
+        self.state = None
         if self.mesh is not None:
             shard_runtime(self.rt, self.mesh)
             if self.mesh.devices.size > 1:
@@ -327,7 +341,8 @@ class IsingSimulation:
                 )
 
         program = self._program_for(cfg)
-        accum = HostAccum(program, n_sweeps, warmup_sweeps)
+        accum = HostAccum(program, n_sweeps, warmup_sweeps,
+                          n_real=self.n_realizations)
         self.state["warmup"] = jnp.int32(warmup_sweeps)
 
         if progress is None:

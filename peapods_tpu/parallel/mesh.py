@@ -46,11 +46,26 @@ def make_mesh(n_devices=None, axis_names=("disorder",), devices=None):
 
 
 def auto_mesh(n_disorder):
-    """Mesh over all local devices when the disorder batch divides evenly."""
+    """Mesh over the wall-time-optimal device count for a disorder batch.
+
+    The engine pads the disorder axis up to a multiple of the mesh's
+    disorder extent (padded realizations compute but are dropped at host
+    aggregation), so any device count works; wall time is set by
+    ``rows = ceil(n_disorder / n_used)``.  The smallest device count that
+    achieves the minimal ``rows`` is chosen — same wall time as using every
+    device, minimal padding waste.  The reference fans any realization
+    count over rayon workers (simulation/mod.rs:887-903); this is the
+    fixed-shape SPMD equivalent.
+    """
     devs = jax.devices()
-    if len(devs) > 1 and n_disorder % len(devs) == 0:
-        return Mesh(np.array(devs), ("disorder",))
-    return None
+    n = len(devs)
+    if n <= 1 or n_disorder < 1:
+        return None
+    rows = -(-n_disorder // n)
+    use = -(-n_disorder // rows)
+    if use <= 1:
+        return None
+    return Mesh(np.array(devs[:use]), ("disorder",))
 
 
 def state_shardings(mesh, state, shard_systems=False):

@@ -56,3 +56,40 @@ def test_mesh_disables_unpartitionable_pallas_paths(monkeypatch):
     sim = IsingSimulation([32, 32], coup, temps, 2, None, 3, mesh=make_mesh(8))
     assert sim.rt.pack_k == 0 and not sim.rt.use_pallas
     sim.sample(2, "metropolis", warmup_ratio=0)  # runs on the jnp path
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_non_divisible_disorder_padded_onto_mesh():
+    """n_disorder=9 on 8 devices: auto padding must keep results identical
+    to an unsharded run (padded realizations are dropped at aggregation)."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import auto_mesh
+
+    temps = np.array([1.2, 2.4], dtype=np.float32)
+    rng = np.random.default_rng(7)
+    coup = (2 * rng.integers(0, 2, size=(9, 4, 4, 2)) - 1).astype(np.float32)
+
+    mesh = auto_mesh(9)
+    assert mesh is not None
+    dsize = mesh.shape["disorder"]
+    assert dsize > 1
+
+    sharded = IsingSimulation([4, 4], coup, temps, 2, None, 3, mesh=mesh)
+    assert sharded.n_padded % dsize == 0 and sharded.n_realizations == 9
+    r_sh = sharded.sample(12, "metropolis", pt_interval=1,
+                          overlap_cluster_update_interval=2, warmup_ratio=0.25)
+    plain = IsingSimulation([4, 4], coup, temps, 2, None, 3, mesh=None)
+    r_pl = plain.sample(12, "metropolis", pt_interval=1,
+                        overlap_cluster_update_interval=2, warmup_ratio=0.25)
+
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+    np.testing.assert_array_equal(
+        r_sh["per_sample_overlap_histogram"], r_pl["per_sample_overlap_histogram"]
+    )
+    pt_sh = r_sh["per_disorder"]["parallel_tempering"]["edge_attempts"]
+    pt_pl = r_pl["per_disorder"]["parallel_tempering"]["edge_attempts"]
+    assert pt_sh.shape == (9, 1)
+    np.testing.assert_array_equal(pt_sh, pt_pl)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"])[:9], np.asarray(plain.state["spins"])
+    )
