@@ -312,23 +312,14 @@ class LoopProgram:
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
         if rt.pack_k:
-            seeds = jax.vmap(
-                lambda k: jax.random.randint(
-                    k, (rt.n_systems // rt.pack_k,), -(2**31), 2**31 - 1,
-                    dtype=jnp.int32,
-                )
-            )(skeys)
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.pack_k)
             spins = pallas_sweep.sweep_2d_packed(
                 spins, rt.jgrids, sys_temps, seeds,
                 shape=rt.lattice.shape, k=rt.pack_k, gibbs=gibbs,
                 interpret=interpret,
             )
             return spins, None
-        seeds = jax.vmap(
-            lambda k: jax.random.randint(
-                k, (rt.n_systems,), -(2**31), 2**31 - 1, dtype=jnp.int32
-            )
-        )(skeys)
+        seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
         if self.fuse_measure:
             spins, e, m = pallas_sweep.sweep_2d_fused(
                 spins, rt.jgrids, sys_temps, seeds,

@@ -39,10 +39,40 @@ __all__ = [
     "pack_coupling_grids",
     "pack_coupling_grids_packed",
     "pack_factor",
+    "make_seeds",
     "supports",
 ]
 
 _INV24 = np.float32(1.0 / (1 << 24))
+
+# Hardware-PRNG seeds are two 32-bit words (Mosaic's maximum): word 0 is the
+# per-(realization, sweep) threefry key's first word; word 1 is its second
+# word plus the kernel-grid instance index.  Streams within one sweep are
+# therefore distinct by construction (the advisor-flagged failure mode —
+# two replicas sharing a sweep's acceptance field — cannot occur), and a
+# cross-(realization, sweep) collision needs both 32-bit words to match,
+# ~2^-64 per pair instead of the old single-word birthday bound.
+N_SEED_WORDS = 2
+
+
+def make_seeds(skeys, n_instances):
+    """``int32 [n_disorder, n_instances, 2]`` seed words from per-realization
+    sweep keys (one key per disorder, already folded with the sweep counter).
+    """
+    kd = jax.lax.bitcast_convert_type(
+        jax.random.key_data(skeys).astype(jnp.uint32), jnp.int32
+    )  # [n_disorder, 2]
+    n_d = kd.shape[0]
+    inst = jnp.arange(n_instances, dtype=jnp.int32)
+    w0 = jnp.broadcast_to(kd[:, None, 0], (n_d, n_instances))
+    w1 = kd[:, None, 1] + inst[None, :]
+    return jnp.stack([w0, w1], axis=-1)
+
+
+def _seed_prng(seed_ref, d_idx, i_idx):
+    pltpu.prng_seed(
+        *(seed_ref[d_idx, i_idx, w] for w in range(N_SEED_WORDS))
+    )
 
 
 def _is_2d_hypercubic(lattice) -> bool:
@@ -128,7 +158,7 @@ def _hw_uniform(shape):
 def _kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *, gibbs):
     d_idx = pl.program_id(0)
     sys_idx = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[d_idx, sys_idx])
+    _seed_prng(seed_ref, d_idx, sys_idx)
     inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
     s = spins_ref[0, 0].astype(jnp.float32)  # [H, W]
     jg = jgrids_ref[0]
@@ -149,7 +179,7 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
     """
     d_idx = pl.program_id(0)
     sys_idx = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[d_idx, sys_idx])
+    _seed_prng(seed_ref, d_idx, sys_idx)
     inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
     s = spins_ref[0, 0].astype(jnp.float32)
     jg = jgrids_ref[0]
@@ -185,7 +215,7 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         spins: ``int8 [n_disorder, n_systems, n_spins]``.
         jgrids: ``f32 [n_disorder, 4, H, W]`` from :func:`pack_coupling_grids`.
         sys_temps: ``f32 [n_disorder, n_systems]`` per-system temperatures.
-        seeds: ``int32 [n_disorder, n_systems]`` per-(system, sweep) seeds.
+        seeds: ``int32 [n_disorder, n_systems, 2]`` from :func:`make_seeds`.
         shape: static ``(H, W)``.
 
     Returns:
@@ -220,7 +250,11 @@ def _packed_kernel(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
     system ``g*k + c // w`` at lattice column ``c % w``)."""
     d_idx = pl.program_id(0)
     grp = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[d_idx, grp])
+    # the k packed systems of one group share this stream: every lane still
+    # draws an independent uniform from prng_random_bits, so acceptance is
+    # i.i.d. per site; only the unpacked-vs-packed trajectory differs
+    # (equivalence is statistical, tested at the energy level).
+    _seed_prng(seed_ref, d_idx, grp)
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
 
     s = spins_ref[0, 0].astype(jnp.float32)  # [H, k*w]
@@ -305,7 +339,7 @@ def sweep_2d_packed(spins, jgrids, sys_temps, seeds, *, shape, k, gibbs=False,
             by the packed systems of one realization).
         sys_temps: ``f32 [n_disorder, n_systems]``; system ``g*k + j`` sits
             at lattice columns ``[j*W, (j+1)*W)`` of group g.
-        seeds: ``int32 [n_disorder, n_groups]``.
+        seeds: ``int32 [n_disorder, n_groups, 2]`` from :func:`make_seeds`.
     """
     h, w = shape
     n_d, n_systems = spins.shape[:2]
