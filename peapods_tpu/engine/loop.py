@@ -107,9 +107,13 @@ class Runtime:
     jgrids: jax.Array | None = None  # f32 [n_disorder, 4, H, (k)W] (pallas)
     use_pallas: bool = False  # wide-lattice direct kernel
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
+    mesh: object | None = None  # jax.sharding.Mesh; Pallas calls shard_map
+    # over it (the reference keeps full per-worker kernel speed across the
+    # rayon fan-out, simulation/mod.rs:887-903 — scaling out must not cost
+    # per-unit throughput)
 
     @classmethod
-    def build(cls, lattice, couplings_nd, temps, n_replicas):
+    def build(cls, lattice, couplings_nd, temps, n_replicas, mesh=None):
         """couplings_nd: f32 [n_disorder, n_spins, n_neighbors] (numpy)."""
         coup = jnp.asarray(couplings_nd, dtype=jnp.float32)
         n_nb = lattice.n_neighbors
@@ -127,6 +131,15 @@ class Runtime:
             if (on_device and not use_pallas)
             else 0
         )
+        if mesh is not None and "systems" in mesh.axis_names:
+            # systems-sharded mesh: the kernel batch axis must split evenly
+            # across the mesh axis (and pack groups must stay shard-local)
+            sys_ax = mesh.shape["systems"]
+            if n_systems % sys_ax:
+                use_pallas = False
+                pack_k = 0
+            elif pack_k and (n_systems // sys_ax) % pack_k:
+                pack_k = 0
         if use_pallas:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
@@ -143,6 +156,7 @@ class Runtime:
             jgrids=jgrids,
             use_pallas=use_pallas,
             pack_k=pack_k,
+            mesh=mesh,
             lattice=lattice,
             geom=GridOps.from_lattice(lattice),
             n_replicas=int(n_replicas),
@@ -302,6 +316,12 @@ class LoopProgram:
         """Disorder-batched Pallas sweep (kernels carry the disorder grid
         axis themselves; SMEM operands cannot be vmapped).
 
+        Under a multi-device mesh the kernel call is wrapped in
+        ``jax.shard_map`` so every device runs the full-speed kernel on its
+        local shard — the reference preserves per-worker kernel speed across
+        its rayon fan-out (simulation/mod.rs:887-903); scaling out must not
+        cost per-unit throughput.
+
         Returns ``(spins, fused_em_or_None)``.
         """
         import os
@@ -311,26 +331,62 @@ class LoopProgram:
         interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
+
         if rt.pack_k:
             seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.pack_k)
-            spins = pallas_sweep.sweep_2d_packed(
-                spins, rt.jgrids, sys_temps, seeds,
-                shape=rt.lattice.shape, k=rt.pack_k, gibbs=gibbs,
-                interpret=interpret,
+
+            def call(sp, jg, st, sd):
+                return pallas_sweep.sweep_2d_packed(
+                    sp, jg, st, sd, shape=rt.lattice.shape, k=rt.pack_k,
+                    gibbs=gibbs, interpret=interpret,
+                )
+
+            n_out = 1
+        elif self.fuse_measure:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
+
+            def call(sp, jg, st, sd):
+                return pallas_sweep.sweep_2d_fused(
+                    sp, jg, st, sd, shape=rt.lattice.shape, gibbs=gibbs,
+                    interpret=interpret,
+                )
+
+            n_out = 3
+        else:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
+
+            def call(sp, jg, st, sd):
+                return pallas_sweep.sweep_2d(
+                    sp, jg, st, sd, shape=rt.lattice.shape, gibbs=gibbs,
+                    interpret=interpret,
+                )
+
+            n_out = 1
+
+        mesh = rt.mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            axes = ("disorder", "systems") if "systems" in mesh.axis_names else (
+                "disorder",
             )
-            return spins, None
-        seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
-        if self.fuse_measure:
-            spins, e, m = pallas_sweep.sweep_2d_fused(
-                spins, rt.jgrids, sys_temps, seeds,
-                shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
+            batch = P(*axes)
+            out_specs = (batch, batch, batch) if n_out == 3 else batch
+            call = jax.shard_map(
+                call,
+                mesh=mesh,
+                in_specs=(batch, P("disorder"), batch, batch),
+                out_specs=out_specs,
+                # pallas_call carries no varying-mesh-axes metadata; the
+                # outputs vary exactly along the batch specs given above
+                check_vma=False,
             )
+
+        out = call(spins, rt.jgrids, sys_temps, seeds)
+        if n_out == 3:
+            spins, e, m = out
             return spins, (e, m)
-        spins = pallas_sweep.sweep_2d(
-            spins, rt.jgrids, sys_temps, seeds,
-            shape=rt.lattice.shape, gibbs=gibbs, interpret=interpret,
-        )
-        return spins, None
+        return out, None
 
     def _fk_phase(self, spins, sid, key, coup):
         """FK update for one realization; returns (spins, csd_t, obs_delta)."""

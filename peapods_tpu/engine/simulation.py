@@ -141,19 +141,14 @@ class IsingSimulation:
                 )
                 self.n_padded += pad
 
-        self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas)
+        self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas, mesh=mesh)
         self._programs = {}
         self.state = None
         if self.mesh is not None:
+            # Pallas sweep calls shard_map over the mesh (engine/loop.py
+            # _sweep_phase_pallas), so multi-device meshes keep the fast
+            # kernel path at full per-chip speed.
             shard_runtime(self.rt, self.mesh)
-            if self.mesh.devices.size > 1:
-                # Pallas kernels do not auto-partition under jit sharding;
-                # multi-device meshes use the roll-based jnp path (which XLA
-                # partitions trivially along the disorder batch).  Wrapping
-                # the kernels in shard_map is the planned lift.
-                self.rt.use_pallas = False
-                self.rt.pack_k = 0
-                self.rt.jgrids = None
         self._init_state(self.constructor_seed)
 
     # ----------------------------------------------------------------- state
@@ -203,7 +198,7 @@ class IsingSimulation:
         if self.mesh is not None:
             from ..parallel.mesh import shard_state
 
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh, shard_systems=True)
 
     def save_checkpoint(self, path) -> None:
         """Persist the full dynamics state (spins, PT permutation and
@@ -243,7 +238,7 @@ class IsingSimulation:
         if self.mesh is not None:
             from ..parallel.mesh import shard_state
 
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh, shard_systems=True)
 
     def get_spins(self) -> np.ndarray:
         """Flat int8 spins of the first realization (src/lib.rs:620-622)."""

@@ -69,6 +69,16 @@ def make_seeds(skeys, n_instances):
     return jnp.stack([w0, w1], axis=-1)
 
 
+def _interp(flag):
+    """Interpret-mode selector: the Mosaic TPU interpreter (InterpretParams)
+    emulates pltpu primitives (prng_seed/prng_random_bits) under jit and
+    shard_map on CPU; the generic pallas interpreter does not.  Note the
+    emulated prng_random_bits returns ZEROS — CPU interpret runs validate
+    kernel mechanics and sharding only, never statistics.
+    """
+    return pltpu.InterpretParams() if flag else False
+
+
 def _seed_prng(seed_ref, d_idx, i_idx):
     pltpu.prng_seed(
         *(seed_ref[d_idx, i_idx, w] for w in range(N_SEED_WORDS))
@@ -239,7 +249,7 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         out_specs=pl.BlockSpec((1, 1, h, w), lambda d, i: (d, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_d, n_systems, h, w), jnp.int8),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(seeds, sys_temps, s4, jgrids)
     return out.reshape(n_d, n_systems, h * w)
 
@@ -360,7 +370,7 @@ def sweep_2d_packed(spins, jgrids, sys_temps, seeds, *, shape, k, gibbs=False,
         out_specs=pl.BlockSpec((1, 1, h, k * w), lambda d, i: (d, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_d, g, h, k * w), jnp.int8),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(seeds, sys_temps, packed, jgrids)
     return jax.vmap(lambda o: unpack_spins(o, shape, k))(out)
 
@@ -405,7 +415,7 @@ def sweep_2d_fused(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False,
             jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
             jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(seeds, sys_temps, s4, jgrids)
     return out.reshape(n_d, n_systems, h * w), e, m
 

@@ -96,4 +96,6 @@ def shard_runtime(rt, mesh):
     rt.coup_bwd = jax.device_put(rt.coup_bwd, dspec)
     rt.color_masks = jax.device_put(rt.color_masks, rspec)
     rt.temps = jax.device_put(rt.temps, rspec)
+    if rt.jgrids is not None:
+        rt.jgrids = jax.device_put(rt.jgrids, dspec)
     return rt

@@ -45,17 +45,50 @@ def test_sharded_matches_unsharded_trajectory():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_mesh_disables_unpartitionable_pallas_paths(monkeypatch):
-    """Pallas kernels cannot auto-partition; mesh mode must fall back."""
+def test_pallas_kernels_survive_mesh_via_shard_map(monkeypatch):
+    """Multi-device meshes must keep the Pallas fast path (shard_map wrap)
+    and produce trajectories bitwise identical to the unsharded kernel."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")  # force pallas on CPU
     from peapods_tpu.engine.simulation import IsingSimulation
     from peapods_tpu.parallel.mesh import make_mesh
 
-    coup = np.ones((8, 32, 32, 2), np.float32)
+    rng = np.random.default_rng(2)
+    coup = (2 * rng.integers(0, 2, size=(8, 32, 32, 2)) - 1).astype(np.float32)
     temps = np.array([1.0, 2.0], np.float32)
-    sim = IsingSimulation([32, 32], coup, temps, 2, None, 3, mesh=make_mesh(8))
-    assert sim.rt.pack_k == 0 and not sim.rt.use_pallas
-    sim.sample(2, "metropolis", warmup_ratio=0)  # runs on the jnp path
+
+    sharded = IsingSimulation([32, 32], coup, temps, 2, None, 3,
+                              mesh=make_mesh(8))
+    assert sharded.rt.pack_k == 4  # lane-packed kernel stays on under mesh
+    r_sh = sharded.sample(4, "metropolis", pt_interval=2, warmup_ratio=0)
+    plain = IsingSimulation([32, 32], coup, temps, 2, None, 3, mesh=None)
+    assert plain.rt.pack_k == 4
+    r_pl = plain.sample(4, "metropolis", pt_interval=2, warmup_ratio=0)
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_direct_pallas_kernel_under_mesh(monkeypatch):
+    """Wide lattices (direct + fused kernel) under a mesh, vs unsharded."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    coup = np.ones((4, 8, 128, 2), np.float32)
+    temps = np.array([2.2, 2.4], np.float32)
+    sharded = IsingSimulation([8, 128], coup, temps, 1, None, 5,
+                              mesh=make_mesh(4))
+    assert sharded.rt.use_pallas
+    r_sh = sharded.sample(3, "metropolis", warmup_ratio=0)
+    plain = IsingSimulation([8, 128], coup, temps, 1, None, 5, mesh=None)
+    r_pl = plain.sample(3, "metropolis", warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["energies"], r_pl["energies"])
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
