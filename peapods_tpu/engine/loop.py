@@ -41,6 +41,7 @@ from ..ops.lattice import Lattice
 from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
+from ..ops import pallas_sweep3d
 from ..utils.profiling import phase_scope
 from .config import SimConfig
 
@@ -104,9 +105,10 @@ class Runtime:
     temps: jax.Array  # f32 [n_temps]
     couplings: jax.Array  # f32 [n_disorder, n_spins, n_nb]
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
-    jgrids: jax.Array | None = None  # f32 [n_disorder, 4, H, (k)W] (pallas)
+    jgrids: jax.Array | None = None  # f32 [n_disorder, 4|6, L0, lanes] (pallas)
     use_pallas: bool = False  # wide-lattice direct kernel
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
+    kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
     mesh: object | None = None  # jax.sharding.Mesh; Pallas calls shard_map
     # over it (the reference keeps full per-worker kernel speed across the
     # rayon fan-out, simulation/mod.rs:887-903 — scaling out must not cost
@@ -131,6 +133,7 @@ class Runtime:
             if (on_device and not use_pallas)
             else 0
         )
+        kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
         if mesh is not None and "systems" in mesh.axis_names:
             # systems-sharded mesh: the kernel batch axis must split evenly
             # across the mesh axis (and pack groups must stay shard-local)
@@ -138,8 +141,12 @@ class Runtime:
             if n_systems % sys_ax:
                 use_pallas = False
                 pack_k = 0
-            elif pack_k and (n_systems // sys_ax) % pack_k:
-                pack_k = 0
+                kernel3d = 0
+            else:
+                if pack_k and (n_systems // sys_ax) % pack_k:
+                    pack_k = 0
+                if kernel3d and (n_systems // sys_ax) % kernel3d:
+                    kernel3d = 0
         if use_pallas:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
@@ -150,12 +157,19 @@ class Runtime:
                     c, lattice.shape, pack_k
                 )
             )(coup)
+        elif kernel3d:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep3d.pack_coupling_grids_3d(
+                    c, tuple(lattice.shape), kernel3d
+                )
+            )(coup)
         else:
             jgrids = None
         return cls(
             jgrids=jgrids,
             use_pallas=use_pallas,
             pack_k=pack_k,
+            kernel3d=kernel3d,
             mesh=mesh,
             lattice=lattice,
             geom=GridOps.from_lattice(lattice),
@@ -332,7 +346,17 @@ class LoopProgram:
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
 
-        if rt.pack_k:
+        if rt.kernel3d:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.kernel3d)
+
+            def call(sp, jg, st, sd):
+                return pallas_sweep3d.sweep_3d(
+                    sp, jg, st, sd, shape=tuple(rt.lattice.shape),
+                    kp=rt.kernel3d, gibbs=gibbs, interpret=interpret,
+                )
+
+            n_out = 1
+        elif rt.pack_k:
             seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.pack_k)
 
             def call(sp, jg, st, sd):
@@ -645,7 +669,7 @@ class LoopProgram:
             fused_em = None
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
-            if rt.use_pallas or rt.pack_k:
+            if rt.use_pallas or rt.pack_k or rt.kernel3d:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             else:
                 spins = jax.vmap(self._sweep_phase)(

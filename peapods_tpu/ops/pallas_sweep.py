@@ -56,8 +56,11 @@ N_SEED_WORDS = 2
 
 
 def make_seeds(skeys, n_instances):
-    """``int32 [n_disorder, n_instances, 2]`` seed words from per-realization
-    sweep keys (one key per disorder, already folded with the sweep counter).
+    """``int32 [n_disorder, 2 * n_instances]`` interleaved seed words from
+    per-realization sweep keys (one key per disorder, already folded with the
+    sweep counter).  Kept 2-D because SMEM pads the trailing dimension to 128
+    words — a ``[d, g, 2]`` layout would blow the 1 MB SMEM budget at large
+    disorder counts.
     """
     kd = jax.lax.bitcast_convert_type(
         jax.random.key_data(skeys).astype(jnp.uint32), jnp.int32
@@ -66,7 +69,7 @@ def make_seeds(skeys, n_instances):
     inst = jnp.arange(n_instances, dtype=jnp.int32)
     w0 = jnp.broadcast_to(kd[:, None, 0], (n_d, n_instances))
     w1 = kd[:, None, 1] + inst[None, :]
-    return jnp.stack([w0, w1], axis=-1)
+    return jnp.stack([w0, w1], axis=-1).reshape(n_d, 2 * n_instances)
 
 
 def _interp(flag):
@@ -81,7 +84,7 @@ def _interp(flag):
 
 def _seed_prng(seed_ref, d_idx, i_idx):
     pltpu.prng_seed(
-        *(seed_ref[d_idx, i_idx, w] for w in range(N_SEED_WORDS))
+        *(seed_ref[d_idx, N_SEED_WORDS * i_idx + w] for w in range(N_SEED_WORDS))
     )
 
 
@@ -225,7 +228,7 @@ def sweep_2d(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False, interpret=F
         spins: ``int8 [n_disorder, n_systems, n_spins]``.
         jgrids: ``f32 [n_disorder, 4, H, W]`` from :func:`pack_coupling_grids`.
         sys_temps: ``f32 [n_disorder, n_systems]`` per-system temperatures.
-        seeds: ``int32 [n_disorder, n_systems, 2]`` from :func:`make_seeds`.
+        seeds: ``int32 [n_disorder, 2*n_systems]`` from :func:`make_seeds`.
         shape: static ``(H, W)``.
 
     Returns:
@@ -349,7 +352,7 @@ def sweep_2d_packed(spins, jgrids, sys_temps, seeds, *, shape, k, gibbs=False,
             by the packed systems of one realization).
         sys_temps: ``f32 [n_disorder, n_systems]``; system ``g*k + j`` sits
             at lattice columns ``[j*W, (j+1)*W)`` of group g.
-        seeds: ``int32 [n_disorder, n_groups, 2]`` from :func:`make_seeds`.
+        seeds: ``int32 [n_disorder, 2*n_groups]`` from :func:`make_seeds`.
     """
     h, w = shape
     n_d, n_systems = spins.shape[:2]

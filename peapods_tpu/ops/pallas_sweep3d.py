@@ -1,0 +1,286 @@
+"""Pallas TPU kernel: fused checkerboard Metropolis/Gibbs sweep, 3D lattices.
+
+Gives the spin-glass flagship configs (8^3 +-J, 16^3 Gaussian — the
+reference's main workload, tests/spin_glass_crossings.py and
+overlap_histogram.py) a dedicated fast path, like the reference gives its
+dominant workload the square-lattice fast path (mcmc/sweep.rs:22-97).
+
+Layout: a ``[L0, L1, L2]`` lattice maps to a ``[L0, kp*L1*L2]`` tile — the
+first axis on sublanes, the (j, k) plane flattened j-major onto lanes, and
+``kp`` systems lane-packed side by side when one system cannot fill the
+128-lane requirement (8^3 has 64 lane columns -> kp = 2).  Neighbor fields
+are lane rolls with seam corrections:
+
+    i +- 1: sublane roll (always periodic — the sublane axis is one system's
+            full i extent)
+    j +- 1: lane roll by L2; at j-extremes the roll crosses a block seam, so
+            the wrapped value is taken from a (L1-1)*L2 roll instead
+    k +- 1: lane roll by 1; at k-extremes the wrap comes from a (L2-1) roll
+
+Couplings arrive as six pre-shifted grids (bond from the -d neighbor, own
+forward bond, for d = i, j, k); acceptance matches
+:mod:`peapods_tpu.ops.sweep` exactly (lazy Metropolis / Gibbs on 24-bit
+hardware-PRNG uniforms).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import METROPOLIS_LAZINESS
+from .pallas_sweep import _hw_uniform, _interp, _seed_prng, pack_spins, unpack_spins
+
+__all__ = [
+    "supports_3d",
+    "pack_factor_3d",
+    "pack_coupling_grids_3d",
+    "sweep_3d",
+    "sweep_3d_injected",
+]
+
+_HYPERCUBIC_3D = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+
+
+def supports_3d(lattice) -> bool:
+    return (
+        lattice.n_dims == 3
+        and lattice.n_neighbors == 3
+        and np.array_equal(lattice.offsets, _HYPERCUBIC_3D)
+        and lattice.shape[0] % 8 == 0
+    )
+
+
+def pack_factor_3d(lattice, n_systems) -> int:
+    """Lane-pack factor kp >= 1 (0 = kernel unsupported).
+
+    kp is the smallest count making ``kp * L1 * L2`` a multiple of 128 lanes;
+    the system count must split into kp-groups.
+    """
+    if not supports_3d(lattice):
+        return 0
+    block = lattice.shape[1] * lattice.shape[2]
+    if block < 8:
+        return 0
+    kp = 128 // math.gcd(128, block)
+    return kp if n_systems % kp == 0 else 0
+
+
+def pack_coupling_grids_3d(coup_fwd, shape, kp):
+    """``f32 [6, L0, kp*L1*L2]`` pre-shifted coupling grids.
+
+    Order: (i-from-above, i-forward, j-from-left, j-forward, k-from-left,
+    k-forward) — for each dim the bond arriving from the -d neighbor is that
+    neighbor's forward coupling (reference ``local_field``,
+    mcmc/sweep.rs:8-19).
+    """
+    l0, l1, l2 = shape
+    grids = []
+    for d in range(3):
+        fwd = coup_fwd[:, d].reshape(l0, l1, l2)
+        grids.append(jnp.roll(fwd, 1, axis=d))
+        grids.append(fwd)
+    g = jnp.stack([x.reshape(l0, l1 * l2) for x in grids])
+    return jnp.tile(g, (1, 1, kp))
+
+
+def _lane_shift_fns(col, block, l1, l2):
+    """Neighbor-value helpers on the packed lane axis.
+
+    Each returns, per lane, the spin value of the named lattice neighbor,
+    correcting the block/system seams that a plain roll would cross.
+    """
+    cb = col % block
+    j = cb // l2
+    k = cb % l2
+    at_j0 = j == 0
+    at_jl = j == (l1 - 1)
+    at_k0 = k == 0
+    at_kl = k == (l2 - 1)
+
+    def jm(x):
+        n = x.shape[1]
+        return jnp.where(
+            at_j0, pltpu.roll(x, n - (l1 - 1) * l2, 1), pltpu.roll(x, l2, 1)
+        )
+
+    def jp(x):
+        n = x.shape[1]
+        return jnp.where(
+            at_jl, pltpu.roll(x, (l1 - 1) * l2, 1), pltpu.roll(x, n - l2, 1)
+        )
+
+    def km(x):
+        n = x.shape[1]
+        return jnp.where(
+            at_k0, pltpu.roll(x, n - (l2 - 1), 1), pltpu.roll(x, 1, 1)
+        )
+
+    def kp_(x):
+        n = x.shape[1]
+        return jnp.where(
+            at_kl, pltpu.roll(x, l2 - 1, 1), pltpu.roll(x, n - 1, 1)
+        )
+
+    parity_jk = (j + k) & 1
+    return (jm, jp, km, kp_), parity_jk
+
+
+def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l1, l2):
+    """Both-color update of one ``[L0, kp*L1*L2]`` tile."""
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    l0, lanes = s.shape
+    block = l1 * l2
+    row = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
+    (jm, jp, km, kp_), parity_jk = _lane_shift_fns(col, block, l1, l2)
+    parity = (row + parity_jk) & 1
+
+    for c in range(2):
+        field = (
+            pltpu.roll(s, 1, 0) * jg[0]
+            + pltpu.roll(s, l0 - 1, 0) * jg[1]
+            + jm(s) * jg[2]
+            + jp(s) * jg[3]
+            + km(s) * jg[4]
+            + kp_(s) * jg[5]
+        )
+        x = -s * field * inv_half_t
+        u = uniform_for_color(c)
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        flip = (u < p) & (parity == c)
+        s = jnp.where(flip, -s, s)
+    return s
+
+
+def _kernel_3d(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
+               gibbs, l1, l2, kp):
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    # kp packed systems share this stream (see pallas_sweep._packed_kernel:
+    # every lane still draws an independent uniform, only the packed-vs-
+    # unpacked trajectory differs).
+    _seed_prng(seed_ref, d_idx, grp)
+    s = spins_ref[0, 0].astype(jnp.float32)  # [L0, kp*L1*L2]
+    jg = jgrids_ref[0]
+    l0, lanes = s.shape
+    block = l1 * l2
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
+    if kp == 1:
+        inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, grp])
+    else:
+        inv_half_t = jnp.zeros((l0, lanes), jnp.float32)
+        for c in range(kp):
+            t_c = temp_ref[d_idx, grp * kp + c]
+            inv_half_t = jnp.where(
+                (col // block) == c, 1.0 / (0.5 * t_c), inv_half_t
+            )
+
+    out_ref[0, 0] = _body_3d(
+        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
+        gibbs=gibbs, l1=l1, l2=l2,
+    ).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "kp", "gibbs", "interpret"))
+def sweep_3d(spins, jgrids, sys_temps, seeds, *, shape, kp, gibbs=False,
+             interpret=False):
+    """Full 3D checkerboard sweep of every (realization, system).
+
+    Args:
+        spins: ``int8 [n_disorder, n_systems, n_spins]`` (n_systems % kp == 0).
+        jgrids: ``f32 [n_disorder, 6, L0, kp*L1*L2]``
+            from :func:`pack_coupling_grids_3d`.
+        sys_temps: ``f32 [n_disorder, n_systems]``.
+        seeds: ``int32 [n_disorder, 2*n_groups]`` from
+            :func:`peapods_tpu.ops.pallas_sweep.make_seeds`.
+        shape: static ``(L0, L1, L2)``.
+    """
+    l0, l1, l2 = shape
+    lanes = kp * l1 * l2
+    n_d, n_systems = spins.shape[:2]
+    g = n_systems // kp
+    flat2d = (l0, l1 * l2)  # pack_spins groups on the (sublane, lane) view
+    packed = jax.vmap(lambda s: pack_spins(s, flat2d, kp))(spins)
+    kernel = functools.partial(_kernel_3d, gibbs=gibbs, l1=l1, l2=l2, kp=kp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, l0, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_d, g, l0, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, packed, jgrids)
+    return jax.vmap(lambda o: unpack_spins(o, flat2d, kp))(out)
+
+
+def _kernel_3d_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *,
+                        gibbs, l1, l2, kp):
+    """Test-only variant: caller supplies the acceptance uniforms."""
+    grp = pl.program_id(0)
+    s = spins_ref[0].astype(jnp.float32)
+    l0, lanes = s.shape
+    block = l1 * l2
+    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
+    inv_half_t = jnp.zeros((l0, lanes), jnp.float32)
+    for c in range(kp):
+        t_c = temp_ref[grp * kp + c]
+        inv_half_t = jnp.where((col // block) == c, 1.0 / (0.5 * t_c),
+                               inv_half_t)
+    out_ref[0] = _body_3d(
+        s, jgrids_ref, inv_half_t, lambda c: u_ref[0, c],
+        gibbs=gibbs, l1=l1, l2=l2,
+    ).astype(jnp.int8)
+
+
+def sweep_3d_injected(spins, jgrids, sys_temps, uniforms, *, shape, kp,
+                      gibbs=False):
+    """Kernel-equivalence entry.
+
+    uniforms: ``f32 [n_groups, 2, L0, kp*L1*L2]`` in packed layout.
+    spins: ``int8 [n_systems, n_spins]``.
+    """
+    l0, l1, l2 = shape
+    lanes = kp * l1 * l2
+    n_systems = spins.shape[0]
+    g = n_systems // kp
+    flat2d = (l0, l1 * l2)
+    packed = pack_spins(spins, flat2d, kp)
+    kernel = functools.partial(
+        _kernel_3d_injected, gibbs=gibbs, l1=l1, l2=l2, kp=kp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, l0, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, l0, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, l0, lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l0, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, l0, lanes), jnp.int8),
+    )(sys_temps, packed, jgrids, uniforms)
+    return unpack_spins(out, flat2d, kp)

@@ -69,7 +69,7 @@ def test_fused_measurement_matches_recompute():
     jg = ps.pack_coupling_grids(jnp.asarray(coup), (L, L))
     temps = jnp.asarray([1.2, 3.0], jnp.float32)
     spins = jnp.asarray(rng.choice([-1, 1], size=(n_sys, lat.n_spins)).astype(np.int8))
-    seeds = jnp.asarray([[3, 1], [9, 2]], jnp.int32)
+    seeds = jnp.asarray([3, 1, 9, 2], jnp.int32)
 
     with pltpu.force_tpu_interpret_mode():
         out, e, m = ps.sweep_2d_fused(
@@ -127,7 +127,7 @@ def test_make_seeds_unique_across_systems_and_sweeps():
     construction (no 32-bit birthday collisions over long runs)."""
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     s1 = np.asarray(ps.make_seeds(keys, 6))
-    assert s1.shape == (4, 6, 2)
+    assert s1.shape == (4, 12)
     keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     s2 = np.asarray(ps.make_seeds(keys2, 6))
     rows = {tuple(r) for r in s1.reshape(-1, 2)} | {
