@@ -91,6 +91,24 @@ def _kahan_add(total, comp, value):
     return t, comp
 
 
+# f32 histogram-shaped accumulators that scatter-add per sweep.  They stay
+# plain f32 within one chunk (<= chunk_len small adds per bin) and are folded
+# into a Kahan-compensated running total at every chunk boundary, so
+# full-budget runs (tens of thousands of recorded sweeps into hot bins) keep
+# near-f64 conditional sums without per-sweep dense traffic.
+_F32_HIST_KEYS = ("ql_at_q", "ql2_at_q", "top4_sum")
+_F32_OBS_FIELDS = ("top4_frac", "bond_frac", "large")
+
+
+def _float_hist_paths(acc):
+    """Paths (as tuples) of every chunk-local f32 accumulator leaf."""
+    paths = [(k,) for k in _F32_HIST_KEYS if k in acc]
+    for k in acc:
+        if k == "fk_obs" or k.startswith("ov_obs_"):
+            paths.extend((k, f) for f in _F32_OBS_FIELDS)
+    return paths
+
+
 @dataclass
 class Runtime:
     """Device-resident constants for one model instance."""
@@ -306,6 +324,43 @@ class LoopProgram:
             acc["top4_n"] = jnp.zeros((d, self.n_modes), jnp.int32)
         for kind in self.obs_kinds_used:
             acc[f"ov_obs_{kind}"] = _zero_obs(d, t, n_bins)
+        self._float_paths = _float_hist_paths(acc)
+        if self._float_paths:
+            # distinct arrays per slot — donation rejects aliased buffers
+            acc["kahan_tot"] = {
+                "/".join(p): jnp.zeros_like(self._leaf(acc, p))
+                for p in self._float_paths
+            }
+            acc["kahan_comp"] = {
+                "/".join(p): jnp.zeros_like(self._leaf(acc, p))
+                for p in self._float_paths
+            }
+        return acc
+
+    @staticmethod
+    def _leaf(acc, path):
+        return acc[path[0]] if len(path) == 1 else acc[path[0]][path[1]]
+
+    def fold_float_hists(self, acc):
+        """Fold chunk-local f32 scatter sums into the Kahan totals and zero
+        the chunk parts; runs inside every chunk/snapshot runner."""
+        if not getattr(self, "_float_paths", None):
+            return acc
+        acc = dict(acc)
+        tot = dict(acc["kahan_tot"])
+        comp = dict(acc["kahan_comp"])
+        for p in self._float_paths:
+            name = "/".join(p)
+            leaf = self._leaf(acc, p)
+            tot[name], comp[name] = _kahan_add(tot[name], comp[name], leaf)
+            zero = jnp.zeros_like(leaf)
+            if len(p) == 1:
+                acc[p[0]] = zero
+            else:
+                acc[p[0]] = dict(acc[p[0]])
+                acc[p[0]][p[1]] = zero
+        acc["kahan_tot"] = tot
+        acc["kahan_comp"] = comp
         return acc
 
     # --------------------------------------------------------------- phases
@@ -863,7 +918,8 @@ class LoopProgram:
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def run(carry, xs):
-                return jax.lax.scan(step, carry, xs)
+                (state, acc), ys = jax.lax.scan(step, carry, xs)
+                return (state, self.fold_float_hists(acc)), ys
 
             self._chunk_cache[chunk_len] = run
         return self._chunk_cache[chunk_len]
@@ -872,5 +928,11 @@ class LoopProgram:
         """Jitted single-sweep step that also returns snapshot payloads."""
         if self._snap_fn is None:
             step = self.make_step(with_snapshot=True)
-            self._snap_fn = jax.jit(step)
+
+            @jax.jit
+            def run(carry, sweep):
+                (state, acc), out = step(carry, sweep)
+                return (state, self.fold_float_hists(acc)), out
+
+            self._snap_fn = run
         return self._snap_fn

@@ -146,31 +146,52 @@ class HostAccum:
     def drain_device_acc(self, acc) -> None:
         """Fold the run's device accumulators into the f64/u64 host state."""
         get = lambda x: np.asarray(x)[: self.d_real]
+        # f32 histogram floats live as (chunk residue, Kahan total) pairs —
+        # the chunk residue is zero after the runner-level fold, but both
+        # are summed for robustness (engine/loop.py fold_float_hists).
+        tot = acc.get("kahan_tot", {})
+
+        def fget(path, leaf):
+            chunk = np.asarray(leaf)[: self.d_real].astype(np.float64)
+            if path in tot:
+                chunk = chunk + np.asarray(tot[path])[: self.d_real]
+            return chunk
+
         self.rec_sums += get(acc["rec_sums"]).astype(np.float64)
         self.n_recorded += int(np.asarray(acc["n_recorded"]))
         if self.q_hist is not None:
             self.q_hist += get(acc["q_hist"]).astype(np.uint64)
-            self.ql_at_q += get(acc["ql_at_q"]).astype(np.float64)
-            self.ql2_at_q += get(acc["ql2_at_q"]).astype(np.float64)
+            self.ql_at_q += fget("ql_at_q", acc["ql_at_q"])
+            self.ql2_at_q += fget("ql2_at_q", acc["ql2_at_q"])
         if self.fk_csd is not None:
             self.fk_csd += get(acc["fk_csd"]).astype(np.uint64)
         if self.fk_obs is not None:
-            self._obs_drain(self.fk_obs, acc["fk_obs"])
+            self._obs_drain(self.fk_obs, acc["fk_obs"], "fk_obs", tot)
         if self.overlap_csd is not None:
             self.overlap_csd += get(acc["overlap_csd"]).astype(np.uint64)
-            self.top4_sum += get(acc["top4_sum"]).astype(np.float64)
+            self.top4_sum += fget("top4_sum", acc["top4_sum"])
             self.top4_n += get(acc["top4_n"]).astype(np.uint64)
         for kind in self.ov_obs:
-            self._obs_drain(self.ov_obs[kind], acc[f"ov_obs_{kind}"])
+            self._obs_drain(
+                self.ov_obs[kind], acc[f"ov_obs_{kind}"], f"ov_obs_{kind}", tot
+            )
 
-    def _obs_drain(self, host, dev):
+    def _obs_drain(self, host, dev, prefix, tot):
         r = self.d_real
+
+        def fget(field):
+            chunk = np.asarray(dev[field])[:r].astype(np.float64)
+            path = f"{prefix}/{field}"
+            if path in tot:
+                chunk = chunk + np.asarray(tot[path])[:r]
+            return chunk
+
         host["count"] += np.asarray(dev["count"])[:r].astype(np.uint64)
         host["csd"] += np.asarray(dev["csd"])[:r].astype(np.uint64)
-        host["top4_frac"] += np.asarray(dev["top4_frac"])[:r].astype(np.float64)
-        host["bond_frac"] += np.asarray(dev["bond_frac"])[:r].astype(np.float64)
+        host["top4_frac"] += fget("top4_frac")
+        host["bond_frac"] += fget("bond_frac")
         host["winding"] += np.asarray(dev["winding"])[:r].astype(np.uint64)
-        host["large"] += np.asarray(dev["large"])[:r].astype(np.float64)
+        host["large"] += fget("large")
 
     def add_snapshot(self, sweep_id, mode_idx, snap, is_cmr) -> None:
         """Record a realization-0 cluster snapshot (mod.rs:682-714)."""
