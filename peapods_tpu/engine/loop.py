@@ -42,6 +42,7 @@ from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
 from ..ops import pallas_sweep3d
+from ..ops import pallas_mega
 from ..utils.profiling import phase_scope
 from .config import SimConfig
 
@@ -295,6 +296,21 @@ class LoopProgram:
         self.fuse_measure = rt.use_pallas and cfg.cluster_update is None
         self.emit_series = (
             cfg.autocorrelation_max_lag is not None or cfg.equilibration_diagnostic
+        )
+        # Megakernel fast path (ops/pallas_mega.py): the whole
+        # sweep+measure+PT cycle stays on-chip for a block of sweeps.  Only
+        # for the pure single-spin workload — any cluster phase or replica
+        # pair needs per-sweep spin access outside the kernel.
+        import os as _os
+
+        self.mega = (
+            rt.use_pallas
+            and _os.environ.get("PEAPODS_DISABLE_MEGA") != "1"
+            and pallas_mega.supports_mega(rt.lattice, rt.n_replicas)
+            and cfg.cluster_update is None
+            and cfg.overlap_cluster is None
+            and not self.has_pairs
+            and (rt.mesh is None or rt.mesh.devices.size == 1)
         )
         self._chunk_cache = {}
         self._snap_fn = None
@@ -911,8 +927,161 @@ class LoopProgram:
 
     # ------------------------------------------------------------- runners
 
+    # ------------------------------------------------------- mega runner
+
+    def _mega_chunk_runner(self, chunk_len: int):
+        """Chunk runner on the megakernel path: ``lax.scan`` over kernel
+        calls of ``n_inner`` sweeps each; records are assembled from the
+        kernel's per-sweep (e, m) outputs in one vectorized pass per call.
+        """
+        import os
+
+        rt = self.rt
+        cfg = self.cfg
+        n_inner = min(chunk_len, 256)
+        n_calls = chunk_len // n_inner
+        assert chunk_len == n_calls * n_inner
+        gibbs = cfg.sweep_mode == "gibbs"
+        interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        h, w = rt.lattice.shape
+        d = rt.n_disorder
+        n_slots = rt.n_systems  # == n_temps (n_replicas == 1)
+        pt_on = cfg.pt_interval is not None and rt.n_temps >= 2
+        n_edges = max(rt.n_temps - 1, 1)
+
+        def words(keys, ctr, phase):
+            """int32 [d, 2*n_inner] per-(realization, inner-sweep) words."""
+
+            def per_key(key):
+                def per_t(t):
+                    k = jax.random.fold_in(jax.random.fold_in(key, ctr + t), phase)
+                    return jax.lax.bitcast_convert_type(
+                        jax.random.key_data(k).astype(jnp.uint32), jnp.int32
+                    )
+
+                return jax.vmap(per_t)(jnp.arange(n_inner, dtype=jnp.int32))
+
+            return jax.vmap(per_key)(keys).reshape(d, 2 * n_inner)
+
+        def call_body(carry, xs_blk):
+            state, acc = carry
+            counter = state["counter"]
+            sid_flat = state["system_ids"].reshape(d, n_slots)
+            # slot view: slot s holds the spins of system sid_flat[s]
+            spins_slot = jnp.take_along_axis(
+                state["spins"], sid_flat[..., None], axis=1
+            ).reshape(d, n_slots, h, w)
+
+            sweep_w = words(state["base_keys"], counter, _PH_SWEEP)
+            pt_w = words(state["base_keys"], counter, _PH_PT)
+            n_active = (xs_blk >= 0).sum().astype(jnp.int32)
+            sweep_base = jnp.maximum(xs_blk[0], 0)
+            meta = jnp.stack([sweep_base, n_active])[None, :]
+
+            out = pallas_mega.mega_chunk(
+                spins_slot,
+                rt.jgrids,
+                rt.temps[None, :],
+                sweep_w,
+                pt_w,
+                meta,
+                sid_flat,
+                state["pt_edge_attempts"]
+                if rt.n_temps > 1
+                else jnp.zeros((d, 1), jnp.int32),
+                state["pt_edge_acceptances"]
+                if rt.n_temps > 1
+                else jnp.zeros((d, 1), jnp.int32),
+                state["pt_round_trips"],
+                state["pt_trip_state"],
+                state["pt_parity"][None, None] * jnp.ones((d, 1), jnp.int32),
+                shape=(h, w),
+                gibbs=gibbs,
+                n_inner=n_inner,
+                n_temps=rt.n_temps,
+                pt_interval=cfg.pt_interval if pt_on else None,
+                pt_full=cfg.pt_schedule == "full_ladder",
+                hot_slot=rt.hot_slot,
+                cold_slot=rt.cold_slot,
+                interpret=interpret,
+            )
+            (spins_slot2, e_sw, m_sw, sid2, ea2, ec2, rt2, ts2, par2) = out
+
+            # back to by-system storage: system sid2[s] owns slot s's spins
+            inv = (
+                jnp.zeros((d, n_slots), jnp.int32)
+                .at[jnp.arange(d)[:, None], sid2]
+                .set(jnp.broadcast_to(jnp.arange(n_slots), (d, n_slots)))
+            )
+            spins_sys = jnp.take_along_axis(
+                spins_slot2.reshape(d, n_slots, h * w), inv[..., None], axis=1
+            )
+
+            # vectorized per-sweep records (slot == temperature, R == 1)
+            gate = ((xs_blk >= 0) & (xs_blk >= state["warmup"])).astype(
+                jnp.float32
+            )  # [n_inner]
+            m_rt = m_sw.astype(jnp.float32) / rt.n_spins  # [d, N, T]
+            m2 = m_rt * m_rt
+            e_rt = e_sw
+            rec = jnp.zeros((d, n_inner, N_REC, rt.n_temps), jnp.float32)
+            rec = rec.at[:, :, REC["m_sum"]].set(m_rt)
+            rec = rec.at[:, :, REC["m2_sum"]].set(m2)
+            rec = rec.at[:, :, REC["m4_sum"]].set(m2 * m2)
+            rec = rec.at[:, :, REC["e_sum"]].set(e_rt)
+            rec = rec.at[:, :, REC["e2_sum"]].set(e_rt * e_rt)
+            rec = rec.at[:, :, REC["m2_ac"]].set(m2)
+            rec = rec.at[:, :, REC["diag_e"]].set(e_rt)
+            rec = rec * gate[None, :, None, None]
+
+            acc = dict(acc)
+            acc["rec_sums"], acc["rec_comp"] = _kahan_add(
+                acc["rec_sums"], acc["rec_comp"], rec.sum(1)
+            )
+            acc["n_recorded"] = acc["n_recorded"] + gate.sum().astype(jnp.int32)
+
+            if self.emit_series:
+                series = jnp.stack(
+                    [
+                        rec[:, :, REC["m2_ac"]],
+                        rec[:, :, REC["q2_ac"]],
+                        rec[:, :, REC["diag_e"]],
+                        rec[:, :, REC["diag_ql"]],
+                    ],
+                    axis=2,
+                ).swapaxes(0, 1)  # [n_inner, d, N_SERIES, T]
+            else:
+                series = None
+
+            new_state = dict(state)
+            new_state["spins"] = spins_sys
+            new_state["system_ids"] = sid2.reshape(state["system_ids"].shape)
+            new_state["counter"] = counter + n_active
+            new_state["pt_edge_attempts"] = ea2[:, : rt.n_temps - 1] if rt.n_temps > 1 else state["pt_edge_attempts"]
+            new_state["pt_edge_acceptances"] = ec2[:, : rt.n_temps - 1] if rt.n_temps > 1 else state["pt_edge_acceptances"]
+            new_state["pt_round_trips"] = rt2
+            new_state["pt_trip_state"] = ts2
+            new_state["pt_parity"] = par2[0, 0]
+            return (new_state, acc), series
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(carry, xs):
+            xs_blocks = xs.reshape(n_calls, n_inner)
+            (state, acc), series = jax.lax.scan(call_body, carry, xs_blocks)
+            if series is not None:
+                series = series.reshape(
+                    (chunk_len,) + series.shape[2:]
+                )
+            return (state, acc), series
+
+        return run
+
     def chunk_runner(self, chunk_len: int):
         """Jitted scan over ``chunk_len`` sweeps (cached per length)."""
+        if self.mega:
+            if chunk_len not in self._chunk_cache:
+                self._chunk_cache[chunk_len] = self._mega_chunk_runner(chunk_len)
+            return self._chunk_cache[chunk_len]
         if chunk_len not in self._chunk_cache:
             step = self.make_step(with_snapshot=False)
 
