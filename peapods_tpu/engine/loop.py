@@ -43,6 +43,7 @@ from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
 from ..ops import pallas_sweep3d
 from ..ops import pallas_mega
+from ..ops import pallas_cc
 from ..utils.profiling import phase_scope
 from .config import SimConfig
 
@@ -312,6 +313,16 @@ class LoopProgram:
             and not self.has_pairs
             and (rt.mesh is None or rt.mesh.devices.size == 1)
         )
+        # In-kernel CC for the FK phase: wins only when few graphs are built
+        # per sweep (each vmapped kernel instance pays its own round count,
+        # while the jnp path vectorizes the batch) — i.e. the 256^2 SW
+        # stress config, not the many-system/many-disorder spin glasses.
+        self.cc_pallas = (
+            rt.use_pallas
+            and pallas_cc.supports_cc(rt.lattice)
+            and rt.n_disorder * rt.n_systems <= 8
+            and (rt.mesh is None or rt.mesh.devices.size == 1)
+        )
         self._chunk_cache = {}
         self._snap_fn = None
 
@@ -492,10 +503,19 @@ class LoopProgram:
         sys_temps = slot_temps_for_systems(sid, rt.temps)
         keys = jax.random.split(jax.random.fold_in(key, _PH_FK), rt.n_systems)
 
+        import os
+
+        cc_interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+
         def one_system(s, temp, k):
             kb, ks = jax.random.split(k)
             active = cl.fk_bond_activation(s, coup, rt.geom, temp, kb)
-            labels = cl.connected_components(active, rt.geom)
+            if self.cc_pallas:
+                labels = pallas_cc.connected_components_2d(
+                    active, shape=tuple(rt.lattice.shape), interpret=cc_interp
+                )
+            else:
+                labels = cl.connected_components(active, rt.geom)
             counts = (
                 cl.component_counts(labels)
                 if (self.collect_fk or self.observe_fk)
