@@ -154,6 +154,13 @@ class Runtime:
             else 0
         )
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
+        if mesh is not None and "space" in mesh.axis_names:
+            # spatial decomposition: the spin axis itself is sharded (row
+            # bands); the roll-based jnp path auto-partitions with XLA halo
+            # collectives, the Pallas kernels do not
+            use_pallas = False
+            pack_k = 0
+            kernel3d = 0
         if mesh is not None and "systems" in mesh.axis_names:
             # systems-sharded mesh: the kernel batch axis must split evenly
             # across the mesh axis (and pack groups must stay shard-local)

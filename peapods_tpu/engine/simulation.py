@@ -133,13 +133,23 @@ class IsingSimulation:
         # under their own seeds and are sliced away at host aggregation
         # (results.py HostAccum n_real).
         self.n_padded = self.n_realizations
-        if mesh is not None:
+        if mesh is not None and "disorder" in mesh.axis_names:
             pad = (-self.n_realizations) % mesh.shape["disorder"]
             if pad:
                 coup_nd = np.concatenate(
                     [coup_nd, np.repeat(coup_nd[:1], pad, axis=0)], axis=0
                 )
                 self.n_padded += pad
+        if mesh is not None and "space" in mesh.axis_names:
+            # spatial row-band decomposition: the sharded flat spin axis
+            # splits into contiguous row bands only when the leading lattice
+            # extent divides over the axis
+            space = mesh.shape["space"]
+            if lattice_shape[0] % space != 0:
+                raise ValueError(
+                    f"lattice extent {lattice_shape[0]} does not divide over "
+                    f"the {space}-way 'space' mesh axis"
+                )
 
         self.rt = Runtime.build(lattice, coup_nd, temps, n_replicas, mesh=mesh)
         self._programs = {}

@@ -27,7 +27,6 @@ __all__ = [
 ]
 
 _SCALAR_KEYS = ("counter", "warmup", "pt_parity")
-_SYSTEM_AXIS_KEYS = ("spins", "pt_round_trips", "pt_trip_state")
 
 
 def make_mesh(n_devices=None, axis_names=("disorder",), devices=None):
@@ -69,15 +68,28 @@ def auto_mesh(n_disorder):
 
 
 def state_shardings(mesh, state, shard_systems=False):
-    """PartitionSpec tree for a SimState dict."""
-    has_sys = shard_systems and "systems" in mesh.axis_names
+    """PartitionSpec tree for a SimState dict.
+
+    Mesh axes used when present: ``disorder`` partitions the realization
+    batch, ``systems`` (opt-in) the replica x temperature batch, and
+    ``space`` the spin axis itself — contiguous row bands of the lattice
+    (SURVEY.md section 5 "long-context analog"): the roll-based stencils and
+    label propagation then compile to halo collective-permutes under XLA
+    SPMD, no hand-written halo exchange needed.
+    """
+    names = mesh.axis_names
+    dis = "disorder" if "disorder" in names else None
+    sysx = "systems" if (shard_systems and "systems" in names) else None
+    space = "space" if "space" in names else None
 
     def spec_for(key, v):
         if key in _SCALAR_KEYS:
             return NamedSharding(mesh, P())
-        if has_sys and key in _SYSTEM_AXIS_KEYS:
-            return NamedSharding(mesh, P("disorder", "systems"))
-        return NamedSharding(mesh, P("disorder"))
+        if key == "spins":
+            return NamedSharding(mesh, P(dis, sysx, space))
+        if key in ("pt_round_trips", "pt_trip_state"):
+            return NamedSharding(mesh, P(dis, sysx))
+        return NamedSharding(mesh, P(dis))
 
     return {k: spec_for(k, v) for k, v in state.items()}
 
@@ -90,12 +102,17 @@ def shard_state(state, mesh, shard_systems=False):
 
 def shard_runtime(rt, mesh):
     """Shard the Runtime's per-disorder constants; replicate lattice tables."""
-    dspec = NamedSharding(mesh, P("disorder"))
+    names = mesh.axis_names
+    dis = "disorder" if "disorder" in names else None
+    space = "space" if "space" in names else None
+    cspec = NamedSharding(mesh, P(dis, space, None))
     rspec = NamedSharding(mesh, P())
-    rt.couplings = jax.device_put(rt.couplings, dspec)
-    rt.coup_bwd = jax.device_put(rt.coup_bwd, dspec)
-    rt.color_masks = jax.device_put(rt.color_masks, rspec)
+    rt.couplings = jax.device_put(rt.couplings, cspec)
+    rt.coup_bwd = jax.device_put(rt.coup_bwd, cspec)
+    rt.color_masks = jax.device_put(
+        rt.color_masks, NamedSharding(mesh, P(None, space))
+    )
     rt.temps = jax.device_put(rt.temps, rspec)
     if rt.jgrids is not None:
-        rt.jgrids = jax.device_put(rt.jgrids, dspec)
+        rt.jgrids = jax.device_put(rt.jgrids, NamedSharding(mesh, P(dis)))
     return rt

@@ -126,3 +126,66 @@ def test_non_divisible_disorder_padded_onto_mesh():
     np.testing.assert_array_equal(
         np.asarray(sharded.state["spins"])[:9], np.asarray(plain.state["spins"])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_decomposition_matches_unsharded():
+    """Row-band 'space' sharding (SURVEY section 5 long-context analog): the
+    roll stencils and the SW label propagation cross shard boundaries via
+    XLA-inserted halo collectives; results must stay bitwise identical."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.269185], dtype=np.float32)
+    coup = np.ones((16, 16, 2), np.float32)
+    kwargs = dict(cluster_update_interval=1, cluster_mode="sw",
+                  collect_cluster_stats=True, warmup_ratio=0)
+
+    mesh = make_mesh(4, ("space",))
+    spatial = IsingSimulation([16, 16], coup, temps, 1, None, 11, mesh=mesh)
+    assert not spatial.rt.use_pallas and spatial.rt.pack_k == 0
+    r_sp = spatial.sample(6, "metropolis", **kwargs)
+    plain = IsingSimulation([16, 16], coup, temps, 1, None, 11, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+
+    np.testing.assert_array_equal(
+        np.asarray(spatial.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sp["mags2"], r_pl["mags2"])
+    np.testing.assert_array_equal(
+        np.asarray(r_sp["fk_csd"]), np.asarray(r_pl["fk_csd"])
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_disorder_by_space_mesh():
+    """2D disorder x space mesh: both batch and lattice partitioned."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.0, 2.6], dtype=np.float32)
+    rng = np.random.default_rng(5)
+    coup = (2 * rng.integers(0, 2, size=(2, 8, 8, 2)) - 1).astype(np.float32)
+    mesh = make_mesh(8, ("disorder", "space"))
+    assert dict(mesh.shape) == {"disorder": 2, "space": 4}
+    sim = IsingSimulation([8, 8], coup, temps, 2, None, 3, mesh=mesh)
+    r = sim.sample(4, "metropolis", pt_interval=1,
+                   overlap_cluster_update_interval=2, warmup_ratio=0)
+    plain = IsingSimulation([8, 8], coup, temps, 2, None, 3, mesh=None)
+    r_pl = plain.sample(4, "metropolis", pt_interval=1,
+                        overlap_cluster_update_interval=2, warmup_ratio=0)
+    np.testing.assert_array_equal(r["mags2"], r_pl["mags2"])
+    np.testing.assert_array_equal(
+        np.asarray(sim.state["spins"]), np.asarray(plain.state["spins"])
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_space_mesh_rejects_indivisible_extent():
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    coup = np.ones((6, 8, 2), np.float32)
+    with pytest.raises(ValueError, match="space"):
+        IsingSimulation([6, 8], coup, np.array([2.0], np.float32), 1, None,
+                        1, mesh=make_mesh(4, ("space",)))
