@@ -974,7 +974,6 @@ class LoopProgram:
         d = rt.n_disorder
         n_slots = rt.n_systems  # == n_temps (n_replicas == 1)
         pt_on = cfg.pt_interval is not None and rt.n_temps >= 2
-        n_edges = max(rt.n_temps - 1, 1)
 
         def words(keys, ctr, phase):
             """int32 [d, 2*n_inner] per-(realization, inner-sweep) words."""
