@@ -189,3 +189,20 @@ def test_space_mesh_rejects_indivisible_extent():
     with pytest.raises(ValueError, match="space"):
         IsingSimulation([6, 8], coup, np.array([2.0], np.float32), 1, None,
                         1, mesh=make_mesh(4, ("space",)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multidevice_binder_physics_oracle():
+    """Physics on the mesh, not just mechanics: 8 independent realizations
+    sharded over 8 devices must reproduce the universal 2D Ising torus
+    Binder value (~0.611) at exact T_c."""
+    from peapods_tpu import Ising
+
+    model = Ising((8, 8), temperatures=np.array([2.269185]), n_disorder=8,
+                  seed=17)
+    assert model._sim.mesh is not None
+    assert model._sim.mesh.devices.size == 8
+    model.sample(1600, cluster_update_interval=2, cluster_mode="sw",
+                 warmup_ratio=0.25)
+    binder = float(model.binder_cumulant[0])
+    assert abs(binder - 0.6107) < 0.06, binder
