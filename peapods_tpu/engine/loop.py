@@ -318,7 +318,14 @@ class LoopProgram:
             and cfg.cluster_update is None
             and cfg.overlap_cluster is None
             and not self.has_pairs
-            and (rt.mesh is None or rt.mesh.devices.size == 1)
+            # under a mesh: disorder-only sharding (kernel wraps in
+            # shard_map; systems/space axes would split inside one kernel
+            # instance's PT coupling)
+            and (
+                rt.mesh is None
+                or rt.mesh.devices.size == 1
+                or tuple(rt.mesh.axis_names) == ("disorder",)
+            )
         )
         # In-kernel CC for the FK phase: wins only when few graphs are built
         # per sweep (each vmapped kernel instance pays its own round count,
@@ -1004,7 +1011,33 @@ class LoopProgram:
             sweep_base = jnp.maximum(xs_blk[0], 0)
             meta = jnp.stack([sweep_base, n_active])[None, :]
 
-            out = pallas_mega.mega_chunk(
+            call = functools.partial(
+                pallas_mega.mega_chunk,
+                shape=(h, w),
+                gibbs=gibbs,
+                n_inner=n_inner,
+                n_temps=rt.n_temps,
+                pt_interval=cfg.pt_interval if pt_on else None,
+                pt_full=cfg.pt_schedule == "full_ladder",
+                hot_slot=rt.hot_slot,
+                cold_slot=rt.cold_slot,
+                interpret=interpret,
+            )
+            if rt.mesh is not None and rt.mesh.devices.size > 1:
+                from jax.sharding import PartitionSpec as P
+
+                dspec = P("disorder")
+                call = jax.shard_map(
+                    call,
+                    mesh=rt.mesh,
+                    # temps and meta are replicated; every other operand and
+                    # every output carries the disorder batch axis
+                    in_specs=(dspec, dspec, P(), dspec, dspec, P(), dspec,
+                              dspec, dspec, dspec, dspec, dspec),
+                    out_specs=(dspec,) * 9,
+                    check_vma=False,
+                )
+            out = call(
                 spins_slot,
                 rt.jgrids,
                 rt.temps[None, :],
@@ -1021,15 +1054,6 @@ class LoopProgram:
                 state["pt_round_trips"],
                 state["pt_trip_state"],
                 state["pt_parity"][None, None] * jnp.ones((d, 1), jnp.int32),
-                shape=(h, w),
-                gibbs=gibbs,
-                n_inner=n_inner,
-                n_temps=rt.n_temps,
-                pt_interval=cfg.pt_interval if pt_on else None,
-                pt_full=cfg.pt_schedule == "full_ladder",
-                hot_slot=rt.hot_slot,
-                cold_slot=rt.cold_slot,
-                interpret=interpret,
             )
             (spins_slot2, e_sw, m_sw, sid2, ea2, ec2, rt2, ts2, par2) = out
 

@@ -111,3 +111,31 @@ def test_schema_matches_scan_path(monkeypatch):
     pt_s = scan["per_disorder"]["parallel_tempering"]
     for k in pt_s:
         assert pt_m[k].shape == pt_s[k].shape and pt_m[k].dtype == pt_s[k].dtype
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_mega_under_disorder_mesh_matches_unsharded():
+    """Megakernel over a disorder mesh (shard_map): bitwise vs unsharded."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    coup = np.ones((8, L, 128, 2), np.float32)
+    temps = np.geomspace(2.0, 3.0, 4).astype(np.float32)
+    sharded = IsingSimulation([L, 128], coup, temps, 1, None, 21,
+                              mesh=make_mesh(8), default_chunk=16)
+    r_sh = sharded.sample(16, "metropolis", pt_interval=1, warmup_ratio=0)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.mega
+    plain = IsingSimulation([L, 128], coup, temps, 1, None, 21, mesh=None,
+                            default_chunk=16)
+    r_pl = plain.sample(16, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+    np.testing.assert_array_equal(
+        r_sh["per_disorder"]["parallel_tempering"]["edge_attempts"],
+        r_pl["per_disorder"]["parallel_tempering"]["edge_attempts"],
+    )
