@@ -446,6 +446,14 @@ def _fmt_top4(quad):
     return "(%.3f, %.3f, %.3f, %.3f)" % tuple(quad)
 
 
+def _top4_rows(model):
+    """Per-temperature quads for the table: ``top_cluster_sizes`` is a
+    per-overlap-mode list of (n_temps, 4) arrays (engine/results.py:333);
+    show the first populated mode."""
+    tops = model.top_cluster_sizes
+    return next((t for t in tops if len(t)), tops[0])
+
+
 _TABLE_COLUMNS = (
     ("T", 8, "temperatures", "{:.4f}".format),
     ("E", 10, "energies_avg", "{:.6f}".format),
@@ -456,6 +464,9 @@ _TABLE_COLUMNS = (
     ("Top-4 Clusters", 30, "top_cluster_sizes", _fmt_top4),
 )
 
+# attributes that are not already a per-temperature sequence
+_COLUMN_ROWS = {"top_cluster_sizes": _top4_rows}
+
 
 def print_table(model):
     """Per-temperature observable table from whatever the model exposes."""
@@ -463,7 +474,10 @@ def print_table(model):
     header = "  ".join(title.rjust(width) for title, width, _, _ in live)
     lines = [header, "-" * len(header)]
     columns = [
-        [fmt(cell).rjust(width) for cell in getattr(model, attr)]
+        [
+            fmt(cell).rjust(width)
+            for cell in _COLUMN_ROWS.get(attr, lambda m, a=attr: getattr(m, a))(model)
+        ]
         for _, width, attr, fmt in live
     ]
     lines.extend("  ".join(cells) for cells in zip(*columns))

@@ -37,6 +37,30 @@ _PASSTHROUGH_ATTRS = {
     "cluster_snapshots": "cluster_snapshots",
 }
 
+# sample() kwarg validation, declaratively (same user-facing strings as the
+# reference pre-FFI checks, spin_models.py:222-247): enum membership, then
+# value-conditional requirements, then sub-config kwargs nulled out when
+# their governing interval is unset.
+_SAMPLE_ENUMS = (
+    ("cluster_action", ("update", "observe")),
+    ("overlap_cluster_action", ("update", "observe")),
+    ("pt_schedule", ("single_random_edge", "full_ladder")),
+    ("autocorrelation_backend", ("ring", "fft")),
+)
+_SAMPLE_REQUIRES = (
+    ("autocorrelation_backend", "fft", "autocorrelation_max_lag"),
+    ("cluster_action", "observe", "cluster_update_interval"),
+    ("overlap_cluster_action", "observe", "overlap_cluster_update_interval"),
+)
+_SAMPLE_GATES = (
+    ("cluster_mode", "cluster_update_interval"),
+    ("cluster_action", "cluster_update_interval"),
+    ("overlap_cluster_build_mode", "overlap_cluster_update_interval"),
+    ("overlap_cluster_mode", "overlap_cluster_update_interval"),
+    ("overlap_cluster_action", "overlap_cluster_update_interval"),
+    ("snapshot_interval", "overlap_cluster_update_interval"),
+)
+
 
 def _synthesize_couplings(mode, coupling_seed, n_disorder, single_shape):
     """Per-disorder coupling arrays from independent SeedSequence children."""
@@ -186,54 +210,37 @@ class Ising:
         Returns the raw results dictionary (keys like ``"mags"``,
         ``"energies"``, ``"overlap2"``, ``"per_disorder"``, ...).
         """
-        if cluster_action not in {"update", "observe"}:
-            raise ValueError("cluster_action must be 'update' or 'observe'")
-        if overlap_cluster_action not in {"update", "observe"}:
-            raise ValueError("overlap_cluster_action must be 'update' or 'observe'")
-        if pt_schedule not in {"single_random_edge", "full_ladder"}:
-            raise ValueError(
-                "pt_schedule must be 'single_random_edge' or 'full_ladder'"
-            )
-        if autocorrelation_backend not in {"ring", "fft"}:
-            raise ValueError("autocorrelation_backend must be 'ring' or 'fft'")
-        if autocorrelation_backend == "fft" and autocorrelation_max_lag is None:
-            raise ValueError(
-                "autocorrelation_backend='fft' requires autocorrelation_max_lag"
-            )
-        if cluster_action == "observe" and cluster_update_interval is None:
-            raise ValueError(
-                "cluster_action='observe' requires cluster_update_interval"
-            )
-        if (
-            overlap_cluster_action == "observe"
-            and overlap_cluster_update_interval is None
-        ):
-            raise ValueError(
-                "overlap_cluster_action='observe' requires "
-                "overlap_cluster_update_interval"
-            )
-
-        oci = overlap_cluster_update_interval
-        result = self._sim.sample(
-            n_sweeps,
-            sweep_mode,
+        kw = dict(
             cluster_update_interval=cluster_update_interval,
-            cluster_mode=cluster_mode if cluster_update_interval else None,
-            cluster_action=cluster_action if cluster_update_interval else None,
+            cluster_mode=cluster_mode,
+            cluster_action=cluster_action,
             pt_interval=pt_interval,
             pt_schedule=pt_schedule,
-            overlap_cluster_update_interval=oci,
-            overlap_cluster_build_mode=overlap_cluster_build_mode if oci else None,
-            overlap_cluster_mode=overlap_cluster_mode if oci else None,
-            overlap_cluster_action=overlap_cluster_action if oci else None,
+            overlap_cluster_update_interval=overlap_cluster_update_interval,
+            overlap_cluster_build_mode=overlap_cluster_build_mode,
+            overlap_cluster_mode=overlap_cluster_mode,
+            overlap_cluster_action=overlap_cluster_action,
             warmup_ratio=warmup_ratio,
             collect_cluster_stats=collect_cluster_stats,
             autocorrelation_max_lag=autocorrelation_max_lag,
             autocorrelation_backend=autocorrelation_backend,
             sequential=sequential,
             equilibration_diagnostic=equilibration_diagnostic,
-            snapshot_interval=snapshot_interval if oci else None,
+            snapshot_interval=snapshot_interval,
         )
+        for name, choices in _SAMPLE_ENUMS:
+            if kw[name] not in choices:
+                raise ValueError(
+                    f"{name} must be " + " or ".join(f"'{c}'" for c in choices)
+                )
+        for name, value, needed in _SAMPLE_REQUIRES:
+            if kw[name] == value and kw[needed] is None:
+                raise ValueError(f"{name}='{value}' requires {needed}")
+        for name, interval in _SAMPLE_GATES:
+            if not kw[interval]:
+                kw[name] = None
+
+        result = self._sim.sample(n_sweeps, sweep_mode, **kw)
         self._attach_observables(result)
         return result
 

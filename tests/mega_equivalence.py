@@ -1,0 +1,130 @@
+"""Megakernel statistical validation on real TPU.
+
+The megakernel (``ops/pallas_mega.py``) runs sweep + measurement + PT
+on-chip for a whole block of sweeps; its PT draws come from a counter-based
+scalar mix instead of the jnp path's threefry stream, so trajectories differ
+from the per-sweep scan path and equivalence is *statistical* (see the
+module docstring).  ``tests/test_mega.py`` pins the machinery on the CPU
+interpreter; this script pins the physics on the real chip:
+
+1. **Two-sample z-test vs the per-sweep path**: identical 64x128 ferro
+   config (16-temp PT ladder straddling T_c) run through the megakernel and
+   through the scan path (``PEAPODS_DISABLE_MEGA=1`` semantics via config),
+   many independent seeds each; per-temperature <E> and <m^2> must agree
+   within combined standard errors (|z| < 4 with 16x2 comparisons).
+2. **Binder cumulant at T_c through the mega path only**: 128x128 and
+   256x256 square ferro (the mega kernel needs W % 128 == 0) with a PT
+   ladder straddling T_c, Metropolis-only dynamics; the Binder cumulant
+   interpolated at the exact T_c must land on the universal 2D torus value
+   (~0.611) for both sizes (spread < tol and absolute window), mirroring
+   ``binder_crossings.py`` which exercises the cluster kernels (reference
+   anchor: tests/binder_crossings.py:65-107).
+
+Run:  python tests/mega_equivalence.py [--quick]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from utils import TC_SQUARE  # noqa: E402
+
+
+def _moments(results):
+    """Per-temperature <E>/spin (already per-spin in the results dict,
+    reference convention spins/energy.rs:92-109) and <m^2>."""
+    e = np.asarray(results["energies"], np.float64)
+    m2 = np.asarray(results["mags2"], np.float64)
+    return e, m2
+
+
+def run_ztest(quick):
+    from peapods_tpu.models.ising import Ising
+
+    n_seeds = 8 if quick else 24
+    n_sweeps = 2000 if quick else 8000
+    temps = np.geomspace(1.9, 3.1, 16).astype(np.float32)
+    shape = (64, 128)
+
+    acc = {}
+    for mega in (True, False):
+        os.environ["PEAPODS_DISABLE_MEGA"] = "" if mega else "1"
+        es, m2s = [], []
+        for s in range(n_seeds):
+            model = Ising(shape, "ferro", temps, seed=1000 + s + (0 if mega else 500))
+            r = model.sample(n_sweeps, "metropolis", pt_interval=1)
+            e, m2 = _moments(r)
+            es.append(e)
+            m2s.append(m2)
+        acc[mega] = (np.stack(es), np.stack(m2s))
+    os.environ.pop("PEAPODS_DISABLE_MEGA", None)
+
+    worst = 0.0
+    for name, idx in (("<E>/N", 0), ("<m^2>", 1)):
+        a, b = acc[True][idx], acc[False][idx]
+        ma, mb = a.mean(0), b.mean(0)
+        se = np.sqrt(a.var(0, ddof=1) / len(a) + b.var(0, ddof=1) / len(b))
+        z = np.abs(ma - mb) / np.where(se > 0, se, 1)
+        print(f"  {name}: max|z| = {z.max():.2f} "
+              f"(mega {ma[z.argmax()]:.5f} vs scan {mb[z.argmax()]:.5f} "
+              f"at T={temps[z.argmax()]:.3f})")
+        worst = max(worst, float(z.max()))
+    limit = 4.5
+    status = "PASSED" if worst < limit else "FAILED"
+    print(f"mega-vs-scan z-test: max|z| {worst:.2f} < {limit} ... {status}")
+    return worst < limit
+
+
+def run_binder(quick):
+    from peapods_tpu.models.ising import Ising
+
+    # PT swap acceptance scales as exp(-dbeta * sigma_E) with
+    # sigma_E ~ sqrt(N c_v) T, so the ladder must densify with lattice size;
+    # likewise the coarsening/equilibration budget grows with L.
+    budgets = (
+        {128: (40000, 32), 256: (150000, 64)}
+        if not quick
+        else {128: (8000, 32), 256: (40000, 64)}
+    )
+    at_tc = {}
+    for L, (n_sweeps, n_temps) in budgets.items():
+        temps = np.linspace(2.05, 2.75, n_temps).astype(np.float32)
+        t0 = time.time()
+        model = Ising((L, L), "ferro", temps, seed=7)
+        model.sample(n_sweeps, "metropolis", pt_interval=1, warmup_ratio=0.5)
+        binder = np.asarray(model.binder_cumulant, np.float64)
+        at_tc[L] = float(np.interp(TC_SQUARE, temps, binder))
+        print(f"  L={L}: binder at T_c = {at_tc[L]:.4f}  ({time.time()-t0:.1f}s)")
+    spread = max(at_tc.values()) - min(at_tc.values())
+    window = all(0.56 < v < 0.66 for v in at_tc.values())
+    tol = 0.05 if not quick else 0.08
+    ok = spread < tol and window
+    print(f"mega-path Binder: spread {spread:.4f} (tol {tol}), "
+          f"universal-window {'ok' if window else 'VIOLATED'} ... "
+          f"{'PASSED' if ok else 'FAILED'}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", choices=["ztest", "binder"])
+    args = ap.parse_args()
+
+    ok = True
+    if args.only in (None, "ztest"):
+        print("== mega vs per-sweep scan: two-sample z-test ==")
+        ok &= run_ztest(args.quick)
+    if args.only in (None, "binder"):
+        print("== Binder cumulant at T_c through the mega path ==")
+        ok &= run_binder(args.quick)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

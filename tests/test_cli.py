@@ -39,6 +39,23 @@ def test_simulate_prints_table_and_saves_npz(tmp_path):
         assert "per_disorder_pt_edge_attempts" in data
 
 
+def test_simulate_table_with_cluster_stats(tmp_path):
+    """Top-4 column: top_cluster_sizes is a per-mode list of (n_temps, 4)
+    arrays, not a per-temperature sequence — the table must render one quad
+    per temperature (regression: TypeError in _fmt_top4)."""
+    proc = run_cli(
+        "simulate", "--shape", "4", "4", "--temp-min", "1.5", "--temp-max",
+        "3.0", "--n-temps", "3", "--n-sweeps", "16", "--n-replicas", "2",
+        "--pt-interval", "1", "--cluster-interval", "4",
+        "--overlap-cluster-update-interval", "8", "--collect-cluster-stats",
+        "--seed", "3",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "Top-4 Clusters" in proc.stdout
+    quads = [ln for ln in proc.stdout.splitlines() if ln.rstrip().endswith(")")]
+    assert len(quads) == 3, proc.stdout
+
+
 def test_bench_reports_ms_per_sweep():
     proc = run_cli(
         "bench", "--shape", "4", "4", "--temp-min", "1.0", "--temp-max",
