@@ -146,6 +146,11 @@ class Runtime:
             jax.default_backend() not in ("cpu",)
             or os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         )
+        # A/B kill switch: force the roll-based jnp path everywhere (kernel
+        # isolation during validation; also disables the megakernel, which
+        # requires use_pallas)
+        if os.environ.get("PEAPODS_DISABLE_PALLAS") == "1":
+            on_device = False
         use_pallas = pallas_sweep.supports(lattice) and on_device
         n_systems = int(n_replicas) * int(len(temps))
         pack_k = (

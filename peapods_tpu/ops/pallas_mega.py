@@ -22,6 +22,10 @@ Design notes:
   which *system* sits where (``sid``, for the round-trip diagnostics).  The
   reference swaps ``system_ids`` and never copies spins; here the in-VMEM
   copy of two [H, W] int8 tiles is ~zero-cost next to a sweep.
+* Lattices with W % 256 == 0 use the two-sublattice layout
+  (:func:`peapods_tpu.ops.pallas_sweep.pack_two_sub`): dense even/odd site
+  arrays halve the per-pass elementwise work and PRNG draws, and the
+  per-sweep energy falls out of the odd pass's local field for free.
 * The sweep acceptance uniforms come from the hardware PRNG exactly like
   :mod:`peapods_tpu.ops.pallas_sweep` (same ``_kernel_body`` math).  The PT
   edge/acceptance draws are a handful of *scalars* per sweep; hardware PRNG
@@ -42,7 +46,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sweep import _hw_uniform, _interp, _kernel_body
+from .pallas_sweep import (
+    _hw_uniform,
+    _interp,
+    _kernel_body,
+    _kernel_body_2sub,
+    pack_coupling_grids_two_sub,
+    pack_two_sub,
+    unpack_two_sub,
+)
 
 __all__ = ["mega_chunk", "supports_mega"]
 
@@ -103,10 +115,13 @@ def _mega_kernel(
     sid_out_ref, ea_out_ref, ec_out_ref, rt_out_ref, ts_out_ref, par_out_ref,
     *,
     gibbs, n_inner, n_slots, n_temps, n_edges, pt_interval, pt_full,
-    hot_slot, cold_slot, n_spins,
+    hot_slot, cold_slot, n_spins, two_sub,
 ):
-    h_dim = spins_ref.shape[2]
-    w_dim = spins_ref.shape[3]
+    # two_sub: spins_ref is [1, n_slots, 2, H, W/2] (pack_two_sub layout —
+    # halves the sweep's elementwise work and PRNG draws); otherwise
+    # [1, n_slots, H, W]
+    h_dim = spins_ref.shape[-2]
+    w_dim = spins_ref.shape[-1]
 
     # slot ordering: slot = r * n_temps + t  (n_replicas == 1 -> slot == t)
     def slot_temp(slot):
@@ -194,25 +209,32 @@ def _mega_kernel(
             pltpu.prng_seed(seeds_ref[0, 2 * t], seeds_ref[0, 2 * t + 1])
 
             def one_slot(slot, _):
-                s = spins_out_ref[0, slot].astype(jnp.float32)
                 inv_half_t = 1.0 / (0.5 * slot_temp(slot))
-                jg = jgrids_ref[0]
-                s = _kernel_body(
-                    s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
-                    gibbs=gibbs,
-                )
-                spins_out_ref[0, slot] = s.astype(jnp.int8)
-                # fused measurement (positive forward-bond convention)
-                e_tot = (
-                    s
-                    * (
-                        pltpu.roll(s, h_dim - 1, 0) * jg[1]
-                        + pltpu.roll(s, w_dim - 1, 1) * jg[3]
+                if two_sub:
+                    s_e = spins_out_ref[0, slot, 0].astype(jnp.float32)
+                    s_o = spins_out_ref[0, slot, 1].astype(jnp.float32)
+                    jg_e = jgrids_ref[0, 0]
+                    jg_o = jgrids_ref[0, 1]
+                    s_e, s_o, e_tot = _kernel_body_2sub(
+                        s_e, s_o, jg_e, jg_o, inv_half_t,
+                        lambda c: _hw_uniform(s_e.shape), gibbs=gibbs,
+                        with_energy=True,
                     )
-                ).sum()
+                    spins_out_ref[0, slot, 0] = s_e.astype(jnp.int8)
+                    spins_out_ref[0, slot, 1] = s_o.astype(jnp.int8)
+                    m_sum = s_e.sum() + s_o.sum()
+                else:
+                    s = spins_out_ref[0, slot].astype(jnp.float32)
+                    jg = jgrids_ref[0]
+                    s, e_tot = _kernel_body(
+                        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
+                        gibbs=gibbs, with_energy=True,
+                    )
+                    spins_out_ref[0, slot] = s.astype(jnp.int8)
+                    m_sum = s.sum()
                 es_ref[0, slot] = e_tot / np.float32(n_spins)
                 e_out_ref[0, t, slot] = e_tot / np.float32(n_spins)
-                m_out_ref[0, t, slot] = s.sum().astype(jnp.int32)
+                m_out_ref[0, t, slot] = m_sum.astype(jnp.int32)
                 return 0
 
             jax.lax.fori_loop(0, n_slots, one_slot, 0)
@@ -266,7 +288,7 @@ def _mega_kernel(
     pl.run_scoped(
         body,
         es_ref=pltpu.SMEM((1, n_slots), jnp.float32),
-        tmp_ref=pltpu.VMEM((spins_ref.shape[2], spins_ref.shape[3]), jnp.int8),
+        tmp_ref=pltpu.VMEM(tuple(spins_ref.shape[2:]), jnp.int8),
     )
 
 
@@ -294,6 +316,9 @@ def mega_chunk(
     h, w = shape
     n_d, n_slots = spins_slot.shape[:2]
     n_edges = n_temps - 1
+    # two-sublattice layout whenever both dense [H, W/2] sublattices still
+    # fill the 128 lanes: halves the sweep work and PRNG draws per sweep
+    two_sub = w % 256 == 0
     kernel = functools.partial(
         _mega_kernel,
         gibbs=gibbs,
@@ -306,7 +331,33 @@ def mega_chunk(
         hot_slot=hot_slot,
         cold_slot=cold_slot,
         n_spins=h * w,
+        two_sub=two_sub,
     )
+    if two_sub:
+        spins_dev = pack_two_sub(spins_slot)  # [n_d, n_slots, 2, h, w//2]
+        jgrids_dev = pack_coupling_grids_two_sub(jgrids)  # [n_d, 2, 4, h, w//2]
+        spins_spec = pl.BlockSpec(
+            (1, n_slots, 2, h, w // 2), lambda d: (d, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        jg_spec = pl.BlockSpec(
+            (1, 2, 4, h, w // 2), lambda d: (d, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spins_out_shape = jax.ShapeDtypeStruct(
+            (n_d, n_slots, 2, h, w // 2), jnp.int8
+        )
+    else:
+        spins_dev = spins_slot
+        jgrids_dev = jgrids
+        spins_spec = pl.BlockSpec(
+            (1, n_slots, h, w), lambda d: (d, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        jg_spec = pl.BlockSpec(
+            (1, 4, h, w), lambda d: (d, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        spins_out_shape = jax.ShapeDtypeStruct((n_d, n_slots, h, w), jnp.int8)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     grid_smem = lambda row: pl.BlockSpec(
         (1, row), lambda d: (d, 0), memory_space=pltpu.SMEM
@@ -329,14 +380,11 @@ def mega_chunk(
             grid_smem(n_slots),                 # rtrips
             grid_smem(n_slots),                 # tstate
             grid_smem(1),                       # parity
-            pl.BlockSpec((1, n_slots, h, w), lambda d: (d, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, h, w), lambda d: (d, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spins_spec,
+            jg_spec,
         ],
         out_specs=(
-            pl.BlockSpec((1, n_slots, h, w), lambda d: (d, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spins_spec,
             pl.BlockSpec((1, n_inner, n_slots), lambda d: (d, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_inner, n_slots), lambda d: (d, 0, 0),
@@ -349,7 +397,7 @@ def mega_chunk(
             grid_smem(1),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_d, n_slots, h, w), jnp.int8),
+            spins_out_shape,
             jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.float32),
             jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.int32),
             jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
@@ -362,6 +410,8 @@ def mega_chunk(
         interpret=_interp(interpret),
     )(
         seeds, pt_words, temps, meta, sid, ea, ec, rtrips, tstate, parity,
-        spins_slot, jgrids,
+        spins_dev, jgrids_dev,
     )
+    if two_sub:
+        out = (unpack_two_sub(out[0]),) + out[1:]
     return out

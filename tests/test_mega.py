@@ -68,6 +68,48 @@ def test_determinism_and_chunk_invariance():
     )
 
 
+def test_two_sub_mega_mechanics():
+    """W % 256 == 0 lattices take the two-sublattice megakernel layout:
+    same determinism/chunk-invariance contract, and the energy record must
+    equal a direct recompute from the final spins (the layout's measurement
+    path re-derives e from packed sublattices)."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.ops.energy import energies_and_mags
+    from peapods_tpu.ops.geometry import GridOps
+    from peapods_tpu.ops.lattice import Lattice
+
+    import jax.numpy as jnp
+
+    def sim(chunk):
+        coup = np.ones((8, 256, 2), np.float32)
+        temps = np.geomspace(1.8, 3.2, 3).astype(np.float32)
+        return IsingSimulation([8, 256], coup, temps, 1, None, 13,
+                               default_chunk=chunk, mesh=None)
+
+    a = sim(32)
+    a.sample(32, "metropolis", pt_interval=1, warmup_ratio=0)
+    b = sim(8)
+    b.sample(16, "metropolis", pt_interval=1, warmup_ratio=0)
+    b.sample(16, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    assert next(iter(a._programs.values())).mega
+
+    # measurement identity: a single recorded sweep's per-temp energies must
+    # equal a direct recompute from the resulting spins (no PT, so slot ==
+    # system and the means average exactly one sweep)
+    c = sim(8)
+    rc = c.sample(1, "metropolis", warmup_ratio=0)
+    lat = Lattice([8, 256])
+    geom = GridOps.from_lattice(lat)
+    coup = jnp.ones((lat.n_spins, 2), jnp.float32)
+    e_ref, _ = energies_and_mags(c.state["spins"][0], coup, geom)
+    np.testing.assert_allclose(
+        np.asarray(rc["energies"]), np.asarray(e_ref), rtol=1e-5
+    )
+
+
 def test_pt_bookkeeping_invariants():
     sim = _sim(n_temps=4, seed=5)
     n_sweeps = 40

@@ -57,6 +57,58 @@ def test_pallas_matches_jnp_with_shared_uniforms(gibbs):
         spins = ref
 
 
+@pytest.mark.parametrize("gibbs", [False, True])
+def test_two_sub_matches_jnp_with_shared_uniforms(gibbs):
+    """Two-sublattice layout: same flip decisions as the jnp multicolor path
+    when fed the same uniforms (gathered at each color's sites)."""
+    H, W, n_sys = 8, 16, 3
+    lat = Lattice([H, W])
+    geom = GridOps.from_lattice(lat)
+    rng = np.random.default_rng(17)
+    coup = rng.standard_normal((lat.n_spins, 2)).astype(np.float32)
+    coup_j = jnp.asarray(coup)
+    coup_bwd = jnp.stack(
+        [geom.shift_bwd(coup_j[:, d], d) for d in range(2)], axis=-1
+    )
+    jg = ps.pack_coupling_grids(coup_j, (H, W))
+    temps = jnp.asarray([1.5, 2.269, 4.0], jnp.float32)
+    cm = jnp.asarray(lat.color_masks())
+    spins = jnp.asarray(
+        rng.choice([-1, 1], size=(n_sys, lat.n_spins)).astype(np.int8)
+    )
+
+    for step in range(5):
+        u = jnp.asarray(rng.random((2, n_sys, lat.n_spins), dtype=np.float32))
+        ref = mc_sweep(
+            spins, coup_j, coup_bwd, geom, cm, temps,
+            jax.random.PRNGKey(0), gibbs=gibbs, uniforms=u,
+        )
+        # per color, gather the uniforms at that color's sublattice sites
+        u_grids = ps.pack_two_sub(u.reshape(2, n_sys, H, W))  # [2, n_sys, 2, H, W/2]
+        u_2sub = jnp.stack([u_grids[0, :, 0], u_grids[1, :, 1]], axis=1)
+        got = ps.sweep_2d_two_sub_injected(
+            spins, jg, temps, u_2sub, shape=(H, W), gibbs=gibbs,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref), err_msg=f"step {step}"
+        )
+        spins = ref
+
+
+def test_two_sub_pack_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(-128, 128, size=(3, 8, 12)).astype(np.int8))
+    p = ps.pack_two_sub(x)
+    assert p.shape == (3, 2, 8, 6)
+    np.testing.assert_array_equal(np.asarray(ps.unpack_two_sub(p)), np.asarray(x))
+    # even sublattice holds the (row+col) % 2 == 0 sites
+    full = np.asarray(x)
+    e = np.asarray(p[:, 0])
+    for i in range(8):
+        np.testing.assert_array_equal(e[:, i], full[:, i, (i % 2)::2])
+
+
 def test_fused_measurement_matches_recompute():
     """sweep_2d_fused's (e, m) must equal recomputation from its own output."""
     from peapods_tpu.ops.energy import energies_and_mags
