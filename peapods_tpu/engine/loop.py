@@ -129,6 +129,7 @@ class Runtime:
     use_pallas: bool = False  # wide-lattice direct kernel
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
     kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
+    kernel3d_rows: int = 1  # 3D kernel sublane-pack factor ks (systems/rows)
     mesh: object | None = None  # jax.sharding.Mesh; Pallas calls shard_map
     # over it (the reference keeps full per-worker kernel speed across the
     # rayon fan-out, simulation/mod.rs:887-903 — scaling out must not cost
@@ -179,6 +180,15 @@ class Runtime:
                     pack_k = 0
                 if kernel3d and (n_systems // sys_ax) % kernel3d:
                     kernel3d = 0
+        # sublane packing: stack ks systems per 3D kernel instance (fewer,
+        # fatter grid steps — small lattices are otherwise pipeline-bound);
+        # shard-local system counts must stay divisible
+        k3_rows = pallas_sweep3d.row_pack_3d(lattice, n_systems, kernel3d)
+        if mesh is not None and "systems" in mesh.axis_names and kernel3d:
+            sys_ax = mesh.shape["systems"]
+            local = n_systems // sys_ax
+            while k3_rows > 1 and (local // kernel3d) % k3_rows:
+                k3_rows -= 1
         if use_pallas:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
@@ -192,7 +202,7 @@ class Runtime:
         elif kernel3d:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep3d.pack_coupling_grids_3d(
-                    c, tuple(lattice.shape), kernel3d
+                    c, tuple(lattice.shape), kernel3d, k3_rows
                 )
             )(coup)
         else:
@@ -202,6 +212,7 @@ class Runtime:
             use_pallas=use_pallas,
             pack_k=pack_k,
             kernel3d=kernel3d,
+            kernel3d_rows=k3_rows if kernel3d else 1,
             mesh=mesh,
             lattice=lattice,
             geom=GridOps.from_lattice(lattice),
@@ -448,12 +459,15 @@ class LoopProgram:
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
 
         if rt.kernel3d:
-            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.kernel3d)
+            seeds = pallas_sweep.make_seeds(
+                skeys, rt.n_systems // (rt.kernel3d * rt.kernel3d_rows)
+            )
 
             def call(sp, jg, st, sd):
                 return pallas_sweep3d.sweep_3d(
                     sp, jg, st, sd, shape=tuple(rt.lattice.shape),
-                    kp=rt.kernel3d, gibbs=gibbs, interpret=interpret,
+                    kp=rt.kernel3d, ks=rt.kernel3d_rows, gibbs=gibbs,
+                    interpret=interpret,
                 )
 
             n_out = 1

@@ -35,11 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import METROPOLIS_LAZINESS
-from .pallas_sweep import _hw_uniform, _interp, _seed_prng, pack_spins, unpack_spins
+from .pallas_sweep import _hw_uniform, _interp, _seed_prng
 
 __all__ = [
     "supports_3d",
     "pack_factor_3d",
+    "row_pack_3d",
     "pack_coupling_grids_3d",
     "sweep_3d",
     "sweep_3d_injected",
@@ -72,13 +73,62 @@ def pack_factor_3d(lattice, n_systems) -> int:
     return kp if n_systems % kp == 0 else 0
 
 
-def pack_coupling_grids_3d(coup_fwd, shape, kp):
-    """``f32 [6, L0, kp*L1*L2]`` pre-shifted coupling grids.
+def row_pack_3d(lattice, n_systems, kp) -> int:
+    """Sublane-pack factor ks >= 1: systems stacked vertically per instance.
+
+    Small lattices leave each kernel-grid step with tiny tiles (8^3 -> one
+    [8, 128] tile per 2 systems), so per-step pipeline overhead dominates
+    the sweep.  Stacking ks lane-groups on the sublane axis (seam-corrected
+    i rolls) fattens the tile to [ks*L0, kp*L1*L2] and divides the grid
+    step count by ks.
+
+    Only applied when one system occupies a single 128-lane tile: wider
+    lattices (16^3 -> [16, 256] tiles) are already pipeline-efficient, and
+    the per-sweep pack/unpack transposes the row stacking needs cost more
+    than the kernel saves (measured: 16^3 config 4.43 -> 6.43 ms/sweep).
+    """
+    if kp == 0:
+        return 0
+    if kp * lattice.shape[1] * lattice.shape[2] != 128:
+        return 1
+    groups = n_systems // kp
+    ks = max(1, 128 // lattice.shape[0])
+    while ks > 1 and groups % ks:
+        ks -= 1
+    return ks
+
+
+def pack_rows_3d(spins, l0, block, kp, ks):
+    """``int8 [S, n_spins] -> [S/(kp*ks), ks*L0, kp*block]``: lane-pack kp
+    systems, then stack ks lane-groups vertically (system ``g*kp*ks + b*kp
+    + c`` sits at rows ``[b*L0, (b+1)*L0)``, lanes ``[c*block, (c+1)*block)``)."""
+    g = spins.shape[0] // (kp * ks)
+    return (
+        spins.reshape(g, ks, kp, l0, block)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(g, ks * l0, kp * block)
+    )
+
+
+def unpack_rows_3d(packed, l0, block, kp, ks):
+    g = packed.shape[0]
+    return (
+        packed.reshape(g, ks, l0, kp, block)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(g * ks * kp, l0 * block)
+    )
+
+
+def pack_coupling_grids_3d(coup_fwd, shape, kp, ks=1):
+    """``f32 [6, ks*L0, kp*L1*L2]`` pre-shifted coupling grids.
 
     Order: (i-from-above, i-forward, j-from-left, j-forward, k-from-left,
     k-forward) — for each dim the bond arriving from the -d neighbor is that
     neighbor's forward coupling (reference ``local_field``,
-    mcmc/sweep.rs:8-19).
+    mcmc/sweep.rs:8-19).  The grids are tiled across the kp lane-packed and
+    ks sublane-packed system blocks ONCE here (all systems of one disorder
+    realization share couplings); tiling per sweep would re-materialize
+    megabytes inside the scan.
     """
     l0, l1, l2 = shape
     grids = []
@@ -87,7 +137,7 @@ def pack_coupling_grids_3d(coup_fwd, shape, kp):
         grids.append(jnp.roll(fwd, 1, axis=d))
         grids.append(fwd)
     g = jnp.stack([x.reshape(l0, l1 * l2) for x in grids])
-    return jnp.tile(g, (1, 1, kp))
+    return jnp.tile(g, (1, ks, kp))
 
 
 def _lane_shift_fns(col, block, l1, l2):
@@ -132,20 +182,46 @@ def _lane_shift_fns(col, block, l1, l2):
     return (jm, jp, km, kp_), parity_jk
 
 
-def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l1, l2):
-    """Both-color update of one ``[L0, kp*L1*L2]`` tile."""
+def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2):
+    """Both-color update of one ``[ks*L0, kp*L1*L2]`` tile.
+
+    The sublane axis may stack ks systems (:func:`pack_rows_3d`); the i +- 1
+    rolls then get the same seam treatment as the lane packing: at a
+    system's top/bottom row the periodic wrap must come from that system's
+    own block, not the vertically adjacent one.
+    """
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
-    l0, lanes = s.shape
+    rows, lanes = s.shape
     block = l1 * l2
-    row = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
     (jm, jp, km, kp_), parity_jk = _lane_shift_fns(col, block, l1, l2)
-    parity = (row + parity_jk) & 1
+    i_coord = jax.lax.rem(row, np.int32(l0))
+    parity = (i_coord + parity_jk) & 1
+    if rows == l0:
+        def im(x):
+            return pltpu.roll(x, 1, 0)
+
+        def ip(x):
+            return pltpu.roll(x, l0 - 1, 0)
+    else:
+        at_i0 = i_coord == 0
+        at_il = i_coord == (l0 - 1)
+
+        def im(x):
+            return jnp.where(
+                at_i0, pltpu.roll(x, rows - (l0 - 1), 0), pltpu.roll(x, 1, 0)
+            )
+
+        def ip(x):
+            return jnp.where(
+                at_il, pltpu.roll(x, l0 - 1, 0), pltpu.roll(x, rows - 1, 0)
+            )
 
     for c in range(2):
         field = (
-            pltpu.roll(s, 1, 0) * jg[0]
-            + pltpu.roll(s, l0 - 1, 0) * jg[1]
+            im(s) * jg[0]
+            + ip(s) * jg[1]
             + jm(s) * jg[2]
             + jp(s) * jg[3]
             + km(s) * jg[4]
@@ -163,124 +239,135 @@ def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l1, l2):
 
 
 def _kernel_3d(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
-               gibbs, l1, l2, kp):
+               gibbs, l0, l1, l2, kp, ks):
     d_idx = pl.program_id(0)
     grp = pl.program_id(1)
-    # kp packed systems share this stream (see pallas_sweep._packed_kernel:
-    # every lane still draws an independent uniform, only the packed-vs-
-    # unpacked trajectory differs).
+    # the kp*ks packed systems share this stream (see
+    # pallas_sweep._packed_kernel: every lane/sublane still draws an
+    # independent uniform, only the packed-vs-unpacked trajectory differs).
     _seed_prng(seed_ref, d_idx, grp)
-    s = spins_ref[0, 0].astype(jnp.float32)  # [L0, kp*L1*L2]
+    s = spins_ref[0, 0].astype(jnp.float32)  # [ks*L0, kp*L1*L2]
     jg = jgrids_ref[0]
-    l0, lanes = s.shape
+    rows, lanes = s.shape
     block = l1 * l2
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
-    if kp == 1:
+    if kp == 1 and ks == 1:
         inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, grp])
     else:
-        inv_half_t = jnp.zeros((l0, lanes), jnp.float32)
-        for c in range(kp):
-            t_c = temp_ref[d_idx, grp * kp + c]
-            inv_half_t = jnp.where(
-                (col // block) == c, 1.0 / (0.5 * t_c), inv_half_t
-            )
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        sub = (row // l0) * kp + col // block  # system g*kp*ks + sub
+        inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
+        for c in range(kp * ks):
+            t_c = temp_ref[d_idx, grp * kp * ks + c]
+            inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
 
     out_ref[0, 0] = _body_3d(
         s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
-        gibbs=gibbs, l1=l1, l2=l2,
+        gibbs=gibbs, l0=l0, l1=l1, l2=l2,
     ).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "kp", "gibbs", "interpret"))
-def sweep_3d(spins, jgrids, sys_temps, seeds, *, shape, kp, gibbs=False,
+@functools.partial(
+    jax.jit, static_argnames=("shape", "kp", "ks", "gibbs", "interpret")
+)
+def sweep_3d(spins, jgrids, sys_temps, seeds, *, shape, kp, ks=1, gibbs=False,
              interpret=False):
     """Full 3D checkerboard sweep of every (realization, system).
 
     Args:
-        spins: ``int8 [n_disorder, n_systems, n_spins]`` (n_systems % kp == 0).
-        jgrids: ``f32 [n_disorder, 6, L0, kp*L1*L2]``
-            from :func:`pack_coupling_grids_3d`.
+        spins: ``int8 [n_disorder, n_systems, n_spins]``
+            (n_systems % (kp*ks) == 0).
+        jgrids: ``f32 [n_disorder, 6, ks*L0, kp*L1*L2]``
+            from :func:`pack_coupling_grids_3d` (pre-tiled for ks).
         sys_temps: ``f32 [n_disorder, n_systems]``.
         seeds: ``int32 [n_disorder, 2*n_groups]`` from
             :func:`peapods_tpu.ops.pallas_sweep.make_seeds`.
         shape: static ``(L0, L1, L2)``.
+        kp / ks: lane- / sublane-pack factors (:func:`pack_factor_3d`,
+            :func:`row_pack_3d`).
     """
     l0, l1, l2 = shape
-    lanes = kp * l1 * l2
+    block = l1 * l2
+    lanes = kp * block
+    rows = ks * l0
     n_d, n_systems = spins.shape[:2]
-    g = n_systems // kp
-    flat2d = (l0, l1 * l2)  # pack_spins groups on the (sublane, lane) view
-    packed = jax.vmap(lambda s: pack_spins(s, flat2d, kp))(spins)
-    kernel = functools.partial(_kernel_3d, gibbs=gibbs, l1=l1, l2=l2, kp=kp)
+    g = n_systems // (kp * ks)
+    packed = jax.vmap(lambda s: pack_rows_3d(s, l0, block, kp, ks))(spins)
+    kernel = functools.partial(
+        _kernel_3d, gibbs=gibbs, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_d, g),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+            pl.BlockSpec((1, 1, rows, lanes), lambda d, i: (d, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, l0, lanes), lambda d, i: (d, 0, 0, 0),
+            pl.BlockSpec((1, 6, rows, lanes), lambda d, i: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rows, lanes), lambda d, i: (d, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_d, g, l0, lanes), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n_d, g, rows, lanes), jnp.int8),
         interpret=_interp(interpret),
     )(seeds, sys_temps, packed, jgrids)
-    return jax.vmap(lambda o: unpack_spins(o, flat2d, kp))(out)
+    return jax.vmap(lambda o: unpack_rows_3d(o, l0, block, kp, ks))(out)
 
 
 def _kernel_3d_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *,
-                        gibbs, l1, l2, kp):
+                        gibbs, l0, l1, l2, kp, ks):
     """Test-only variant: caller supplies the acceptance uniforms."""
     grp = pl.program_id(0)
     s = spins_ref[0].astype(jnp.float32)
-    l0, lanes = s.shape
+    rows, lanes = s.shape
     block = l1 * l2
-    col = jax.lax.broadcasted_iota(jnp.int32, (l0, lanes), 1)
-    inv_half_t = jnp.zeros((l0, lanes), jnp.float32)
-    for c in range(kp):
-        t_c = temp_ref[grp * kp + c]
-        inv_half_t = jnp.where((col // block) == c, 1.0 / (0.5 * t_c),
-                               inv_half_t)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    sub = (row // l0) * kp + col // block
+    inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
+    for c in range(kp * ks):
+        t_c = temp_ref[grp * kp * ks + c]
+        inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
     out_ref[0] = _body_3d(
         s, jgrids_ref, inv_half_t, lambda c: u_ref[0, c],
-        gibbs=gibbs, l1=l1, l2=l2,
+        gibbs=gibbs, l0=l0, l1=l1, l2=l2,
     ).astype(jnp.int8)
 
 
 def sweep_3d_injected(spins, jgrids, sys_temps, uniforms, *, shape, kp,
-                      gibbs=False):
+                      ks=1, gibbs=False):
     """Kernel-equivalence entry.
 
-    uniforms: ``f32 [n_groups, 2, L0, kp*L1*L2]`` in packed layout.
+    uniforms: ``f32 [n_groups, 2, ks*L0, kp*L1*L2]`` in packed layout.
     spins: ``int8 [n_systems, n_spins]``.
     """
     l0, l1, l2 = shape
-    lanes = kp * l1 * l2
+    block = l1 * l2
+    lanes = kp * block
+    rows = ks * l0
     n_systems = spins.shape[0]
-    g = n_systems // kp
-    flat2d = (l0, l1 * l2)
-    packed = pack_spins(spins, flat2d, kp)
+    g = n_systems // (kp * ks)
+    packed = pack_rows_3d(spins, l0, block, kp, ks)
+    jg_tiled = jnp.tile(jgrids, (1, ks, 1)) if ks > 1 else jgrids
     kernel = functools.partial(
-        _kernel_3d_injected, gibbs=gibbs, l1=l1, l2=l2, kp=kp
+        _kernel_3d_injected, gibbs=gibbs, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks
     )
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, l0, lanes), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, l0, lanes), lambda i: (0, 0, 0),
+            pl.BlockSpec((6, rows, lanes), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, l0, lanes), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 2, rows, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, l0, lanes), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, l0, lanes), jnp.int8),
-    )(sys_temps, packed, jgrids, uniforms)
-    return unpack_spins(out, flat2d, kp)
+        out_shape=jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+    )(sys_temps, packed, jg_tiled, uniforms)
+    return unpack_rows_3d(out, l0, block, kp, ks)

@@ -20,17 +20,18 @@ from peapods_tpu.ops import pallas_sweep3d as ps3
 from peapods_tpu.ops.sweep import mc_sweep
 
 
-def _pack_uniforms(u, shape, kp):
-    """``[2, n_sys, n_spins] -> [g, 2, L0, kp*L1*L2]`` packed layout."""
+def _pack_uniforms(u, shape, kp, ks=1):
+    """``[2, n_sys, n_spins] -> [g, 2, ks*L0, kp*L1*L2]`` packed layout."""
     l0, l1, l2 = shape
-    flat2d = (l0, l1 * l2)
-    per_color = [ps.pack_spins(u[c], flat2d, kp) for c in range(u.shape[0])]
+    per_color = [
+        ps3.pack_rows_3d(u[c], l0, l1 * l2, kp, ks) for c in range(u.shape[0])
+    ]
     return jnp.stack(per_color, axis=1)
 
 
 @pytest.mark.parametrize("gibbs", [False, True])
-@pytest.mark.parametrize("kp", [1, 2])
-def test_3d_kernel_matches_jnp_with_shared_uniforms(gibbs, kp):
+@pytest.mark.parametrize("kp,ks", [(1, 1), (2, 1), (1, 2), (2, 2)])
+def test_3d_kernel_matches_jnp_with_shared_uniforms(gibbs, kp, ks):
     shape = (8, 4, 4)
     n_sys = 4
     lat = Lattice(list(shape))
@@ -57,11 +58,12 @@ def test_3d_kernel_matches_jnp_with_shared_uniforms(gibbs, kp):
         )
         with pltpu.force_tpu_interpret_mode():
             got = ps3.sweep_3d_injected(
-                spins, jg, temps, _pack_uniforms(u, shape, kp),
-                shape=shape, kp=kp, gibbs=gibbs,
+                spins, jg, temps, _pack_uniforms(u, shape, kp, ks),
+                shape=shape, kp=kp, ks=ks, gibbs=gibbs,
             )
         np.testing.assert_array_equal(
-            np.asarray(got), np.asarray(ref), err_msg=f"kp={kp} step {step}"
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"kp={kp} ks={ks} step {step}",
         )
         spins = ref
 
@@ -74,6 +76,14 @@ def test_pack_factor_3d():
     assert ps3.pack_factor_3d(Lattice([8, 8]), 4) == 0       # not 3D
     tri3 = Lattice([8, 8, 8], [[1, 0, 0], [0, 1, 0], [1, 1, 0]])
     assert ps3.pack_factor_3d(tri3, 4) == 0                  # not hypercubic
+
+
+def test_row_pack_3d():
+    assert ps3.row_pack_3d(Lattice([8, 8, 8]), 96, 2) == 16   # 48 groups
+    assert ps3.row_pack_3d(Lattice([16, 16, 16]), 96, 1) == 1  # wide tiles
+    assert ps3.row_pack_3d(Lattice([8, 8, 8]), 2, 2) == 1
+    assert ps3.row_pack_3d(Lattice([8, 8, 8]), 96, 0) == 0
+    assert ps3.row_pack_3d(Lattice([8, 4, 4]), 96, 8) == 12   # 12 groups
 
 
 def test_engine_uses_3d_kernel(monkeypatch):
