@@ -591,8 +591,14 @@ class LoopProgram:
             )
         return new_spins, csd_t, obs_delta
 
-    def _overlap_branch(self, mode):
-        """Build one ``lax.switch`` branch; all branches share output shapes."""
+    def _overlap_branch(self, mode, with_snapshot):
+        """Build one ``lax.switch`` branch; all branches share output shapes.
+
+        Cluster statistics (scatter-heavy) and snapshot payloads are built
+        only when collected — XLA does not reliably dead-code them through
+        the event ``lax.cond``, and they would otherwise dominate the event
+        cost on TPU.
+        """
         rt = self.rt
         h = self.cfg.overlap_cluster
         wolff = h.cluster_mode == "wolff"
@@ -601,6 +607,7 @@ class LoopProgram:
         n_groups = rt.n_replicas // g
         nb = rt.n_spins + 1
         winding = self.with_winding and self.observe_overlap
+        with_stats = self.collect_overlap or self.observe_overlap
 
         def branch(spins, sid, key, coup):
             k_shuffle, k_tasks = jax.random.split(jax.random.fold_in(key, _PH_OVERLAP))
@@ -612,46 +619,63 @@ class LoopProgram:
 
             def run_task(ts, temp, k):
                 if mode.kind == "houdayer":
-                    return ov.houdayer_task(
+                    out = ov.houdayer_task(
                         ts, k, rt.geom,
                         wolff=wolff, update=update, with_winding=winding,
+                        with_stats=with_stats,
                     )
-                if mode.kind == "jorg":
-                    return ov.jorg_task(
+                elif mode.kind == "jorg":
+                    out = ov.jorg_task(
                         ts, k, coup, temp, rt.geom,
                         wolff=wolff, update=update, with_winding=winding,
+                        with_stats=with_stats,
                     )
-                return ov.cmr_task(
-                    ts, k, coup, temp, rt.geom,
-                    wolff=wolff, update=update, with_winding=winding,
-                )
+                else:
+                    out = ov.cmr_task(
+                        ts, k, coup, temp, rt.geom,
+                        wolff=wolff, update=update, with_winding=winding,
+                        with_stats=with_stats,
+                    )
+                if not (with_stats or with_snapshot):
+                    return out._replace(labels=None, blue_labels=None,
+                                        counts=None)
+                return out
 
             out = jax.vmap(run_task)(tspins, task_temps, tkeys)
             new_spins = spins.at[flat.reshape(-1)].set(
                 out.spins.reshape(-1, rt.n_spins)
             )
 
-            csd_t = out.csd.reshape(rt.n_temps, n_groups, nb).sum(1)
-            by_temp = lambda x: x.reshape((rt.n_temps, n_groups) + x.shape[1:])
-            obs_temp = cl.GraphObservation(
-                top4=by_temp(out.obs.top4),
-                active_bonds=by_temp(out.obs.active_bonds),
-                winding_x=by_temp(out.obs.winding_x),
-                winding_y=by_temp(out.obs.winding_y),
-                large_components=by_temp(out.obs.large_components),
-            )
-            obs_delta = _sum_slots_obs(
-                obs_temp, csd_t, n_groups, rt.n_spins, rt.lattice.n_neighbors
-            )
-            top4_frac = obs_delta["top4_frac"]  # [T, 4] summed over groups
+            if with_stats:
+                csd_t = out.csd.reshape(rt.n_temps, n_groups, nb).sum(1)
+                by_temp = lambda x: x.reshape(
+                    (rt.n_temps, n_groups) + x.shape[1:]
+                )
+                obs_temp = cl.GraphObservation(
+                    top4=by_temp(out.obs.top4),
+                    active_bonds=by_temp(out.obs.active_bonds),
+                    winding_x=by_temp(out.obs.winding_x),
+                    winding_y=by_temp(out.obs.winding_y),
+                    large_components=by_temp(out.obs.large_components),
+                )
+                obs_delta = _sum_slots_obs(
+                    obs_temp, csd_t, n_groups, rt.n_spins,
+                    rt.lattice.n_neighbors
+                )
+                top4_frac = obs_delta["top4_frac"]  # [T, 4] over groups
+            else:
+                csd_t = top4_frac = obs_delta = None
 
-            # Snapshot payload: first group per temperature, first two
-            # replicas, pre-move spins (mod.rs:682-714).
-            labels_bt = out.labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
-            blue_bt = out.blue_labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
-            pair_sids = tasks[:, 0, :2]
-            pair_spins = tspins.reshape(rt.n_temps, n_groups, g, -1)[:, 0, :2]
-            snap = (labels_bt, blue_bt, pair_spins, pair_sids)
+            if with_snapshot:
+                # Snapshot payload: first group per temperature, first two
+                # replicas, pre-move spins (mod.rs:682-714).
+                labels_bt = out.labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
+                blue_bt = out.blue_labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
+                pair_sids = tasks[:, 0, :2]
+                pair_spins = tspins.reshape(rt.n_temps, n_groups, g, -1)[:, 0, :2]
+                snap = (labels_bt, blue_bt, pair_spins, pair_sids)
+            else:
+                snap = None
             return new_spins, csd_t, top4_frac, obs_delta, snap
 
         return branch
@@ -771,7 +795,9 @@ class LoopProgram:
         c = cfg.cluster_update
         h = cfg.overlap_cluster
 
-        branches = [self._overlap_branch(m) for m in (h.modes if h else [])]
+        branches = [
+            self._overlap_branch(m, with_snapshot) for m in (h.modes if h else [])
+        ]
         mode_kinds = (
             np.array([OBS_KINDS.index(m.kind) for m in h.modes], dtype=np.int32)
             if h
@@ -870,12 +896,7 @@ class LoopProgram:
                 )
 
             # 5. overlap cluster move
-            snap_out = (
-                jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
-                jnp.zeros((rt.n_disorder, rt.n_temps, rt.n_spins), jnp.int32),
-                jnp.zeros((rt.n_disorder, rt.n_temps, 2, rt.n_spins), jnp.int8),
-                jnp.zeros((rt.n_disorder, rt.n_temps, 2), jnp.int32),
-            )
+            snap_out = self._dummy_snap() if with_snapshot else None
             if h is not None:
                 do_overlap = (sweep_local % h.interval) == 0
                 mode_idx = (sweep_local // h.interval) % self.n_modes
@@ -922,19 +943,27 @@ class LoopProgram:
 
                 def run_pt(args):
                     sid, att, pacc, rtrips, ts, parity = args
-                    # reuse measured energies unless an overlap move may have
-                    # mutated spins after measurement
-                    reuse_e = h is None
+                    # reuse measured energies unless an overlap move mutated
+                    # spins after measurement THIS sweep (mod.rs:748-754)
+                    if h is None:
+                        e_use = e_sys
+                    else:
+                        e_use = jax.lax.cond(
+                            do_overlap,
+                            lambda: jax.vmap(
+                                lambda s, cp: compute_energies(s, cp, rt.geom)
+                            )(spins, rt.couplings),
+                            lambda: e_sys,
+                        )
 
                     def one(s, si, k, cp, a, b, r, t, e):
                         return self._pt_phase(
-                            s, si, k, cp, parity, (a, b, r, t),
-                            e=e if reuse_e else None,
+                            s, si, k, cp, parity, (a, b, r, t), e=e
                         )
 
                     new_sid, (att, pacc, rtrips, ts) = jax.vmap(one)(
                         spins, sid, keys, rt.couplings, att, pacc, rtrips, ts,
-                        e_sys,
+                        e_use,
                     )
                     if cfg.pt_schedule == "full_ladder":
                         parity = 1 - parity

@@ -54,14 +54,57 @@ __all__ = [
 
 _NO_WINDING = (jnp.array(False), jnp.array(False))
 
-# Convergence of the label-propagation while_loop is checked once per this
-# many propagation rounds: propagation rounds are roll/min chains that XLA
-# fuses to ~microseconds, while the any()-reduction in the loop condition
-# forces a pipeline sync, so checks are amortized.  Pointer jumping
-# (label <- label[label]) is deliberately NOT used: in-loop dynamic gathers
-# measure ~0.7 ms each at [64, 1024] on TPU, three orders of magnitude more
-# than the extra propagation rounds they would save.
-_ROUNDS_PER_CHECK = 16
+# Pointer jumping (label <- label[label]) is deliberately NOT used on TPU:
+# in-loop dynamic gathers measure ~0.7 ms each at [64, 1024], three orders
+# of magnitude more than the propagation work they would save.  Long-range
+# movement comes from segmented axis scans instead (_axis_scan_accel).
+
+
+def _seg_cummin(vals, flags, axis):
+    """Segmented prefix-min along ``axis``: the min restarts wherever
+    ``flags`` is True (the element starts a new segment)."""
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    out, _ = jax.lax.associative_scan(op, (vals, flags), axis=axis)
+    return out
+
+
+def _axis_scan_accel(labels, active_fwd, geom):
+    """Long-range label propagation along pure-axis bond directions.
+
+    One plain round moves labels a single site; a segmented min-scan moves
+    them across an entire run of contiguous active bonds in ``log L``
+    stages.  For each unit-vector offset the labels are scanned forward and
+    backward along that grid axis, with segment breaks wherever the
+    connecting bond is inactive.  The periodic wrap bond is left to the
+    plain rounds (the scan is linear), which the fixed-point loop still
+    performs.
+    """
+    base = None
+    lg = geom.to_grid(labels)
+    base = lg.ndim - geom.n_dims
+    for d, off in enumerate(geom.offsets):
+        nz = [a for a, o in enumerate(off) if o != 0]
+        if len(nz) != 1 or abs(off[nz[0]]) != 1:
+            continue  # diagonal offsets keep the roll-based rounds only
+        ax = base + nz[0]
+        bond = geom.to_grid(active_fwd[:, d])
+        if off[nz[0]] == 1:
+            fwd_bond = bond  # bond between i and i+1 sits at index i
+        else:
+            # offset -e_a: the bond at i connects i and i-1
+            fwd_bond = jnp.roll(bond, -1, axis=ax)
+        flags_f = ~jnp.roll(fwd_bond, 1, axis=ax)
+        lg = _seg_cummin(lg, flags_f, ax)
+        flags_r = jnp.flip(~fwd_bond, axis=ax)
+        lg = jnp.flip(
+            _seg_cummin(jnp.flip(lg, axis=ax), flags_r, ax), axis=ax
+        )
+    return geom.to_flat(lg)
 
 
 def connected_components(active_fwd, geom):
@@ -69,9 +112,15 @@ def connected_components(active_fwd, geom):
 
     Min-label propagation to a fixed point: each round takes the minimum
     label over active-bond neighbors (cheap fused rolls); the convergence
-    check runs once per ``_ROUNDS_PER_CHECK`` rounds so its scalar reduction
-    does not serialize the pipeline.  Converges in O(component diameter)
-    rounds — at criticality roughly the lattice extent.
+    check runs once per 16-round block so its scalar reduction does not
+    serialize the pipeline.  Converges in O(component diameter) rounds.
+    ``PEAPODS_CC_SCAN=1`` swaps the block for a segmented-min-scan body
+    (:func:`_axis_scan_accel`) — correct (union-find-oracle-tested) but
+    measured slower in the engine; see the in-function comment.
+
+    Every step is monotone non-increasing and only moves labels across
+    genuine bonds, so the unique fixed point (stable under the plain round
+    alone) is the exact component labeling.
 
     Args:
         active_fwd: ``bool [n_spins, n_neighbors]`` — forward-bond activation
@@ -82,11 +131,20 @@ def connected_components(active_fwd, geom):
         ``int32 [n_spins]`` labels; ``label[i]`` is the minimum site index of
         ``i``'s component.
     """
+    import os
+
     n_spins = geom.n_spins
     big = jnp.int32(n_spins)
     # Pointer jumping only off-TPU: CPU gathers are cheap and halve the
     # round count, keeping the (CPU) test suite fast.
     use_jump = jax.default_backend() == "cpu"
+    # Segmented axis scans (opt-in, PEAPODS_CC_SCAN=1): validated against a
+    # union-find oracle, but an in-process A/B on the driver configs showed
+    # the associative_scan lowering (lane-axis odd/even splits + flips)
+    # costs more than the propagation rounds it saves — triangular Wolff
+    # 0.33 -> 0.78 ms/sweep, 8^3 Houdayer 0.89 -> 1.03, 16^3 Jorg+CMR
+    # 5.3 -> 6.2.  Plain 16-round blocks remain the default.
+    use_scans = os.environ.get("PEAPODS_CC_SCAN") == "1"
     # active_bwd[i, d]: the bond arriving at i from its backward neighbor.
     active_bwd = [geom.shift_bwd(active_fwd[:, d], d) for d in range(geom.n_neighbors)]
     init = jnp.arange(n_spins, dtype=jnp.int32)
@@ -109,9 +167,14 @@ def connected_components(active_fwd, geom):
 
     def body(carry):
         labels, _ = carry
-        new = labels
-        for _ in range(_ROUNDS_PER_CHECK):
+        if use_scans:
+            new = propagate(labels)
+            new = _axis_scan_accel(new, active_fwd, geom)
             new = propagate(new)
+        else:
+            new = labels
+            for _ in range(16):
+                new = propagate(new)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))

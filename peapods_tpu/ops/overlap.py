@@ -72,15 +72,24 @@ class OverlapMoveOut(NamedTuple):
     obs: cl.GraphObservation
 
 
-def _stats(active, counts, labels, geom, with_winding):
+def _stats(active, labels, geom, with_winding, with_stats):
+    """(counts, csd, obs) for the stats graph — or Nones when the caller
+    collects nothing (cluster statistics are scatter-heavy on TPU and the
+    move itself only needs labels; XLA does not reliably dead-code them
+    through the engine's lax.cond event gating)."""
+    if not with_stats:
+        return None, None, None
+    counts = cl.component_counts(labels)
     return (
+        counts,
         cl.csd_histogram(counts),
         cl.graph_observation(active, counts, labels, geom, with_winding),
     )
 
 
 def houdayer_task(
-    tspins, key, geom, *, wolff: bool, update: bool, with_winding: bool
+    tspins, key, geom, *, wolff: bool, update: bool, with_winding: bool,
+    with_stats: bool = True,
 ):
     """Houdayer(N) move on one (temperature, group) task.
 
@@ -94,8 +103,7 @@ def houdayer_task(
         axis=-1,
     )
     labels = cl.connected_components(bonds, geom)
-    counts = cl.component_counts(labels)
-    csd, obs = _stats(bonds, counts, labels, geom, with_winding)
+    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
 
     k_seed, k_coin = jax.random.split(key)
     if wolff:
@@ -120,6 +128,7 @@ def jorg_task(
     wolff: bool,
     update: bool,
     with_winding: bool,
+    with_stats: bool = True,
 ):
     """Joerg stochastic overlap move on one pair task (``group_size == 2``)."""
     a, b = tspins[0], tspins[1]
@@ -132,8 +141,7 @@ def jorg_task(
     )
     bonds = fk & active_pair
     labels = cl.connected_components(bonds, geom)
-    counts = cl.component_counts(labels)
-    csd, obs = _stats(bonds, counts, labels, geom, with_winding)
+    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
 
     if wolff:
         seed, found = cl.find_seed(k_seed, active)
@@ -172,6 +180,7 @@ def cmr_task(
     wolff: bool,
     update: bool,
     with_winding: bool,
+    with_stats: bool = True,
 ):
     """CMR two-phase (blue -> grey) move on one pair task."""
     a, b = tspins[0], tspins[1]
@@ -183,8 +192,8 @@ def cmr_task(
     u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
     blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
     blue_labels = cl.connected_components(blue, geom)
-    blue_counts = cl.component_counts(blue_labels)
-    csd, obs = _stats(blue, blue_counts, blue_labels, geom, with_winding)
+    blue_counts, csd, obs = _stats(blue, blue_labels, geom, with_winding,
+                                   with_stats)
 
     seed = jax.random.randint(k_seed, (), 0, a.shape[0])
     if wolff:
@@ -202,7 +211,6 @@ def cmr_task(
     u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
     red = (a_sat != b_sat) & (u_red < 1.0 - r)
     grey_labels = cl.connected_components(blue | red, geom)
-    grey_counts = cl.component_counts(grey_labels)
 
     if wolff:
         k = jax.random.randint(k_gcoin, (), 1, 4)

@@ -45,6 +45,26 @@ def test_connected_components_matches_union_find():
             np.testing.assert_array_equal(labels, uf_labels(lat, active))
 
 
+def test_connected_components_scan_body_matches_union_find(monkeypatch):
+    """Opt-in segmented-scan body (PEAPODS_CC_SCAN=1): same labels."""
+    monkeypatch.setenv("PEAPODS_CC_SCAN", "1")
+    rng = np.random.default_rng(7)
+    for shape, offsets in [
+        ([8, 8], None),
+        ([6, 6], [[1, 0], [0, 1], [1, -1]]),
+        ([4, 6, 4], None),
+    ]:
+        lat = Lattice(shape, offsets)
+        for p in (0.3, 0.6, 0.9):
+            active = rng.random((lat.n_spins, lat.n_neighbors)) < p
+            labels = np.asarray(
+                cl.connected_components(
+                    jnp.asarray(active), GridOps.from_lattice(lat)
+                )
+            )
+            np.testing.assert_array_equal(labels, uf_labels(lat, active))
+
+
 def test_counts_histogram_top4():
     lat = Lattice([6, 6])
     rng = np.random.default_rng(1)
