@@ -315,9 +315,23 @@ class LoopProgram:
             else ()
         )
         self.with_winding = rt.lattice.canonical_square_shape is not None
+        import os as _os
+
         # Fused sweep+measurement kernel: only valid when nothing mutates
         # spins between the sweep and the measurement (no FK cluster phase).
-        self.fuse_measure = rt.use_pallas and cfg.cluster_update is None
+        # For the 3D kernel the fused variant ends every grid step with
+        # scalar reductions that stall the vector pipeline, so it wins only
+        # when packing leaves few fat instances (8^3: 24 instances, -13%
+        # measured) and loses with many thin ones (16^3: 768 instances).
+        fuse_3d = (
+            rt.kernel3d > 0
+            and rt.n_systems // (rt.kernel3d * rt.kernel3d_rows) <= 8
+        )
+        self.fuse_measure = (
+            (rt.use_pallas or fuse_3d)
+            and cfg.cluster_update is None
+            and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
+        )
         self.emit_series = (
             cfg.autocorrelation_max_lag is not None or cfg.equilibration_diagnostic
         )
@@ -325,8 +339,6 @@ class LoopProgram:
         # sweep+measure+PT cycle stays on-chip for a block of sweeps.  Only
         # for the pure single-spin workload — any cluster phase or replica
         # pair needs per-sweep spin access outside the kernel.
-        import os as _os
-
         self.mega = (
             rt.use_pallas
             and _os.environ.get("PEAPODS_DISABLE_MEGA") != "1"
@@ -462,15 +474,20 @@ class LoopProgram:
             seeds = pallas_sweep.make_seeds(
                 skeys, rt.n_systems // (rt.kernel3d * rt.kernel3d_rows)
             )
+            fn = (
+                pallas_sweep3d.sweep_3d_fused
+                if self.fuse_measure
+                else pallas_sweep3d.sweep_3d
+            )
 
             def call(sp, jg, st, sd):
-                return pallas_sweep3d.sweep_3d(
+                return fn(
                     sp, jg, st, sd, shape=tuple(rt.lattice.shape),
                     kp=rt.kernel3d, ks=rt.kernel3d_rows, gibbs=gibbs,
                     interpret=interpret,
                 )
 
-            n_out = 1
+            n_out = 3 if self.fuse_measure else 1
         elif rt.pack_k:
             seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.pack_k)
 

@@ -43,6 +43,7 @@ __all__ = [
     "row_pack_3d",
     "pack_coupling_grids_3d",
     "sweep_3d",
+    "sweep_3d_fused",
     "sweep_3d_injected",
 ]
 
@@ -182,13 +183,18 @@ def _lane_shift_fns(col, block, l1, l2):
     return (jm, jp, km, kp_), parity_jk
 
 
-def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2):
+def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2,
+             with_energy=False):
     """Both-color update of one ``[ks*L0, kp*L1*L2]`` tile.
 
     The sublane axis may stack ks systems (:func:`pack_rows_3d`); the i +- 1
     rolls then get the same seam treatment as the lane packing: at a
     system's top/bottom row the periodic wrap must come from that system's
     own block, not the vertically adjacent one.
+
+    ``with_energy=True`` additionally returns the per-site positive
+    forward-bond energy contributions (nonzero at odd-parity sites only) of
+    the post-sweep state, which the caller reduces per packed system.
     """
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
     rows, lanes = s.shape
@@ -218,6 +224,7 @@ def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2):
                 at_il, pltpu.roll(x, l0 - 1, 0), pltpu.roll(x, rows - 1, 0)
             )
 
+    e_site = None
     for c in range(2):
         field = (
             im(s) * jg[0]
@@ -235,6 +242,14 @@ def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2):
             p = keep * jnp.exp(jnp.minimum(x, 0.0))
         flip = (u < p) & (parity == c)
         s = jnp.where(flip, -s, s)
+        if with_energy and c == 1:
+            # odd sites' field is evaluated on the final even sublattice
+            # (unchanged by odd flips) and every bond joins one even and
+            # one odd site, so summing s_final * h over odd sites counts
+            # each bond exactly once (same trick as the 2D kernels).
+            e_site = jnp.where(parity == 1, s * field, 0.0)
+    if with_energy:
+        return s, e_site
     return s
 
 
@@ -314,6 +329,105 @@ def sweep_3d(spins, jgrids, sys_temps, seeds, *, shape, kp, ks=1, gibbs=False,
         interpret=_interp(interpret),
     )(seeds, sys_temps, packed, jgrids)
     return jax.vmap(lambda o: unpack_rows_3d(o, l0, block, kp, ks))(out)
+
+
+def _per_system_sums(x, l0, block, kp, ks):
+    """Scalar sums per packed system from a ``[ks*L0, kp*block]`` tile
+    (system ``b*kp + c`` at rows ``[b*L0, (b+1)*L0)``, lanes ``[c*block,
+    (c+1)*block)``), via masked full-tile reductions — Mosaic does not
+    support lane-dimension reshapes."""
+    rows, lanes = x.shape
+    if kp * ks == 1:
+        return [x.sum()]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    sub = (row // l0) * kp + col // block
+    return [jnp.where(sub == i, x, 0.0).sum() for i in range(kp * ks)]
+
+
+def _kernel_3d_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref,
+                     e_ref, m_ref, *, gibbs, l0, l1, l2, kp, ks, n_spins):
+    """Sweep + fused per-system energy/magnetization measurement."""
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    _seed_prng(seed_ref, d_idx, grp)
+    s = spins_ref[0, 0].astype(jnp.float32)
+    jg = jgrids_ref[0]
+    rows, lanes = s.shape
+    block = l1 * l2
+
+    if kp == 1 and ks == 1:
+        inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, grp])
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        sub = (row // l0) * kp + col // block
+        inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
+        for c in range(kp * ks):
+            t_c = temp_ref[d_idx, grp * kp * ks + c]
+            inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
+
+    s, e_site = _body_3d(
+        s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
+        gibbs=gibbs, l0=l0, l1=l1, l2=l2, with_energy=True,
+    )
+    out_ref[0, 0] = s.astype(jnp.int8)
+    e_sys = _per_system_sums(e_site, l0, block, kp, ks)
+    m_sys = _per_system_sums(s, l0, block, kp, ks)
+    for i in range(kp * ks):
+        e_ref[d_idx, grp * kp * ks + i] = e_sys[i] / np.float32(n_spins)
+        m_ref[d_idx, grp * kp * ks + i] = m_sys[i].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "kp", "ks", "gibbs", "interpret")
+)
+def sweep_3d_fused(spins, jgrids, sys_temps, seeds, *, shape, kp, ks=1,
+                   gibbs=False, interpret=False):
+    """Sweep + measurement in one kernel (3D counterpart of
+    :func:`peapods_tpu.ops.pallas_sweep.sweep_2d_fused`).
+
+    Returns ``(spins int8 [n_d, n_systems, n_spins], energies
+    f32 [n_d, n_systems], mag_sums int32 [n_d, n_systems])``.
+    """
+    l0, l1, l2 = shape
+    block = l1 * l2
+    lanes = kp * block
+    rows = ks * l0
+    n_d, n_systems = spins.shape[:2]
+    g = n_systems // (kp * ks)
+    packed = jax.vmap(lambda s: pack_rows_3d(s, l0, block, kp, ks))(spins)
+    kernel = functools.partial(
+        _kernel_3d_fused, gibbs=gibbs, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks,
+        n_spins=l0 * block,
+    )
+    out, e, m = pl.pallas_call(
+        kernel,
+        grid=(n_d, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rows, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, rows, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, rows, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_d, g, rows, lanes), jnp.int8),
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
+        ),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, packed, jgrids)
+    return (
+        jax.vmap(lambda o: unpack_rows_3d(o, l0, block, kp, ks))(out), e, m
+    )
 
 
 def _kernel_3d_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *,

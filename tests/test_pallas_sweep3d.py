@@ -78,6 +78,44 @@ def test_pack_factor_3d():
     assert ps3.pack_factor_3d(tri3, 4) == 0                  # not hypercubic
 
 
+@pytest.mark.parametrize("kp,ks", [(1, 1), (2, 1), (2, 4)])
+def test_fused_3d_measurement_matches_recompute(kp, ks):
+    """sweep_3d_fused's per-system (e, m) must equal recomputation from its
+    own output spins (the energy falls out of the odd pass's field)."""
+    from peapods_tpu.ops.energy import energies_and_mags
+
+    shape = (8, 4, 4)
+    n_sys = 2 * kp * ks
+    n_d = 2
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    rng = np.random.default_rng(23)
+    coup = rng.standard_normal((n_d, lat.n_spins, 3)).astype(np.float32)
+    jg = jnp.stack([
+        ps3.pack_coupling_grids_3d(jnp.asarray(c), shape, kp, ks)
+        for c in coup
+    ])
+    temps = jnp.asarray(
+        rng.uniform(1.0, 4.0, size=(n_d, n_sys)).astype(np.float32)
+    )
+    spins = jnp.asarray(
+        rng.choice([-1, 1], size=(n_d, n_sys, lat.n_spins)).astype(np.int8)
+    )
+    seeds = jnp.asarray(
+        rng.integers(0, 2**31, size=(n_d, 2 * (n_sys // (kp * ks)))).astype(np.int32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, e, m = ps3.sweep_3d_fused(
+            spins, jg, temps, seeds, shape=shape, kp=kp, ks=ks,
+        )
+    for d in range(n_d):
+        e_ref, m_ref = energies_and_mags(out[d], jnp.asarray(coup[d]), geom)
+        np.testing.assert_allclose(
+            np.asarray(e[d]), np.asarray(e_ref), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(m[d]), np.asarray(m_ref))
+
+
 def test_row_pack_3d():
     assert ps3.row_pack_3d(Lattice([8, 8, 8]), 96, 2) == 16   # 48 groups
     assert ps3.row_pack_3d(Lattice([16, 16, 16]), 96, 1) == 1  # wide tiles
