@@ -181,3 +181,27 @@ def test_mega_under_disorder_mesh_matches_unsharded():
         r_sh["per_disorder"]["parallel_tempering"]["edge_attempts"],
         r_pl["per_disorder"]["parallel_tempering"]["edge_attempts"],
     )
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_two_sub_mega_under_disorder_mesh_matches_unsharded():
+    """The two-sublattice mega layout (W % 256 == 0) under shard_map:
+    bitwise vs unsharded (pack/unpack happens per shard inside mega_chunk)."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    coup = np.ones((8, 8, 256, 2), np.float32)
+    temps = np.geomspace(2.0, 3.0, 3).astype(np.float32)
+    sharded = IsingSimulation([8, 256], coup, temps, 1, None, 31,
+                              mesh=make_mesh(8), default_chunk=8)
+    r_sh = sharded.sample(8, "metropolis", pt_interval=1, warmup_ratio=0)
+    assert next(iter(sharded._programs.values())).mega
+    plain = IsingSimulation([8, 256], coup, temps, 1, None, 31, mesh=None,
+                            default_chunk=8)
+    r_pl = plain.sample(8, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["energies"], r_pl["energies"])
