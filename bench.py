@@ -79,6 +79,7 @@ def main():
                     "n_systems": n_systems,
                     "lattice": f"{L}x{L}",
                     "rep_sweeps_per_sec": [round(r, 1) for r in reps],
+                    "median_sweeps_per_sec": round(float(np.median(reps)), 1),
                     "state_checksum": state_checksum(sim, result),
                 },
             }

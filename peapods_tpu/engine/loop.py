@@ -961,8 +961,12 @@ class LoopProgram:
                 def run_pt(args):
                     sid, att, pacc, rtrips, ts, parity = args
                     # reuse measured energies unless an overlap move mutated
-                    # spins after measurement THIS sweep (mod.rs:748-754)
-                    if h is None:
+                    # spins after measurement THIS sweep (mod.rs:748-754);
+                    # observe-mode moves mutate nothing, and recomputing for
+                    # them could flip a threshold-marginal PT decision via a
+                    # different f32 sum order than the fused-kernel energies,
+                    # breaking the observe == observer-free bitwise invariant
+                    if h is None or h.action != "update":
                         e_use = e_sys
                     else:
                         e_use = jax.lax.cond(

@@ -84,7 +84,6 @@ def _axis_scan_accel(labels, active_fwd, geom):
     plain rounds (the scan is linear), which the fixed-point loop still
     performs.
     """
-    base = None
     lg = geom.to_grid(labels)
     base = lg.ndim - geom.n_dims
     for d, off in enumerate(geom.offsets):

@@ -120,8 +120,6 @@ def _mega_kernel(
     # two_sub: spins_ref is [1, n_slots, 2, H, W/2] (pack_two_sub layout —
     # halves the sweep's elementwise work and PRNG draws); otherwise
     # [1, n_slots, H, W]
-    h_dim = spins_ref.shape[-2]
-    w_dim = spins_ref.shape[-1]
 
     # slot ordering: slot = r * n_temps + t  (n_replicas == 1 -> slot == t)
     def slot_temp(slot):

@@ -148,10 +148,11 @@ def pack_coupling_grids_two_sub(jgrids):
     return jnp.swapaxes(pack_two_sub(jgrids), -4, -3)
 
 
-def _two_sub_lr(s_nb, odd):
+def _two_sub_lr(s_nb):
     """Within-row neighbor values for two-sublattice fields: returns
     ``(prev, next)`` where ``prev[i, j'] = s_nb[i, j'-1]`` and
-    ``next[i, j'] = s_nb[i, j'+1]`` (periodic)."""
+    ``next[i, j'] = s_nb[i, j'+1]`` (periodic); the caller resolves row
+    parity."""
     wh = s_nb.shape[-1]
     return pltpu.roll(s_nb, 1, 1), pltpu.roll(s_nb, wh - 1, 1)
 
@@ -183,7 +184,7 @@ def _kernel_body_2sub(sE, sO, jgE, jgO, inv_half_t, uniform_for_color, *,
     for c in range(2):
         s_upd, s_nb = (sE, sO) if c == 0 else (sO, sE)
         jg = jgE if c == 0 else jgO
-        prev, nxt = _two_sub_lr(s_nb, odd)
+        prev, nxt = _two_sub_lr(s_nb)
         if c == 0:
             left = jnp.where(odd, s_nb, prev)
             right = jnp.where(odd, nxt, s_nb)

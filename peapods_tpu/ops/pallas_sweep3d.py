@@ -253,6 +253,27 @@ def _body_3d(s, jg, inv_half_t, uniform_for_color, *, gibbs, l0, l1, l2,
     return s
 
 
+def _packed_sub_index(rows, lanes, l0, block, kp):
+    """Packed-system index per site of a ``[ks*L0, kp*block]`` tile: system
+    ``b*kp + c`` occupies rows ``[b*L0, (b+1)*L0)`` and lanes ``[c*block,
+    (c+1)*block)`` (must stay consistent with :func:`pack_rows_3d`)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    return (row // l0) * kp + col // block
+
+
+def _packed_inv_half_t(get_temp, rows, lanes, l0, block, kp, ks):
+    """Per-site ``1/(T/2)`` from the packed systems' temperature scalars;
+    ``get_temp(c)`` loads packed system c's temperature from SMEM."""
+    if kp == 1 and ks == 1:
+        return 1.0 / (0.5 * get_temp(0))
+    sub = _packed_sub_index(rows, lanes, l0, block, kp)
+    out = jnp.zeros((rows, lanes), jnp.float32)
+    for c in range(kp * ks):
+        out = jnp.where(sub == c, 1.0 / (0.5 * get_temp(c)), out)
+    return out
+
+
 def _kernel_3d(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
                gibbs, l0, l1, l2, kp, ks):
     d_idx = pl.program_id(0)
@@ -265,17 +286,10 @@ def _kernel_3d(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
     jg = jgrids_ref[0]
     rows, lanes = s.shape
     block = l1 * l2
-
-    if kp == 1 and ks == 1:
-        inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, grp])
-    else:
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        sub = (row // l0) * kp + col // block  # system g*kp*ks + sub
-        inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
-        for c in range(kp * ks):
-            t_c = temp_ref[d_idx, grp * kp * ks + c]
-            inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[d_idx, grp * kp * ks + c],
+        rows, lanes, l0, block, kp, ks,
+    )
 
     out_ref[0, 0] = _body_3d(
         s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
@@ -339,9 +353,7 @@ def _per_system_sums(x, l0, block, kp, ks):
     rows, lanes = x.shape
     if kp * ks == 1:
         return [x.sum()]
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-    sub = (row // l0) * kp + col // block
+    sub = _packed_sub_index(rows, lanes, l0, block, kp)
     return [jnp.where(sub == i, x, 0.0).sum() for i in range(kp * ks)]
 
 
@@ -355,17 +367,10 @@ def _kernel_3d_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref,
     jg = jgrids_ref[0]
     rows, lanes = s.shape
     block = l1 * l2
-
-    if kp == 1 and ks == 1:
-        inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, grp])
-    else:
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        sub = (row // l0) * kp + col // block
-        inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
-        for c in range(kp * ks):
-            t_c = temp_ref[d_idx, grp * kp * ks + c]
-            inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[d_idx, grp * kp * ks + c],
+        rows, lanes, l0, block, kp, ks,
+    )
 
     s, e_site = _body_3d(
         s, jg, inv_half_t, lambda c: _hw_uniform(s.shape),
@@ -437,13 +442,10 @@ def _kernel_3d_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *,
     s = spins_ref[0].astype(jnp.float32)
     rows, lanes = s.shape
     block = l1 * l2
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-    sub = (row // l0) * kp + col // block
-    inv_half_t = jnp.zeros((rows, lanes), jnp.float32)
-    for c in range(kp * ks):
-        t_c = temp_ref[grp * kp * ks + c]
-        inv_half_t = jnp.where(sub == c, 1.0 / (0.5 * t_c), inv_half_t)
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[grp * kp * ks + c],
+        rows, lanes, l0, block, kp, ks,
+    )
     out_ref[0] = _body_3d(
         s, jgrids_ref, inv_half_t, lambda c: u_ref[0, c],
         gibbs=gibbs, l0=l0, l1=l1, l2=l2,

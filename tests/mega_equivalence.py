@@ -11,7 +11,8 @@ interpreter; this script pins the physics on the real chip:
    config (16-temp PT ladder straddling T_c) run through the megakernel and
    through the scan path (``PEAPODS_DISABLE_MEGA=1`` semantics via config),
    many independent seeds each; per-temperature <E> and <m^2> must agree
-   within combined standard errors (|z| < 4 with 16x2 comparisons).
+   within combined standard errors (max |z| < 4.5 over the 16x2
+   comparisons; the expected max of 32 standard normals is ~2.2).
 2. **Binder cumulant at T_c through the mega path only**: 128x128 and
    256x256 square ferro (the mega kernel needs W % 128 == 0) with a PT
    ladder straddling T_c, Metropolis-only dynamics; the Binder cumulant
