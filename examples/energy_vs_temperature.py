@@ -1,9 +1,13 @@
 """Plot the energy curve of a small 2D ferromagnet across a log temperature grid."""
 
+import sys
+from pathlib import Path
+
 import numpy as np
 from matplotlib import pyplot as plt
 
-from peapods_tpu import Ising
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from peapods_tpu import Ising  # noqa: E402
 
 model = Ising(
     lattice_shape=(32, 32),

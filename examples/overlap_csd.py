@@ -4,10 +4,14 @@ At low temperature the Houdayer overlap-cluster distribution develops a heavy
 tail with system-spanning clusters; near and above T_c it decays quickly.
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
 from matplotlib import pyplot as plt
 
-from peapods_tpu import Ising
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from peapods_tpu import Ising  # noqa: E402
 
 SIZE = 64
 temps = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
