@@ -119,6 +119,42 @@ class TestObserveMode:
         )
         np.testing.assert_array_equal(ov_obs._sim.get_spins(), expected)
 
+    def test_observe_mutates_nothing_fused_path(self, monkeypatch):
+        """Observer invariance through the fused 3D measurement kernel + PT:
+        PT must reuse the kernel-measured energies on observe-mode overlap
+        sweeps (regression: recomputing them in jnp used a different f32
+        sum order and could flip a threshold-marginal swap)."""
+        monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+
+        def glass(seed):
+            return Ising(
+                (8, 8, 8),
+                couplings="bimodal",
+                temperatures=np.array([1.0, 2.0], dtype=np.float32),
+                n_replicas=2,
+                seed=seed,
+            )
+
+        plain = glass(91)
+        plain.sample(4, pt_interval=1, warmup_ratio=0)
+        expected = plain._sim.get_spins()
+        sid_expected = np.asarray(plain._sim.state["system_ids"])
+
+        obs = glass(91)
+        obs.sample(
+            4,
+            pt_interval=1,
+            overlap_cluster_update_interval=2,
+            overlap_cluster_build_mode="houdayer",
+            overlap_cluster_mode="sw",
+            overlap_cluster_action="observe",
+            warmup_ratio=0,
+        )
+        np.testing.assert_array_equal(obs._sim.get_spins(), expected)
+        np.testing.assert_array_equal(
+            np.asarray(obs._sim.state["system_ids"]), sid_expected
+        )
+
     @pytest.mark.parametrize("build_mode", ["houdayer", "jorg"])
     def test_sw_overlap_observers(self, build_mode):
         model = small_glass(31, temps=(1.5,))
