@@ -13,9 +13,10 @@ compared for reproducibility.
 
 The tunneled shared chip shows multi-x throughput drift between moments
 (an identical program + checksum measured 2.55e10 and 0.77e10 minutes
-apart), so the harness times several repetitions and reports the best —
-the standard practice for peak-throughput claims under external
-interference; per-rep numbers are included in ``extra`` for transparency.
+apart), so the harness times several repetitions.  The headline ``value``
+is the **median** repetition (like-for-like with single-shot baselines);
+the best rep is reported separately as ``peak_flips_per_sec`` in ``extra``
+alongside every per-rep number.
 """
 
 import hashlib
@@ -64,7 +65,7 @@ def main():
                             warmup_ratio=0.0)
         reps.append(n_sweeps / (time.perf_counter() - t0))
 
-    sweeps_per_sec = max(reps)
+    sweeps_per_sec = float(np.median(reps))
     flips_per_sec = sweeps_per_sec * n_systems * n_sites
     print(
         json.dumps(
@@ -79,7 +80,7 @@ def main():
                     "n_systems": n_systems,
                     "lattice": f"{L}x{L}",
                     "rep_sweeps_per_sec": [round(r, 1) for r in reps],
-                    "median_sweeps_per_sec": round(float(np.median(reps)), 1),
+                    "peak_flips_per_sec": max(reps) * n_systems * n_sites,
                     "state_checksum": state_checksum(sim, result),
                 },
             }

@@ -160,10 +160,17 @@ class Runtime:
             else 0
         )
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
+        from ..utils.log import log_once
+
         if mesh is not None and "space" in mesh.axis_names:
             # spatial decomposition: the spin axis itself is sharded (row
             # bands); the roll-based jnp path auto-partitions with XLA halo
             # collectives, the Pallas kernels do not
+            if use_pallas or pack_k or kernel3d:
+                log_once(
+                    "'space' mesh axis: falling back to the jnp sweep path "
+                    "(Pallas kernels do not partition the spin axis)"
+                )
             use_pallas = False
             pack_k = 0
             kernel3d = 0
@@ -172,13 +179,29 @@ class Runtime:
             # across the mesh axis (and pack groups must stay shard-local)
             sys_ax = mesh.shape["systems"]
             if n_systems % sys_ax:
+                if use_pallas or pack_k or kernel3d:
+                    log_once(
+                        f"n_systems={n_systems} does not divide over the "
+                        f"{sys_ax}-way 'systems' mesh axis: falling back to "
+                        "the jnp sweep path"
+                    )
                 use_pallas = False
                 pack_k = 0
                 kernel3d = 0
             else:
                 if pack_k and (n_systems // sys_ax) % pack_k:
+                    log_once(
+                        f"lane-pack factor {pack_k} does not divide the "
+                        f"per-shard system count {n_systems // sys_ax}: "
+                        "falling back to the jnp sweep path"
+                    )
                     pack_k = 0
                 if kernel3d and (n_systems // sys_ax) % kernel3d:
+                    log_once(
+                        f"3D lane-pack factor {kernel3d} does not divide the "
+                        f"per-shard system count {n_systems // sys_ax}: "
+                        "falling back to the jnp sweep path"
+                    )
                     kernel3d = 0
         # sublane packing: stack ks systems per 3D kernel instance (fewer,
         # fatter grid steps — small lattices are otherwise pipeline-bound);
@@ -318,18 +341,31 @@ class LoopProgram:
         import os as _os
 
         # Fused sweep+measurement kernel: only valid when nothing mutates
-        # spins between the sweep and the measurement (no FK cluster phase).
-        # For the 3D kernel the fused variant ends every grid step with
-        # scalar reductions that stall the vector pipeline, so it wins only
-        # when packing leaves few fat instances (8^3: 24 instances, -13%
-        # measured) and loses with many thin ones (16^3: 768 instances).
+        # spins between the sweep and the measurement — no FK cluster phase,
+        # or an observe-only FK phase (observe builds and measures the bond
+        # graph without flipping, fk.rs:140-142, so the fused-kernel energies
+        # still describe the spins the measurement sees; this also keeps
+        # FK-observer runs bitwise identical to observer-free runs on fused
+        # configs, where a jnp re-sum could flip a threshold-marginal PT
+        # swap).  For the 3D kernel the fused variant ends every grid step
+        # with scalar reductions that stall the vector pipeline, so it wins
+        # only when packing leaves few fat per-shard instances per disorder
+        # (8^3: 24/8 = 3 groups per realization, -13% measured) and loses
+        # with many thin ones (16^3: 768 global instances).
+        sys_shards = (
+            rt.mesh.shape["systems"]
+            if (rt.mesh is not None and "systems" in rt.mesh.axis_names)
+            else 1
+        )
         fuse_3d = (
             rt.kernel3d > 0
-            and rt.n_systems // (rt.kernel3d * rt.kernel3d_rows) <= 8
+            and (rt.n_systems // sys_shards)
+            // (rt.kernel3d * rt.kernel3d_rows)
+            <= 8
         )
         self.fuse_measure = (
             (rt.use_pallas or fuse_3d)
-            and cfg.cluster_update is None
+            and (c is None or c.action == "observe")
             and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
         )
         self.emit_series = (
@@ -367,6 +403,36 @@ class LoopProgram:
         )
         self._chunk_cache = {}
         self._snap_fn = None
+        from ..utils.log import log_once
+
+        log_once(f"engine plan: {self.describe_plan()}")
+
+    def describe_plan(self) -> str:
+        """One-line summary of the kernel/mesh choices this program made
+        (the user-facing answer to "which path did my run take?")."""
+        rt = self.rt
+        if self.mega:
+            sweep = "megakernel-2d"
+        elif rt.use_pallas:
+            sweep = "pallas-2d"
+        elif rt.pack_k:
+            sweep = f"pallas-2d-packed(k={rt.pack_k})"
+        elif rt.kernel3d:
+            sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
+        else:
+            sweep = "jnp"
+        parts = [f"sweep={sweep}"]
+        if self.cfg.cluster_update is not None or self.cfg.overlap_cluster:
+            parts.append(f"cc={'pallas' if self.cc_pallas else 'jnp'}")
+        if self.fuse_measure:
+            parts.append("fused-measure")
+        if rt.mesh is not None and rt.mesh.devices.size > 1:
+            parts.append(
+                "mesh=" + "x".join(
+                    f"{n}:{s}" for n, s in rt.mesh.shape.items()
+                )
+            )
+        return ", ".join(parts)
 
     # ------------------------------------------------------------------ acc
 

@@ -155,6 +155,45 @@ class TestObserveMode:
             np.asarray(obs._sim.state["system_ids"]), sid_expected
         )
 
+    def test_fk_observe_mutates_nothing_fused_path(self, monkeypatch):
+        """FK-observe counterpart: an observe-only FK phase leaves spins
+        untouched between sweep and measurement, so the engine keeps the
+        fused sweep+measure kernel — and PT must still see the fused-kernel
+        energies, keeping the FK-observer run bitwise identical to an
+        observer-free run (same mechanism as the overlap-observer case)."""
+        monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+
+        def glass(seed):
+            return Ising(
+                (8, 8, 8),
+                couplings="bimodal",
+                temperatures=np.array([1.0, 2.0], dtype=np.float32),
+                n_replicas=2,
+                seed=seed,
+            )
+
+        plain = glass(57)
+        plain.sample(4, pt_interval=1, warmup_ratio=0)
+        expected = plain._sim.get_spins()
+        sid_expected = np.asarray(plain._sim.state["system_ids"])
+
+        obs = glass(57)
+        obs.sample(
+            4,
+            pt_interval=1,
+            cluster_update_interval=2,
+            cluster_mode="sw",
+            cluster_action="observe",
+            warmup_ratio=0,
+        )
+        prog = [p for p in obs._sim._programs.values()
+                if p.cfg.cluster_update is not None][0]
+        assert prog.fuse_measure, "observe-only FK must keep the fused kernel"
+        np.testing.assert_array_equal(obs._sim.get_spins(), expected)
+        np.testing.assert_array_equal(
+            np.asarray(obs._sim.state["system_ids"]), sid_expected
+        )
+
     @pytest.mark.parametrize("build_mode", ["houdayer", "jorg"])
     def test_sw_overlap_observers(self, build_mode):
         model = small_glass(31, temps=(1.5,))
