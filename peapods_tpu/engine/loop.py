@@ -43,6 +43,7 @@ from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
 from ..ops import pallas_sweep3d
 from ..ops import pallas_mega
+from ..ops import pallas_megapair
 from ..ops import pallas_cc
 from ..utils.profiling import phase_scope
 from .config import SimConfig
@@ -127,6 +128,7 @@ class Runtime:
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
     jgrids: jax.Array | None = None  # f32 [n_disorder, 4|6, L0, lanes] (pallas)
     use_pallas: bool = False  # wide-lattice direct kernel
+    pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
     kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
     kernel3d_rows: int = 1  # 3D kernel sublane-pack factor ks (systems/rows)
@@ -233,6 +235,7 @@ class Runtime:
         return cls(
             jgrids=jgrids,
             use_pallas=use_pallas,
+            pallas_ok=on_device,
             pack_k=pack_k,
             kernel3d=kernel3d,
             kernel3d_rows=k3_rows if kernel3d else 1,
@@ -391,6 +394,33 @@ class LoopProgram:
                 or tuple(rt.mesh.axis_names) == ("disorder",)
             )
         )
+        # Pairs megakernel (ops/pallas_megapair.py): replica workloads (the
+        # spin-glass configs) keep sweep+pair-measurement+PT on-chip, with
+        # overlap cluster moves interleaved OUTSIDE between kernel calls
+        # every `interval` sweeps — the per-sweep dispatch glue (the profiled
+        # dominant cost at 8^3/16^3) amortizes over the interval.
+        self._mp = (
+            pallas_megapair.supports_megapair(
+                rt.lattice, rt.n_replicas, rt.n_temps
+            )
+            if rt.pallas_ok
+            else None
+        )
+        self.megapair = (
+            self._mp is not None
+            and not self.mega
+            and rt.n_replicas >= 2
+            and _os.environ.get("PEAPODS_DISABLE_MEGA") != "1"
+            and _os.environ.get("PEAPODS_DISABLE_MEGAPAIR") != "1"
+            and cfg.cluster_update is None
+            and (h is None or h.snapshot_interval is None)
+            and (
+                rt.mesh is None
+                or rt.mesh.devices.size == 1
+                or tuple(rt.mesh.axis_names) == ("disorder",)
+            )
+        )
+        self._mp_jgrids = None
         # In-kernel CC for the FK phase: wins only when few graphs are built
         # per sweep (each vmapped kernel instance pays its own round count,
         # while the jnp path vectorizes the batch) — i.e. the 256^2 SW
@@ -413,6 +443,9 @@ class LoopProgram:
         rt = self.rt
         if self.mega:
             sweep = "megakernel-2d"
+        elif self.megapair:
+            kp, rp = self._mp
+            sweep = f"megapair(kp={kp},rp={rp})"
         elif rt.use_pallas:
             sweep = "pallas-2d"
         elif rt.pack_k:
@@ -674,6 +707,63 @@ class LoopProgram:
             )
         return new_spins, csd_t, obs_delta
 
+    def _make_task_runner(self, mode, with_snapshot):
+        """Per-task overlap-move kernel dispatch shared by the scan path and
+        the megapair runner; ``coup`` is closed over by the caller's vmap."""
+        rt = self.rt
+        h = self.cfg.overlap_cluster
+        wolff = h.cluster_mode == "wolff"
+        update = h.action == "update"
+        winding = self.with_winding and self.observe_overlap
+        with_stats = self.collect_overlap or self.observe_overlap
+
+        def run_task(ts, temp, k, coup):
+            if mode.kind == "houdayer":
+                out = ov.houdayer_task(
+                    ts, k, rt.geom,
+                    wolff=wolff, update=update, with_winding=winding,
+                    with_stats=with_stats,
+                )
+            elif mode.kind == "jorg":
+                out = ov.jorg_task(
+                    ts, k, coup, temp, rt.geom,
+                    wolff=wolff, update=update, with_winding=winding,
+                    with_stats=with_stats,
+                )
+            else:
+                out = ov.cmr_task(
+                    ts, k, coup, temp, rt.geom,
+                    wolff=wolff, update=update, with_winding=winding,
+                    with_stats=with_stats,
+                )
+            if not (with_stats or with_snapshot):
+                return out._replace(labels=None, blue_labels=None,
+                                    counts=None)
+            return out
+
+        return run_task
+
+    def _task_stats(self, out, n_groups):
+        """Per-temperature stats reduction of a task batch (temps-major
+        order); returns ``(csd_t, top4_frac, obs_delta)`` or Nones."""
+        rt = self.rt
+        nb = rt.n_spins + 1
+        if not (self.collect_overlap or self.observe_overlap):
+            return None, None, None
+        csd_t = out.csd.reshape(rt.n_temps, n_groups, nb).sum(1)
+        by_temp = lambda x: x.reshape((rt.n_temps, n_groups) + x.shape[1:])
+        obs_temp = cl.GraphObservation(
+            top4=by_temp(out.obs.top4),
+            active_bonds=by_temp(out.obs.active_bonds),
+            winding_x=by_temp(out.obs.winding_x),
+            winding_y=by_temp(out.obs.winding_y),
+            large_components=by_temp(out.obs.large_components),
+        )
+        obs_delta = _sum_slots_obs(
+            obs_temp, csd_t, n_groups, rt.n_spins, rt.lattice.n_neighbors
+        )
+        return csd_t, obs_delta["top4_frac"], obs_delta
+
     def _overlap_branch(self, mode, with_snapshot):
         """Build one ``lax.switch`` branch; all branches share output shapes.
 
@@ -683,13 +773,9 @@ class LoopProgram:
         cost on TPU.
         """
         rt = self.rt
-        h = self.cfg.overlap_cluster
-        wolff = h.cluster_mode == "wolff"
-        update = h.action == "update"
         g = mode.group_size
         n_groups = rt.n_replicas // g
-        nb = rt.n_spins + 1
-        winding = self.with_winding and self.observe_overlap
+        run_task_c = self._make_task_runner(mode, with_snapshot)
         with_stats = self.collect_overlap or self.observe_overlap
 
         def branch(spins, sid, key, coup):
@@ -700,54 +786,13 @@ class LoopProgram:
             task_temps = jnp.repeat(rt.temps, n_groups)
             tkeys = jax.random.split(k_tasks, flat.shape[0])
 
-            def run_task(ts, temp, k):
-                if mode.kind == "houdayer":
-                    out = ov.houdayer_task(
-                        ts, k, rt.geom,
-                        wolff=wolff, update=update, with_winding=winding,
-                        with_stats=with_stats,
-                    )
-                elif mode.kind == "jorg":
-                    out = ov.jorg_task(
-                        ts, k, coup, temp, rt.geom,
-                        wolff=wolff, update=update, with_winding=winding,
-                        with_stats=with_stats,
-                    )
-                else:
-                    out = ov.cmr_task(
-                        ts, k, coup, temp, rt.geom,
-                        wolff=wolff, update=update, with_winding=winding,
-                        with_stats=with_stats,
-                    )
-                if not (with_stats or with_snapshot):
-                    return out._replace(labels=None, blue_labels=None,
-                                        counts=None)
-                return out
-
+            run_task = lambda ts, temp, k: run_task_c(ts, temp, k, coup)
             out = jax.vmap(run_task)(tspins, task_temps, tkeys)
             new_spins = spins.at[flat.reshape(-1)].set(
                 out.spins.reshape(-1, rt.n_spins)
             )
 
-            if with_stats:
-                csd_t = out.csd.reshape(rt.n_temps, n_groups, nb).sum(1)
-                by_temp = lambda x: x.reshape(
-                    (rt.n_temps, n_groups) + x.shape[1:]
-                )
-                obs_temp = cl.GraphObservation(
-                    top4=by_temp(out.obs.top4),
-                    active_bonds=by_temp(out.obs.active_bonds),
-                    winding_x=by_temp(out.obs.winding_x),
-                    winding_y=by_temp(out.obs.winding_y),
-                    large_components=by_temp(out.obs.large_components),
-                )
-                obs_delta = _sum_slots_obs(
-                    obs_temp, csd_t, n_groups, rt.n_spins,
-                    rt.lattice.n_neighbors
-                )
-                top4_frac = obs_delta["top4_frac"]  # [T, 4] over groups
-            else:
-                csd_t = top4_frac = obs_delta = None
+            csd_t, top4_frac, obs_delta = self._task_stats(out, n_groups)
 
             if with_snapshot:
                 # Snapshot payload: first group per temperature, first two
@@ -1261,11 +1306,493 @@ class LoopProgram:
 
         return run
 
+    # --------------------------------------------------- megapair runner
+
+    def _overlap_branch_slots(self, mode):
+        """Overlap-move event on slot-ordered spins (one realization).
+
+        Megapair counterpart of :meth:`_overlap_branch`: tasks are built in
+        slot space — a task group at temperature t is a shuffled subset of
+        the replicas at slot column t (the reference shuffles the systems at
+        each temperature, overlap.rs:35-56; replica slots at a temperature
+        ARE those systems) — so no by-system gather/scatter is needed.
+        """
+        rt = self.rt
+        g = mode.group_size
+        n_groups = rt.n_replicas // g
+        run_task_c = self._make_task_runner(mode, with_snapshot=False)
+        R, T, n = rt.n_replicas, rt.n_temps, rt.n_spins
+
+        def branch(slot_flat, key, coup):
+            # slot_flat: int8 [R, T, n_spins]
+            k_shuffle, k_tasks = jax.random.split(
+                jax.random.fold_in(key, _PH_OVERLAP)
+            )
+            keys_t = jax.random.split(k_shuffle, T)
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(k, R)
+            )(keys_t)  # [T, R]
+            tasks = perm[:, : n_groups * g].reshape(T, n_groups, g)
+            t_idx = jnp.arange(T)[:, None, None]
+            tspins = slot_flat[tasks, t_idx]  # [T, G, g, n]
+            flat_ts = tspins.reshape(T * n_groups, g, n)
+            task_temps = jnp.repeat(rt.temps, n_groups)
+            tkeys = jax.random.split(k_tasks, T * n_groups)
+
+            run_task = lambda ts, temp, k: run_task_c(ts, temp, k, coup)
+            out = jax.vmap(run_task)(flat_ts, task_temps, tkeys)
+            new_sf = slot_flat.at[tasks, t_idx].set(
+                out.spins.reshape(T, n_groups, g, n)
+            )
+            csd_t, top4_frac, obs_delta = self._task_stats(out, n_groups)
+            return new_sf, csd_t, top4_frac, obs_delta
+
+        return branch
+
+    def _megapair_chunk_runner(self, chunk_len: int):
+        """Chunk runner on the pairs-megakernel path.
+
+        Block structure (one block per overlap interval I; reference sweep
+        order mod.rs:405-796 is sweep -> measure -> overlap -> PT, with the
+        overlap event firing when ``sweep % I == 0``):
+
+            kernel call A (1 sweep: sweep + pair measurement, NO PT)
+            -> overlap move in jnp (the event sweep's move)
+            -> PT in jnp via the kernel-draw mirror (pt_event_jnp)
+            -> kernel call B (I-1 sweeps: sweep + measurement + in-kernel PT)
+
+        Without an overlap config, one call of min(chunk, 256) sweeps runs
+        everything in-kernel (like the 2D megakernel, plus pairs).  The jnp
+        PT mirror draws the *same* murmur-mixed uniforms as the kernel, so
+        observe-mode runs stay bitwise identical to overlap-free runs.
+        """
+        import math as _math
+        import os
+
+        rt = self.rt
+        cfg = self.cfg
+        h = cfg.overlap_cluster
+        kp, rp = self._mp
+        shape = tuple(rt.lattice.shape)
+        l0 = shape[0]
+        block = int(np.prod(shape[1:]))
+        d = rt.n_disorder
+        R, T = rt.n_replicas, rt.n_temps
+        n_slots = R * T
+        n_pairs = R // 2
+        n_spins = rt.n_spins
+        n_bonds = n_spins * rt.lattice.n_neighbors
+        gibbs = cfg.sweep_mode == "gibbs"
+        interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        pt_on = cfg.pt_interval is not None and T >= 2
+        pt_full = cfg.pt_schedule == "full_ladder"
+
+        if h is not None:
+            n_inner = h.interval
+        else:
+            n_inner = _math.gcd(chunk_len, 256)
+        assert chunk_len % n_inner == 0, (chunk_len, n_inner)
+        n_blocks = chunk_len // n_inner
+
+        if self._mp_jgrids is None:
+            self._mp_jgrids = jax.vmap(
+                lambda c: pallas_megapair.pack_coupling_grids_mp(
+                    c, shape, kp, rp
+                )
+            )(rt.couplings)
+        jg = self._mp_jgrids
+
+        mode_kinds = (
+            np.array([OBS_KINDS.index(m.kind) for m in h.modes], np.int32)
+            if h
+            else None
+        )
+        slot_branches = [
+            self._overlap_branch_slots(m) for m in (h.modes if h else [])
+        ]
+
+        def words(keys, ctr, phase, n):
+            """int32 [d, 2*n] per-(realization, inner-sweep) key words."""
+
+            def per_key(key):
+                def per_t(t):
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, ctr + t), phase
+                    )
+                    return jax.lax.bitcast_convert_type(
+                        jax.random.key_data(k).astype(jnp.uint32), jnp.int32
+                    )
+
+                return jax.vmap(per_t)(jnp.arange(n, dtype=jnp.int32))
+
+            return jax.vmap(per_key)(keys).reshape(d, 2 * n)
+
+        def make_call(n_in, with_pt):
+            call = functools.partial(
+                pallas_megapair.megapair_chunk,
+                shape=shape,
+                gibbs=gibbs,
+                n_inner=n_in,
+                n_temps=T,
+                n_replicas=R,
+                kp=kp,
+                rp=rp,
+                pt_interval=cfg.pt_interval if (with_pt and pt_on) else None,
+                pt_full=pt_full,
+                hot_slot=rt.hot_slot,
+                cold_slot=rt.cold_slot,
+                interpret=interpret,
+            )
+            if rt.mesh is not None and rt.mesh.devices.size > 1:
+                from jax.sharding import PartitionSpec as P
+
+                dspec = P("disorder")
+                call = jax.shard_map(
+                    call,
+                    mesh=rt.mesh,
+                    in_specs=(dspec, dspec, P(), dspec, dspec, dspec, dspec,
+                              dspec, dspec, dspec, dspec, dspec),
+                    out_specs=(dspec,) * 11,
+                    check_vma=False,
+                )
+            return call
+
+        call_a = make_call(1, False) if h is not None else None
+        call_b = (
+            make_call(n_inner - 1, True)
+            if (h is not None and n_inner > 1)
+            else None
+        )
+        call_full = make_call(n_inner, True) if h is None else None
+
+        def apply_records(acc, e_sw, m_sw, qs_sw, ql_sw, gate_f, gate_i):
+            """Fold one kernel call's per-sweep outputs into the
+            accumulators; returns (acc, series [n, d, N_SERIES, T])."""
+            n = e_sw.shape[1]
+            e_rt = e_sw.reshape(d, n, R, T)
+            m_rt = m_sw.astype(jnp.float32).reshape(d, n, R, T) / n_spins
+            m2 = m_rt * m_rt
+            rec = jnp.zeros((d, n, N_REC, T), jnp.float32)
+            rec = rec.at[:, :, REC["m_sum"]].set(m_rt.sum(2))
+            rec = rec.at[:, :, REC["m2_sum"]].set(m2.sum(2))
+            rec = rec.at[:, :, REC["m4_sum"]].set((m2 * m2).sum(2))
+            rec = rec.at[:, :, REC["e_sum"]].set(e_rt.sum(2))
+            rec = rec.at[:, :, REC["e2_sum"]].set((e_rt * e_rt).sum(2))
+            rec = rec.at[:, :, REC["m2_ac"]].set(m2.sum(2) / R)
+            rec = rec.at[:, :, REC["diag_e"]].set(e_rt.sum(2) / R)
+            q = qs_sw.astype(jnp.float32).reshape(d, n, n_pairs, T) / n_spins
+            ql = ql_sw.astype(jnp.float32).reshape(d, n, n_pairs, T) / n_bonds
+            q2 = q * q
+            ql2 = ql * ql
+            rec = rec.at[:, :, REC["q_sum"]].set(q.sum(2))
+            rec = rec.at[:, :, REC["q2_sum"]].set(q2.sum(2))
+            rec = rec.at[:, :, REC["q4_sum"]].set((q2 * q2).sum(2))
+            rec = rec.at[:, :, REC["ql_sum"]].set(ql.sum(2))
+            rec = rec.at[:, :, REC["ql2_sum"]].set(ql2.sum(2))
+            rec = rec.at[:, :, REC["ql4_sum"]].set((ql2 * ql2).sum(2))
+            rec = rec.at[:, :, REC["q2_ac"]].set(q2.sum(2) / n_pairs)
+            rec = rec.at[:, :, REC["diag_ql"]].set(ql.sum(2) / n_pairs)
+            rec = rec * gate_f[None, :, None, None]
+
+            acc = dict(acc)
+            acc["rec_sums"], acc["rec_comp"] = _kahan_add(
+                acc["rec_sums"], acc["rec_comp"], rec.sum(1)
+            )
+            acc["n_recorded"] = acc["n_recorded"] + gate_i.sum()
+
+            # P(q) histogram + conditional sums (overlap.rs:303, lib.rs)
+            idx = (qs_sw.reshape(d, n, n_pairs, T) + n_spins) // 2
+            t_cols = jnp.broadcast_to(
+                jnp.arange(T)[None, None, :], (n, n_pairs, T)
+            )
+            gi = jnp.broadcast_to(gate_i[:, None, None], (n, n_pairs, T))
+            gf = gate_f[:, None, None]
+
+            def upd(qh, qla, qla2, ix, qlv):
+                qh = qh.at[t_cols, ix].add(gi)
+                qla = qla.at[t_cols, ix].add(gf * qlv)
+                qla2 = qla2.at[t_cols, ix].add(gf * qlv * qlv)
+                return qh, qla, qla2
+
+            acc["q_hist"], acc["ql_at_q"], acc["ql2_at_q"] = jax.vmap(upd)(
+                acc["q_hist"], acc["ql_at_q"], acc["ql2_at_q"], idx, ql
+            )
+
+            if self.emit_series:
+                series = jnp.stack(
+                    [
+                        rec[:, :, REC["m2_ac"]],
+                        rec[:, :, REC["q2_ac"]],
+                        rec[:, :, REC["diag_e"]],
+                        rec[:, :, REC["diag_ql"]],
+                    ],
+                    axis=2,
+                ).swapaxes(0, 1)  # [n, d, N_SERIES, T]
+            else:
+                series = None
+            return acc, series
+
+        def call_body(carry, xs_blk):
+            state, acc = carry
+            ctr = state["counter"]
+            warm = state["warmup"]
+            sid_rt = state["system_ids"]  # [d, R, T]
+            tiles = pallas_megapair.pack_slots(
+                state["spins"], sid_rt, l0, block, kp, rp
+            )
+            sid_flat = sid_rt.reshape(d, n_slots)
+            ea = (
+                state["pt_edge_attempts"]
+                if T > 1
+                else jnp.zeros((d, 1), jnp.int32)
+            )
+            ec = (
+                state["pt_edge_acceptances"]
+                if T > 1
+                else jnp.zeros((d, 1), jnp.int32)
+            )
+            rtr = state["pt_round_trips"]
+            ts = state["pt_trip_state"]
+            par = state["pt_parity"][None, None] * jnp.ones((d, 1), jnp.int32)
+            total_active = (xs_blk >= 0).sum().astype(jnp.int32)
+            x0 = xs_blk[0]
+            series_parts = []
+
+            if h is not None:
+                # --- call A: the event sweep (sweep + measure, no PT)
+                seeds_a = words(state["base_keys"], ctr, _PH_SWEEP, 1)
+                ptw_a = words(state["base_keys"], ctr, _PH_PT, 1)
+                meta = jnp.broadcast_to(
+                    jnp.stack(
+                        [jnp.maximum(x0, 0),
+                         jnp.minimum(total_active, 1)]
+                    )[None, :],
+                    (d, 2),
+                )
+                out = call_a(
+                    tiles, jg, rt.temps[None, :], seeds_a, ptw_a, meta,
+                    sid_flat, ea, ec, rtr, ts, par,
+                )
+                (tiles, e_a, m_a, qs_a, ql_a,
+                 sid_flat, ea, ec, rtr, ts, par) = out
+                gate_f0 = ((x0 >= 0) & (x0 >= warm)).astype(jnp.float32)[
+                    None
+                ]
+                gate_i0 = gate_f0.astype(jnp.int32)
+                acc, ser = apply_records(
+                    acc, e_a, m_a, qs_a, ql_a, gate_f0, gate_i0
+                )
+                if ser is not None:
+                    series_parts.append(ser)
+
+                # --- overlap move (jnp), gated on the block being active
+                slot_flat = pallas_megapair.tiles_to_slots(
+                    tiles, l0, block, kp, rp
+                )
+                mode_idx = (jnp.maximum(x0, 0) // h.interval) % self.n_modes
+                keys_evt = jax.vmap(
+                    lambda k: jax.random.fold_in(k, ctr)
+                )(state["base_keys"])
+                rec_i_evt = gate_i0[0]
+                rec_f_evt = gate_f0[0]
+
+                def run_event(args):
+                    slot_flat, acc = args
+
+                    def dispatch(sf, k, cp):
+                        return jax.lax.switch(
+                            mode_idx, slot_branches, sf, k, cp
+                        )
+
+                    new_sf, csd_t, top4_frac, obs_delta = jax.vmap(dispatch)(
+                        slot_flat, keys_evt, rt.couplings
+                    )
+                    acc = dict(acc)
+                    if self.collect_overlap:
+                        acc["overlap_csd"] = (
+                            acc["overlap_csd"]
+                            .at[:, mode_idx]
+                            .add(rec_i_evt * csd_t)
+                        )
+                        acc["top4_sum"] = (
+                            acc["top4_sum"]
+                            .at[:, mode_idx]
+                            .add(rec_f_evt * top4_frac)
+                        )
+                        acc["top4_n"] = (
+                            acc["top4_n"].at[:, mode_idx].add(rec_i_evt)
+                        )
+                    if self.observe_overlap:
+                        active_kind = jnp.asarray(mode_kinds)[mode_idx]
+                        for kind in self.obs_kinds_used:
+                            gate = rec_i_evt * (
+                                active_kind == OBS_KINDS.index(kind)
+                            ).astype(jnp.int32)
+                            acc[f"ov_obs_{kind}"] = jax.vmap(
+                                lambda a, dl: _obs_add(a, dl, gate)
+                            )(acc[f"ov_obs_{kind}"], obs_delta)
+                    return new_sf, acc
+
+                slot_flat, acc = jax.lax.cond(
+                    x0 >= 0, run_event, lambda a: a, (slot_flat, acc)
+                )
+
+                # --- PT for the event sweep (jnp mirror of the kernel)
+                if pt_on:
+                    do_pt = (x0 >= 0) & (
+                        jax.lax.rem(x0, jnp.int32(cfg.pt_interval)) == 0
+                    )
+                    es_kernel = e_a[:, 0, :].reshape(d, R, T)
+                    if h.action == "update":
+                        # the move mutated spins this sweep: re-derive
+                        # (mod.rs:748-754)
+                        es_use = jax.vmap(
+                            lambda sf, cp: compute_energies(
+                                sf.reshape(n_slots, n_spins), cp, rt.geom
+                            ).reshape(R, T)
+                        )(slot_flat, rt.couplings)
+                    else:
+                        es_use = es_kernel
+                    ptw0 = ptw_a  # [d, 2] — the event sweep's PT words
+
+                    def run_pt(args):
+                        slot_flat, sid_rt2, ea, ec, rtr, ts, par = args
+
+                        def one(sf, es, si, w, e_a_, e_c_, r_, t_, p_):
+                            (sf2, _es2, si2, ea2, ec2, rt2, ts2,
+                             par2) = pallas_megapair.pt_event_jnp(
+                                sf, es, si, rt.temps, w[0], w[1],
+                                e_a_, e_c_, r_, t_, p_[0],
+                                n_spins=n_spins, pt_full=pt_full,
+                                hot_slot=rt.hot_slot,
+                                cold_slot=rt.cold_slot,
+                            )
+                            return (sf2, si2, ea2, ec2, rt2, ts2,
+                                    jnp.asarray(par2)[None])
+
+                        return jax.vmap(one)(
+                            slot_flat, es_use, sid_rt2, ptw0, ea, ec, rtr,
+                            ts, par,
+                        )
+
+                    (slot_flat, sid_rt2, ea, ec, rtr, ts, par) = jax.lax.cond(
+                        do_pt,
+                        run_pt,
+                        lambda a: a,
+                        (slot_flat, sid_flat.reshape(d, R, T), ea, ec, rtr,
+                         ts, par),
+                    )
+                    sid_flat = sid_rt2.reshape(d, n_slots)
+
+                tiles = pallas_megapair.slots_to_tiles(
+                    slot_flat, l0, block, kp, rp
+                )
+
+                # --- call B: the remaining I-1 sweeps, PT in-kernel
+                if call_b is not None:
+                    seeds_b = words(
+                        state["base_keys"], ctr + 1, _PH_SWEEP, n_inner - 1
+                    )
+                    ptw_b = words(
+                        state["base_keys"], ctr + 1, _PH_PT, n_inner - 1
+                    )
+                    meta = jnp.broadcast_to(
+                        jnp.stack(
+                            [jnp.maximum(x0, 0) + 1,
+                             jnp.maximum(total_active - 1, 0)]
+                        )[None, :],
+                        (d, 2),
+                    )
+                    out = call_b(
+                        tiles, jg, rt.temps[None, :], seeds_b, ptw_b, meta,
+                        sid_flat, ea, ec, rtr, ts, par,
+                    )
+                    (tiles, e_b, m_b, qs_b, ql_b,
+                     sid_flat, ea, ec, rtr, ts, par) = out
+                    xs_rest = xs_blk[1:]
+                    gate_fb = ((xs_rest >= 0) & (xs_rest >= warm)).astype(
+                        jnp.float32
+                    )
+                    acc, ser = apply_records(
+                        acc, e_b, m_b, qs_b, ql_b, gate_fb,
+                        gate_fb.astype(jnp.int32),
+                    )
+                    if ser is not None:
+                        series_parts.append(ser)
+            else:
+                seeds = words(state["base_keys"], ctr, _PH_SWEEP, n_inner)
+                ptw = words(state["base_keys"], ctr, _PH_PT, n_inner)
+                meta = jnp.broadcast_to(
+                    jnp.stack([jnp.maximum(x0, 0), total_active])[None, :],
+                    (d, 2),
+                )
+                out = call_full(
+                    tiles, jg, rt.temps[None, :], seeds, ptw, meta,
+                    sid_flat, ea, ec, rtr, ts, par,
+                )
+                (tiles, e_f, m_f, qs_f, ql_f,
+                 sid_flat, ea, ec, rtr, ts, par) = out
+                gate_f = ((xs_blk >= 0) & (xs_blk >= warm)).astype(
+                    jnp.float32
+                )
+                acc, ser = apply_records(
+                    acc, e_f, m_f, qs_f, ql_f, gate_f,
+                    gate_f.astype(jnp.int32),
+                )
+                if ser is not None:
+                    series_parts.append(ser)
+
+            sid_rt = sid_flat.reshape(d, R, T)
+            spins = pallas_megapair.unpack_slots(
+                tiles, sid_rt, l0, block, kp, rp
+            )
+            new_state = dict(state)
+            new_state["spins"] = spins
+            new_state["system_ids"] = sid_rt
+            new_state["counter"] = ctr + total_active
+            if T > 1:
+                new_state["pt_edge_attempts"] = ea
+                new_state["pt_edge_acceptances"] = ec
+            new_state["pt_round_trips"] = rtr
+            new_state["pt_trip_state"] = ts
+            new_state["pt_parity"] = par[0, 0]
+            series = (
+                jnp.concatenate(series_parts, axis=0)
+                if series_parts
+                else None
+            )
+            return (new_state, acc), series
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(carry, xs):
+            xs_blocks = xs.reshape(n_blocks, n_inner)
+            (state, acc), series = jax.lax.scan(call_body, carry, xs_blocks)
+            if series is not None:
+                series = series.reshape((chunk_len,) + series.shape[2:])
+            return (state, self.fold_float_hists(acc)), series
+
+        return run
+
+    def align_chunk(self, chunk: int) -> int:
+        """Round the driver's chunk length down to a whole number of
+        overlap-interval blocks (megapair blocks must start on event
+        sweeps); identity on every other path."""
+        if self.megapair and self.cfg.overlap_cluster is not None:
+            i = self.cfg.overlap_cluster.interval
+            return max(i, chunk - chunk % i)
+        return chunk
+
     def chunk_runner(self, chunk_len: int):
         """Jitted scan over ``chunk_len`` sweeps (cached per length)."""
         if self.mega:
             if chunk_len not in self._chunk_cache:
                 self._chunk_cache[chunk_len] = self._mega_chunk_runner(chunk_len)
+            return self._chunk_cache[chunk_len]
+        if self.megapair:
+            if chunk_len not in self._chunk_cache:
+                self._chunk_cache[chunk_len] = self._megapair_chunk_runner(
+                    chunk_len
+                )
             return self._chunk_cache[chunk_len]
         if chunk_len not in self._chunk_cache:
             step = self.make_step(with_snapshot=False)

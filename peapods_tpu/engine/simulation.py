@@ -391,6 +391,8 @@ class IsingSimulation:
         # with sweep_local = -1 sentinels that the step cond-skips.
         chunk = min(self.default_chunk, 1 << max(0, (n_sweeps - 1)).bit_length())
         chunk = max(chunk, 1)
+        # megapair blocks must start on overlap-event sweeps
+        chunk = program.align_chunk(chunk)
         while s < n_sweeps:
             if snap_i < len(snap_sweeps) and s == snap_sweeps[snap_i]:
                 run1 = program.snapshot_runner()

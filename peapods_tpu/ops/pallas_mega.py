@@ -125,45 +125,50 @@ def _mega_kernel(
     def slot_temp(slot):
         return temps_ref[0, jax.lax.rem(slot, np.int32(n_temps))]
 
+    d = pl.program_id(0)
+
     def body(es_ref, tmp_ref):
         # the *_out refs are input_output_aliased to the *_in operands on
         # hardware; the interpreter ignores aliasing, so the state is also
         # copied in explicitly (scalar loops — SMEM only loads scalars; a
-        # self-copy on hardware is harmless)
-        spins_out_ref[...] = spins_ref[...]
+        # self-copy on hardware is harmless).  Per-disorder SMEM operands
+        # are whole arrays indexed by the grid's disorder index — Mosaic
+        # rejects grid-blocked SMEM whose row block is neither the full
+        # extent nor 8-divisible.
 
         def _copy_smem(dst, src, n):
             def cp(i, _):
-                dst[0, i] = src[0, i]
+                dst[d, i] = src[d, i]
                 return 0
 
             jax.lax.fori_loop(0, n, cp, 0)
 
+        spins_out_ref[...] = spins_ref[...]
         _copy_smem(sid_out_ref, sid_in_ref, n_slots)
         _copy_smem(ea_out_ref, ea_in_ref, max(n_edges, 1))
         _copy_smem(ec_out_ref, ec_in_ref, max(n_edges, 1))
         _copy_smem(rt_out_ref, rt_in_ref, n_slots)
         _copy_smem(ts_out_ref, ts_in_ref, n_slots)
-        par_out_ref[0, 0] = par_in_ref[0, 0]
+        par_out_ref[d, 0] = par_in_ref[d, 0]
         sweep_base = meta_ref[0, 0]
         n_active = meta_ref[0, 1]
 
         def record_arrival_hot(slot_sys):
             # system arriving at the hot slot: 2 -> round trip++, state -> 1
-            prev = ts_out_ref[0, slot_sys]
+            prev = ts_out_ref[d, slot_sys]
 
             @pl.when(prev == 2)
             def _():
-                rt_out_ref[0, slot_sys] = rt_out_ref[0, slot_sys] + 1
+                rt_out_ref[d, slot_sys] = rt_out_ref[d, slot_sys] + 1
 
-            ts_out_ref[0, slot_sys] = 1
+            ts_out_ref[d, slot_sys] = 1
 
         def record_arrival_cold(slot_sys):
-            prev = ts_out_ref[0, slot_sys]
+            prev = ts_out_ref[d, slot_sys]
 
             @pl.when(prev == 1)
             def _():
-                ts_out_ref[0, slot_sys] = 2
+                ts_out_ref[d, slot_sys] = 2
 
         def try_edge(e, w0, w1, salt):
             """Metropolis swap attempt on ladder edge e (tempering.rs:73-102);
@@ -176,12 +181,12 @@ def _mega_kernel(
                 * (es_ref[0, e + 1] - es_ref[0, e])
                 * (1.0 / t1 - 1.0 / t2)
             )
-            ea_out_ref[0, e] = ea_out_ref[0, e] + 1
+            ea_out_ref[d, e] = ea_out_ref[d, e] + 1
             accept = delta >= jnp.log(u)
 
             @pl.when(accept)
             def _():
-                ec_out_ref[0, e] = ec_out_ref[0, e] + 1
+                ec_out_ref[d, e] = ec_out_ref[d, e] + 1
                 # swap spin tiles of the two slots via scratch
                 tmp_ref[...] = spins_out_ref[0, e]
                 spins_out_ref[0, e] = spins_out_ref[0, e + 1]
@@ -189,22 +194,22 @@ def _mega_kernel(
                 el = es_ref[0, e]
                 es_ref[0, e] = es_ref[0, e + 1]
                 es_ref[0, e + 1] = el
-                sl = sid_out_ref[0, e]
-                sid_out_ref[0, e] = sid_out_ref[0, e + 1]
-                sid_out_ref[0, e + 1] = sl
+                sl = sid_out_ref[d, e]
+                sid_out_ref[d, e] = sid_out_ref[d, e + 1]
+                sid_out_ref[d, e + 1] = sl
                 # arrivals (tempering.py _record_arrivals): only the hot and
                 # cold slots matter; a swap touches them iff e borders them
 
                 @pl.when((e == hot_slot) | (e + 1 == hot_slot))
                 def _():
-                    record_arrival_hot(sid_out_ref[0, hot_slot])
+                    record_arrival_hot(sid_out_ref[d, hot_slot])
 
                 @pl.when((e == cold_slot) | (e + 1 == cold_slot))
                 def _():
-                    record_arrival_cold(sid_out_ref[0, cold_slot])
+                    record_arrival_cold(sid_out_ref[d, cold_slot])
 
         def sweep_t(t, _):
-            pltpu.prng_seed(seeds_ref[0, 2 * t], seeds_ref[0, 2 * t + 1])
+            pltpu.prng_seed(seeds_ref[d, 2 * t], seeds_ref[d, 2 * t + 1])
 
             def one_slot(slot, _):
                 inv_half_t = 1.0 / (0.5 * slot_temp(slot))
@@ -231,20 +236,20 @@ def _mega_kernel(
                     spins_out_ref[0, slot] = s.astype(jnp.int8)
                     m_sum = s.sum()
                 es_ref[0, slot] = e_tot / np.float32(n_spins)
-                e_out_ref[0, t, slot] = e_tot / np.float32(n_spins)
-                m_out_ref[0, t, slot] = m_sum.astype(jnp.int32)
+                e_out_ref[d, t, slot] = e_tot / np.float32(n_spins)
+                m_out_ref[d, t, slot] = m_sum.astype(jnp.int32)
                 return 0
 
             jax.lax.fori_loop(0, n_slots, one_slot, 0)
 
             if pt_interval is not None:
-                w0 = ptw_ref[0, 2 * t]
-                w1 = ptw_ref[0, 2 * t + 1]
+                w0 = ptw_ref[d, 2 * t]
+                w1 = ptw_ref[d, 2 * t + 1]
 
                 @pl.when(jax.lax.rem(sweep_base + t, np.int32(pt_interval)) == 0)
                 def _():
                     if pt_full:
-                        parity = par_out_ref[0, 0]
+                        parity = par_out_ref[d, 0]
 
                         def one_pass(i, _):
                             p = jax.lax.select(
@@ -262,7 +267,7 @@ def _mega_kernel(
                             return 0
 
                         jax.lax.fori_loop(0, 2, one_pass, 0)
-                        par_out_ref[0, 0] = 1 - parity
+                        par_out_ref[d, 0] = 1 - parity
                     else:
                         e = _scalar_randint(w0, w1, 0, n_edges)
                         try_edge(e, w0, w1, 1)
@@ -274,8 +279,8 @@ def _mega_kernel(
         # zero the e/m rows of inactive (sentinel-padded) sweeps
         def zero_t(t, _):
             def zero_slot(slot, _):
-                e_out_ref[0, t, slot] = 0.0
-                m_out_ref[0, t, slot] = 0
+                e_out_ref[d, t, slot] = 0.0
+                m_out_ref[d, t, slot] = 0
                 return 0
 
             jax.lax.fori_loop(0, n_slots, zero_slot, 0)
@@ -357,9 +362,7 @@ def mega_chunk(
         )
         spins_out_shape = jax.ShapeDtypeStruct((n_d, n_slots, h, w), jnp.int8)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    grid_smem = lambda row: pl.BlockSpec(
-        (1, row), lambda d: (d, 0), memory_space=pltpu.SMEM
-    )
+    grid_smem = lambda row: smem()
     # state operands are aliased to their outputs (in-place update): SMEM
     # arrays only support scalar loads, so a copy-in would need a loop; the
     # alias makes the kernel see the incoming values in the output refs.
@@ -383,10 +386,8 @@ def mega_chunk(
         ],
         out_specs=(
             spins_spec,
-            pl.BlockSpec((1, n_inner, n_slots), lambda d: (d, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_inner, n_slots), lambda d: (d, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem(),
+            smem(),
             grid_smem(n_slots),
             grid_smem(max(n_edges, 1)),
             grid_smem(max(n_edges, 1)),

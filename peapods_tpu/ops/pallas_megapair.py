@@ -1,0 +1,719 @@
+"""Pairs megakernel: N sweeps + pair measurement + PT on-chip, for replica
+workloads (the spin-glass configs).
+
+The 2D megakernel (:mod:`peapods_tpu.ops.pallas_mega`) excludes every config
+with ``n_replicas >= 2`` because pair statistics need per-sweep spin access.
+This kernel removes that exclusion the TPU way: *all* systems of one disorder
+realization stay resident in VMEM, tiled per temperature with replicas packed
+inside the tile at statically-known offsets, so the per-sweep overlap dot
+products (q, q_l) are in-kernel elementwise products + masked reductions
+between resident regions — no spins ever leave the chip between sweeps.
+Overlap cluster moves (every ``interval`` sweeps) run *outside* between kernel
+calls, which amortizes the per-sweep dispatch glue by ``interval`` (the
+profiled dominant cost of the 8^3/16^3 driver configs; docs/performance.md).
+
+This is the TPU analog of the reference's hot loop serving its dominant
+spin-glass workload at full speed (``simulation/mod.rs:405-796`` with the
+``UnitCouplingMetropolisLookup`` fast path, ``mcmc/sweep.rs:102-185``).
+
+Layout
+------
+
+One kernel instance per disorder realization (grid = n_d).  Spins are stored
+by slot ``(replica r, temperature t)``:
+
+    spins_ref: i8 [1, n_temps, rp*L0, kp*block]     (block = L1*L2; 2D: W)
+
+Replica ``r = b*kp + c`` occupies rows ``[b*L0, (b+1)*L0)`` and lanes
+``[c*block, (c+1)*block)`` of its temperature's tile.  Pair partners
+``(2p, 2p+1)`` are therefore adjacent lane groups (kp >= 2) or adjacent row
+blocks (kp == 1) at static offsets.  A PT swap on edge ``(t, t+1)`` of
+replica r's ladder exchanges region r of two adjacent tiles (dynamic
+first-axis indices — supported), with sid/diagnostics bookkeeping exactly
+like the 2D megakernel.  All replicas in one tile share that tile's
+temperature, so ``inv_half_t`` is a per-tile scalar.
+
+The per-sweep acceptance uniforms come from the hardware PRNG
+(:func:`peapods_tpu.ops.pallas_sweep._hw_uniform`); PT's handful of scalar
+draws per sweep use the murmur3-finalizer mix of the per-sweep threefry key
+words (:func:`peapods_tpu.ops.pallas_mega._scalar_uniform`).  The engine
+re-creates the *same* PT draws in jnp for event sweeps
+(:func:`pt_event_jnp`), so interleaving overlap moves does not change the PT
+trajectory — the observe-mode bitwise-invariance contract
+(tests/test_sampling_interfaces.py) holds through this path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import METROPOLIS_LAZINESS
+from .pallas_sweep import _hw_uniform, _interp
+from .pallas_mega import _scalar_randint, _scalar_uniform
+from .pallas_sweep3d import _lane_shift_fns
+
+__all__ = [
+    "supports_megapair",
+    "megapair_chunk",
+    "pack_coupling_grids_mp",
+    "pack_slots",
+    "unpack_slots",
+    "slots_to_tiles",
+    "tiles_to_slots",
+    "pt_event_jnp",
+]
+
+_HYPERCUBIC_2D = np.array([[1, 0], [0, 1]])
+_HYPERCUBIC_3D = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+
+# VMEM budget for resident state (spins in+out, coupling grids, scratch);
+# v5e has 16 MB more is risky with double-buffered pipelines.
+_VMEM_BUDGET = 10 * 2**20
+
+
+def _dims_of(lattice):
+    """``(l0, l1, l2)`` with l2 == 1 encoding a 2D lattice, or None."""
+    if lattice.n_dims == 2 and np.array_equal(lattice.offsets, _HYPERCUBIC_2D):
+        return (lattice.shape[0], lattice.shape[1], 1)
+    if lattice.n_dims == 3 and np.array_equal(lattice.offsets, _HYPERCUBIC_3D):
+        return tuple(lattice.shape)
+    return None
+
+
+def supports_megapair(lattice, n_replicas, n_temps):
+    """Eligibility: returns ``(kp, rp)`` (lane / row replica-pack factors,
+    ``kp * rp == n_replicas``) or ``None``.
+
+    Requirements: hypercubic 2D/3D; replicas divide into kp lane groups
+    (kp = smallest count filling 128 lanes); the packed tile is 8-sublane
+    aligned; everything fits the VMEM budget.
+    """
+    dims = _dims_of(lattice)
+    if dims is None or n_replicas < 2:
+        return None
+    l0, l1, l2 = dims
+    if l0 < 2 or l1 < 2:
+        return None
+    block = l1 * l2
+    kp = 128 // math.gcd(128, block)
+    if n_replicas % kp:
+        return None
+    rp = n_replicas // kp
+    rows, lanes = rp * l0, kp * block
+    if rows % 8:
+        return None
+    n_grids = 2 * (2 if l2 == 1 else 3)
+    vmem = n_temps * rows * lanes * 2 + n_grids * rows * lanes * 4
+    if vmem > _VMEM_BUDGET:
+        return None
+    return kp, rp
+
+
+def pack_coupling_grids_mp(coup_fwd, shape, kp, rp):
+    """``f32 [n_grids, rp*L0, kp*block]`` pre-shifted coupling grids.
+
+    Per dimension: (bond arriving from the -d neighbor, own forward bond) —
+    reference ``local_field`` (mcmc/sweep.rs:8-19).  Tiled across the kp lane
+    and rp row replica regions once (all replicas of a realization share
+    couplings).  2D lattices produce 4 grids, 3D lattices 6.
+    """
+    shape = tuple(shape)
+    n_dims = len(shape)
+    l0 = shape[0]
+    block = int(np.prod(shape[1:]))
+    grids = []
+    for d in range(n_dims):
+        fwd = coup_fwd[:, d].reshape(shape)
+        grids.append(jnp.roll(fwd, 1, axis=d))
+        grids.append(fwd)
+    g = jnp.stack([x.reshape(l0, block) for x in grids])
+    return jnp.tile(g, (1, rp, kp))
+
+
+# ------------------------------------------------------------------ layout
+
+def slots_to_tiles(slot_flat, l0, block, kp, rp):
+    """``[..., R, T, n_spins] -> [..., T, rp*L0, kp*block]`` (pure reshape).
+
+    Replica ``r = b*kp + c`` lands at row block b, lane group c.
+    """
+    lead = slot_flat.shape[:-3]
+    n_temps = slot_flat.shape[-2]
+    x = slot_flat.reshape(lead + (rp, kp, n_temps, l0, block))
+    x = jnp.moveaxis(x, (-5, -4), (-4, -2))  # [..., T, rp, L0, kp, block]
+    return x.reshape(lead + (n_temps, rp * l0, kp * block))
+
+
+def tiles_to_slots(tiles, l0, block, kp, rp):
+    """Inverse of :func:`slots_to_tiles`."""
+    lead = tiles.shape[:-3]
+    n_temps = tiles.shape[-3]
+    x = tiles.reshape(lead + (n_temps, rp, l0, kp, block))
+    x = jnp.moveaxis(x, (-4, -2), (-5, -4))  # [..., rp, kp, T, L0, block]
+    return x.reshape(lead + (rp * kp, n_temps, l0 * block))
+
+
+def pack_slots(spins, sid, l0, block, kp, rp):
+    """By-system ``int8 [n_d, S, n_spins]`` + ``sid [n_d, R, T]`` -> slot
+    tiles ``[n_d, T, rp*L0, kp*block]``."""
+    slot_flat = jnp.take_along_axis(
+        spins, sid.reshape(sid.shape[0], -1)[..., None], axis=1
+    ).reshape(sid.shape + (spins.shape[-1],))
+    return slots_to_tiles(slot_flat, l0, block, kp, rp)
+
+
+def unpack_slots(tiles, sid, l0, block, kp, rp):
+    """Slot tiles + final ``sid`` -> by-system ``int8 [n_d, S, n_spins]``."""
+    slot_flat = tiles_to_slots(tiles, l0, block, kp, rp)
+    n_d = tiles.shape[0]
+    flat_sid = sid.reshape(n_d, -1)
+    n_sp = slot_flat.shape[-1]
+    out = jnp.zeros((n_d, flat_sid.shape[1], n_sp), slot_flat.dtype)
+    return out.at[jnp.arange(n_d)[:, None], flat_sid].set(
+        slot_flat.reshape(n_d, -1, n_sp)
+    )
+
+
+# ------------------------------------------------------------------- body
+
+def _row_shift_fns(rows, l0):
+    """Seam-corrected i +- 1 neighbor-value helpers (rp row blocks stack
+    independent systems; the periodic wrap must stay within a block)."""
+    if rows == l0:
+        return (lambda x: pltpu.roll(x, 1, 0),
+                lambda x: pltpu.roll(x, l0 - 1, 0),
+                None)
+    row = None  # built lazily by caller with matching shape
+
+    def make(shape_row):
+        i_coord = jax.lax.rem(shape_row, np.int32(l0))
+        at_i0 = i_coord == 0
+        at_il = i_coord == (l0 - 1)
+
+        def im(x):
+            return jnp.where(
+                at_i0, pltpu.roll(x, rows - (l0 - 1), 0), pltpu.roll(x, 1, 0)
+            )
+
+        def ip(x):
+            return jnp.where(
+                at_il, pltpu.roll(x, l0 - 1, 0), pltpu.roll(x, rows - 1, 0)
+            )
+
+        return im, ip, i_coord
+
+    return make
+
+
+def _mp_geometry(rows, lanes, l0, l1, l2):
+    """Shift helpers + checkerboard parity for one packed tile."""
+    block = l1 * l2
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    (jm, jp, km, kp_), parity_jk = _lane_shift_fns(col, block, l1, l2)
+    fns = _row_shift_fns(rows, l0)
+    if callable(fns):
+        im, ip, i_coord = fns(row)
+    else:
+        im, ip, _ = fns
+        i_coord = row
+    parity = (jax.lax.rem(i_coord, np.int32(l0)) + parity_jk) & 1
+    return (im, ip, jm, jp, km, kp_), parity, row, col
+
+
+def _mp_body(s, jg, inv_half_t, uniform_for_color, shifts, parity, *,
+             gibbs, two_dim, with_energy=False):
+    """Both-color update of one packed tile; mirrors
+    :func:`peapods_tpu.ops.pallas_sweep3d._body_3d` (2D skips the k terms).
+
+    ``with_energy=True`` also returns the per-site positive forward-bond
+    energy contributions of the post-sweep state (nonzero at odd-parity
+    sites only — every bond joins one even and one odd site, so summing
+    ``s_final * field`` over odd sites counts each bond exactly once).
+    """
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    im, ip, jm, jp, km, kp_ = shifts
+    e_site = None
+    for c in range(2):
+        field = (
+            im(s) * jg[0]
+            + ip(s) * jg[1]
+            + jm(s) * jg[2]
+            + jp(s) * jg[3]
+        )
+        if not two_dim:
+            field = field + km(s) * jg[4] + kp_(s) * jg[5]
+        x = -s * field * inv_half_t
+        u = uniform_for_color(c)
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        flip = (u < p) & (parity == c)
+        s = jnp.where(flip, -s, s)
+        if with_energy and c == 1:
+            e_site = jnp.where(parity == 1, s * field, 0.0)
+    if with_energy:
+        return s, e_site
+    return s
+
+
+def _pair_partner(s, l0, block, kp, rows, lanes, row, col):
+    """Tile holding each site's pair-partner value: replica ``2p`` reads
+    ``2p+1`` and vice versa.  kp >= 2: partners are adjacent lane groups;
+    kp == 1: adjacent row blocks."""
+    if kp >= 2:
+        c_even = ((col // block) & 1) == 0
+        fwd = pltpu.roll(s, lanes - block, 1)  # group c reads c+1
+        bwd = pltpu.roll(s, block, 1)          # group c reads c-1
+        return jnp.where(c_even, fwd, bwd)
+    b_even = ((row // l0) & 1) == 0
+    fwd = pltpu.roll(s, rows - l0, 0)
+    bwd = pltpu.roll(s, l0, 0)
+    return jnp.where(b_even, fwd, bwd)
+
+
+def _region_index(row, col, l0, block, kp):
+    """Replica index ``b*kp + c`` per site of a packed tile."""
+    return (row // l0) * kp + col // block
+
+
+# ------------------------------------------------------------------ kernel
+
+def _mp_kernel(
+    # SMEM operands
+    seeds_ref,      # i32 [1, 2*n_inner]   sweep PRNG words
+    ptw_ref,        # i32 [1, 2*n_inner]   PT mixer words
+    temps_ref,      # f32 [1, n_temps]
+    meta_ref,       # i32 [1, 2]           (sweep_base, n_active)
+    sid_in_ref,     # i32 [1, n_slots]     system at slot r*n_temps + t
+    ea_in_ref,      # i32 [1, n_edges_pad]
+    ec_in_ref,      # i32 [1, n_edges_pad]
+    rt_in_ref,      # i32 [1, n_systems]   round trips (by system)
+    ts_in_ref,      # i32 [1, n_systems]   trip state (by system)
+    par_in_ref,     # i32 [1, 1]
+    # VMEM
+    spins_ref,      # i8 [1, n_temps, rows, lanes]
+    jg_ref,         # f32 [1, n_grids, rows, lanes]
+    # outputs
+    spins_out_ref,
+    e_out_ref,      # f32 [1, n_inner, n_slots]  SMEM
+    m_out_ref,      # i32 [1, n_inner, n_slots]  SMEM
+    qs_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
+    ql_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
+    sid_out_ref, ea_out_ref, ec_out_ref, rt_out_ref, ts_out_ref, par_out_ref,
+    *,
+    gibbs, n_inner, n_temps, n_replicas, n_pairs, n_edges, l0, l1, l2,
+    kp, rp, pt_interval, pt_full, hot_slot, cold_slot, n_systems,
+):
+    block = l1 * l2
+    rows, lanes = rp * l0, kp * block
+    n_slots = n_replicas * n_temps
+    n_spins = l0 * block
+    two_dim = l2 == 1
+
+    d = pl.program_id(0)
+
+    def body(es_ref):
+        # *_out refs are input_output_aliased on hardware; the interpreter
+        # ignores aliasing, so state is also copied in explicitly.  SMEM
+        # operands are whole arrays indexed by the grid's disorder index
+        # (Mosaic rejects grid-blocked SMEM whose row block is neither the
+        # full extent nor 8-divisible).
+        spins_out_ref[...] = spins_ref[...]
+
+        def _copy_smem(dst, src, n):
+            def cp(i, _):
+                dst[d, i] = src[d, i]
+                return 0
+
+            jax.lax.fori_loop(0, n, cp, 0)
+
+        _copy_smem(sid_out_ref, sid_in_ref, n_slots)
+        _copy_smem(ea_out_ref, ea_in_ref, max(n_edges, 1))
+        _copy_smem(ec_out_ref, ec_in_ref, max(n_edges, 1))
+        _copy_smem(rt_out_ref, rt_in_ref, n_systems)
+        _copy_smem(ts_out_ref, ts_in_ref, n_systems)
+        par_out_ref[d, 0] = par_in_ref[d, 0]
+        sweep_base = meta_ref[d, 0]
+        n_active = meta_ref[d, 1]
+
+        shifts, parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
+        sub = _region_index(row, col, l0, block, kp)
+        region_masks = [sub == r for r in range(n_replicas)]
+
+        def record_arrival_hot(sys):
+            prev = ts_out_ref[d, sys]
+
+            @pl.when(prev == 2)
+            def _():
+                rt_out_ref[d, sys] = rt_out_ref[d, sys] + 1
+
+            ts_out_ref[d, sys] = 1
+
+        def record_arrival_cold(sys):
+            prev = ts_out_ref[d, sys]
+
+            @pl.when(prev == 1)
+            def _():
+                ts_out_ref[d, sys] = 2
+
+        def try_edge(r, e, w0, w1, salt):
+            """PT Metropolis attempt on replica r's ladder edge e
+            (tempering.rs:73-102): swap region r of tiles e and e+1."""
+            u = _scalar_uniform(w0, w1, salt)
+            t1 = temps_ref[0, e]
+            t2 = temps_ref[0, e + 1]
+            sl = r * n_temps + e
+            delta = (
+                np.float32(n_spins)
+                * (es_ref[0, sl + 1] - es_ref[0, sl])
+                * (1.0 / t1 - 1.0 / t2)
+            )
+            ea_out_ref[d, e] = ea_out_ref[d, e] + 1
+            accept = delta >= jnp.log(u)
+
+            @pl.when(accept)
+            def _():
+                ec_out_ref[d, e] = ec_out_ref[d, e] + 1
+                mask = region_masks[r]
+                tl = spins_out_ref[0, e]
+                tr = spins_out_ref[0, e + 1]
+                spins_out_ref[0, e] = jnp.where(mask, tr, tl)
+                spins_out_ref[0, e + 1] = jnp.where(mask, tl, tr)
+                el = es_ref[0, sl]
+                es_ref[0, sl] = es_ref[0, sl + 1]
+                es_ref[0, sl + 1] = el
+                sv = sid_out_ref[d, sl]
+                sid_out_ref[d, sl] = sid_out_ref[d, sl + 1]
+                sid_out_ref[d, sl + 1] = sv
+
+                @pl.when((e == hot_slot) | (e + 1 == hot_slot))
+                def _():
+                    record_arrival_hot(sid_out_ref[d, r * n_temps + hot_slot])
+
+                @pl.when((e == cold_slot) | (e + 1 == cold_slot))
+                def _():
+                    record_arrival_cold(
+                        sid_out_ref[d, r * n_temps + cold_slot]
+                    )
+
+        def sweep_t(t, _):
+            pltpu.prng_seed(seeds_ref[d, 2 * t], seeds_ref[d, 2 * t + 1])
+
+            def one_temp(ti, _):
+                inv_half_t = 1.0 / (0.5 * temps_ref[0, ti])
+                s = spins_out_ref[0, ti].astype(jnp.float32)
+                s, e_site = _mp_body(
+                    s, jg_ref[0], inv_half_t,
+                    lambda c: _hw_uniform((rows, lanes)),
+                    shifts, parity, gibbs=gibbs, two_dim=two_dim,
+                    with_energy=True,
+                )
+                spins_out_ref[0, ti] = s.astype(jnp.int8)
+                for r in range(n_replicas):
+                    mask = region_masks[r]
+                    e_r = jnp.where(mask, e_site, 0.0).sum()
+                    m_r = jnp.where(mask, s, 0.0).sum()
+                    slot = r * n_temps + ti
+                    es_ref[0, slot] = e_r / np.float32(n_spins)
+                    e_out_ref[d, t, slot] = e_r / np.float32(n_spins)
+                    m_out_ref[d, t, slot] = m_r.astype(jnp.int32)
+
+                # pair measurement (overlap.rs:251-333): q and q_l between
+                # resident partner regions; q_site is symmetric within a
+                # pair, so only the even replica's region is summed.
+                partner = _pair_partner(s, l0, block, kp, rows, lanes, row,
+                                        col)
+                q_site = s * partner
+                im, ip, jm, jp, km, kp_ = shifts
+                nbr_q = ip(q_site) + jp(q_site)
+                if not two_dim:
+                    nbr_q = nbr_q + kp_(q_site)
+                l_site = q_site * nbr_q
+                for p in range(n_pairs):
+                    mask = region_masks[2 * p]
+                    qs = jnp.where(mask, q_site, 0.0).sum()
+                    ql = jnp.where(mask, l_site, 0.0).sum()
+                    qs_out_ref[d, t, p * n_temps + ti] = qs.astype(jnp.int32)
+                    ql_out_ref[d, t, p * n_temps + ti] = ql.astype(jnp.int32)
+                return 0
+
+            jax.lax.fori_loop(0, n_temps, one_temp, 0)
+
+            if pt_interval is not None:
+                w0 = ptw_ref[d, 2 * t]
+                w1 = ptw_ref[d, 2 * t + 1]
+
+                @pl.when(
+                    jax.lax.rem(sweep_base + t, np.int32(pt_interval)) == 0
+                )
+                def _():
+                    if pt_full:
+                        parity_pt = par_out_ref[d, 0]
+
+                        def one_pass(i, _):
+                            p = jax.lax.select(i == 0, parity_pt,
+                                               1 - parity_pt)
+
+                            def one_edge(e, _):
+                                @pl.when(jax.lax.rem(e, 2) == p)
+                                def _():
+                                    for r in range(n_replicas):
+                                        try_edge(
+                                            r, e, w0, w1,
+                                            (i * n_edges + e) * n_replicas
+                                            + r,
+                                        )
+
+                                return 0
+
+                            jax.lax.fori_loop(0, n_edges, one_edge, 0)
+                            return 0
+
+                        jax.lax.fori_loop(0, 2, one_pass, 0)
+                        par_out_ref[d, 0] = 1 - parity_pt
+                    else:
+                        for r in range(n_replicas):
+                            e = _scalar_randint(w0, w1, r, n_edges)
+                            try_edge(r, e, w0, w1, n_replicas + r)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_active, sweep_t, 0)
+
+        # zero the output rows of inactive (sentinel-padded) sweeps
+        def zero_t(t, _):
+            def zero_slot(i, _):
+                e_out_ref[d, t, i] = 0.0
+                m_out_ref[d, t, i] = 0
+                return 0
+
+            def zero_pair(i, _):
+                qs_out_ref[d, t, i] = 0
+                ql_out_ref[d, t, i] = 0
+                return 0
+
+            jax.lax.fori_loop(0, n_slots, zero_slot, 0)
+            jax.lax.fori_loop(0, n_pairs * n_temps, zero_pair, 0)
+            return 0
+
+        jax.lax.fori_loop(n_active, n_inner, zero_t, 0)
+
+    pl.run_scoped(body, es_ref=pltpu.SMEM((1, n_slots), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shape", "gibbs", "n_inner", "n_temps", "n_replicas", "kp", "rp",
+        "pt_interval", "pt_full", "hot_slot", "cold_slot", "interpret",
+    ),
+)
+def megapair_chunk(
+    spins_tiles, jgrids, temps, seeds, pt_words, meta,
+    sid, ea, ec, rtrips, tstate, parity,
+    *,
+    shape, gibbs, n_inner, n_temps, n_replicas, kp, rp, pt_interval,
+    pt_full, hot_slot, cold_slot, interpret=False,
+):
+    """Run ``n_inner`` sweeps (+ fused pair measurement + PT) per realization.
+
+    All array args carry a leading disorder axis (the kernel grid).
+    ``spins_tiles``: int8 ``[n_d, n_temps, rp*L0, kp*block]`` slot tiles
+    (:func:`pack_slots`); ``sid``: int32 ``[n_d, n_slots]`` flattened r-major.
+    ``pt_interval=None`` disables in-kernel PT entirely (the engine's
+    pre-overlap-event call runs PT outside via :func:`pt_event_jnp`).
+
+    Returns ``(spins_tiles, e [n_d, n_inner, n_slots], m [.., i32],
+    qs [n_d, n_inner, n_pairs*n_temps], ql [..], sid, ea, ec, rtrips,
+    tstate, parity)``.
+    """
+    l0 = shape[0]
+    l1 = shape[1]
+    l2 = shape[2] if len(shape) == 3 else 1
+    block = l1 * l2
+    rows, lanes = rp * l0, kp * block
+    n_d = spins_tiles.shape[0]
+    n_slots = n_replicas * n_temps
+    n_pairs = n_replicas // 2
+    n_edges = n_temps - 1
+    n_grids = 4 if l2 == 1 else 6
+    kernel = functools.partial(
+        _mp_kernel,
+        gibbs=gibbs,
+        n_inner=n_inner,
+        n_temps=n_temps,
+        n_replicas=n_replicas,
+        n_pairs=n_pairs,
+        n_edges=n_edges,
+        l0=l0, l1=l1, l2=l2, kp=kp, rp=rp,
+        pt_interval=pt_interval,
+        pt_full=pt_full,
+        hot_slot=hot_slot,
+        cold_slot=cold_slot,
+        n_systems=n_slots,
+    )
+    spins_spec = pl.BlockSpec(
+        (1, n_temps, rows, lanes), lambda d: (d, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    jg_spec = pl.BlockSpec(
+        (1, n_grids, rows, lanes), lambda d: (d, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    grid_smem = lambda n: smem()
+    sweep_smem = lambda n: smem()
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d,),
+        input_output_aliases={10: 0, 4: 5, 5: 6, 6: 7, 7: 8, 8: 9, 9: 10},
+        in_specs=[smem()] * 10 + [spins_spec, jg_spec],
+        out_specs=(
+            spins_spec,
+            sweep_smem(n_slots),
+            sweep_smem(n_slots),
+            sweep_smem(max(n_pairs, 1) * n_temps),
+            sweep_smem(max(n_pairs, 1) * n_temps),
+            grid_smem(n_slots),
+            grid_smem(max(n_edges, 1)),
+            grid_smem(max(n_edges, 1)),
+            grid_smem(n_slots),
+            grid_smem(n_slots),
+            grid_smem(1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_d, n_temps, rows, lanes), jnp.int8),
+            jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (n_d, n_inner, max(n_pairs, 1) * n_temps), jnp.int32
+            ),
+            jax.ShapeDtypeStruct(
+                (n_d, n_inner, max(n_pairs, 1) * n_temps), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1), jnp.int32),
+        ),
+        interpret=_interp(interpret),
+    )(
+        seeds, pt_words, temps, meta, sid, ea, ec, rtrips, tstate, parity,
+        spins_tiles, jgrids,
+    )
+    return out
+
+
+# -------------------------------------------------------------- jnp mirror
+
+def pt_event_jnp(
+    slot_flat, es, sid, temps, w0, w1, ea, ec, rtrips, tstate, parity,
+    *, n_spins, pt_full, hot_slot, cold_slot,
+):
+    """jnp mirror of the kernel's PT event for ONE realization, drawing the
+    *same* murmur-mixed uniforms from the same per-sweep words — so an
+    engine-side PT event (run between kernel calls around an overlap move)
+    is bitwise identical to the in-kernel PT the no-event path would run.
+
+    Args:
+        slot_flat: ``int8 [R, T, n_spins]`` slot-ordered spins.
+        es: ``f32 [R, T]`` per-slot energies (kernel convention).
+        sid: ``int32 [R, T]``.
+        w0/w1: the event sweep's PT mixer words (scalars).
+        rtrips/tstate: ``int32 [n_systems]`` by system.
+
+    Returns ``(slot_flat, es, sid, ea, ec, rtrips, tstate, parity)``.
+    """
+    n_replicas, n_temps = sid.shape
+    n_edges = n_temps - 1
+    if n_edges < 1:
+        return slot_flat, es, sid, ea, ec, rtrips, tstate, parity
+
+    def arrivals(sid_old, sid_new, rtr, ts):
+        hot_sys = sid_new[:, hot_slot]
+        hot_arr = sid_new[:, hot_slot] != sid_old[:, hot_slot]
+        inc = hot_arr & (ts[hot_sys] == 2)
+        rtr = rtr.at[hot_sys].add(inc.astype(jnp.int32))
+        ts = ts.at[hot_sys].set(jnp.where(hot_arr, 1, ts[hot_sys]))
+        cold_sys = sid_new[:, cold_slot]
+        cold_arr = sid_new[:, cold_slot] != sid_old[:, cold_slot]
+        promote = cold_arr & (ts[cold_sys] == 1)
+        ts = ts.at[cold_sys].set(jnp.where(promote, 2, ts[cold_sys]))
+        return rtr, ts
+
+    def swap_t_axis(x, accept):
+        """Swap entries (r, e) <-> (r, e+1) along the temp axis wherever
+        ``accept [R, n_edges]``; accepted edges are disjoint per replica."""
+        a_left = jnp.pad(accept, ((0, 0), (0, 1)))
+        a_right = jnp.pad(accept, ((0, 0), (1, 0)))
+        x_r = jnp.roll(x, -1, axis=1)
+        x_l = jnp.roll(x, 1, axis=1)
+        cond_shape = a_left.shape + (1,) * (x.ndim - 2)
+        return jnp.where(
+            a_left.reshape(cond_shape), x_r,
+            jnp.where(a_right.reshape(cond_shape), x_l, x),
+        )
+
+    edge_idx = jnp.arange(n_edges)
+    inv_t = 1.0 / temps
+
+    if pt_full:
+        r_idx = jnp.arange(n_replicas)[:, None]
+
+        def one_pass(i, carry):
+            slot_flat, es, sid, ea, ec, rtr, ts = carry
+            p = jax.lax.select(i == 0, parity, 1 - parity)
+            # same salts as the kernel: (i*n_edges + e)*R + r
+            salt = (i * n_edges + edge_idx[None, :]) * n_replicas + r_idx
+            u = _scalar_uniform(w0, w1, salt)
+            delta = (
+                np.float32(n_spins)
+                * (es[:, 1:] - es[:, :-1])
+                * (inv_t[:-1] - inv_t[1:])[None, :]
+            )
+            pmask = (edge_idx % 2) == p
+            accept = (delta >= jnp.log(u)) & pmask[None, :]
+            new_sid = swap_t_axis(sid, accept)
+            new_es = swap_t_axis(es, accept)
+            new_sf = swap_t_axis(slot_flat, accept)
+            ea = ea + jnp.where(pmask, n_replicas, 0).astype(ea.dtype)
+            ec = ec + accept.sum(0).astype(ec.dtype)
+            rtr, ts = arrivals(sid, new_sid, rtr, ts)
+            return new_sf, new_es, new_sid, ea, ec, rtr, ts
+
+        carry = (slot_flat, es, sid, ea, ec, rtrips, tstate)
+        carry = jax.lax.fori_loop(0, 2, one_pass, carry)
+        slot_flat, es, sid, ea, ec, rtrips, tstate = carry
+        parity = 1 - parity
+    else:
+        r_idx = jnp.arange(n_replicas)
+        edges = _scalar_randint(w0, w1, r_idx, n_edges)
+        u = _scalar_uniform(w0, w1, n_replicas + r_idx)
+        el = es[r_idx, edges]
+        er = es[r_idx, edges + 1]
+        t1 = temps[edges]
+        t2 = temps[edges + 1]
+        delta = np.float32(n_spins) * (er - el) * (1.0 / t1 - 1.0 / t2)
+        accept = delta >= jnp.log(u)
+        acc_mask = jnp.zeros((n_replicas, n_edges), bool).at[
+            r_idx, edges
+        ].set(accept)
+        new_sid = swap_t_axis(sid, acc_mask)
+        slot_flat = swap_t_axis(slot_flat, acc_mask)
+        es = swap_t_axis(es, acc_mask)
+        ea = ea.at[edges].add(1)
+        ec = ec.at[edges].add(accept.astype(jnp.int32))
+        rtrips, tstate = arrivals(sid, new_sid, rtrips, tstate)
+        sid = new_sid
+    return slot_flat, es, sid, ea, ec, rtrips, tstate, parity

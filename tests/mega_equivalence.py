@@ -81,6 +81,52 @@ def run_ztest(quick):
     return worst < limit
 
 
+def run_pairs_ztest(quick):
+    """Megapair-vs-scan z-test on a spin glass: identical 8^3 bimodal
+    config (PT + Houdayer/5), many independent disorder seeds per arm;
+    per-temperature <E> and <q^2> must agree within combined standard
+    errors.  Pins the pairs megakernel's sweep, in-kernel measurement, PT,
+    and the kernel-call/jnp-overlap interleaving against the scan path."""
+    from peapods_tpu.models.ising import Ising
+
+    n_seeds = 8 if quick else 24
+    n_sweeps = 2000 if quick else 6000
+    temps = np.geomspace(1.2, 3.0, 8).astype(np.float32)
+    shape = (8, 8, 8)
+
+    acc = {}
+    for mp in (True, False):
+        os.environ["PEAPODS_DISABLE_MEGAPAIR"] = "" if mp else "1"
+        es, q2s = [], []
+        for s in range(n_seeds):
+            model = Ising(shape, "bimodal", temps, n_replicas=4,
+                          seed=3000 + s)
+            r = model.sample(
+                n_sweeps, "metropolis", pt_interval=1,
+                overlap_cluster_update_interval=5,
+                overlap_cluster_build_mode="houdayer",
+            )
+            es.append(np.asarray(r["energies"], np.float64))
+            q2s.append(np.asarray(r["overlap2"], np.float64))
+        acc[mp] = (np.stack(es), np.stack(q2s))
+    os.environ.pop("PEAPODS_DISABLE_MEGAPAIR", None)
+
+    worst = 0.0
+    for name, idx in (("<E>/N", 0), ("<q^2>", 1)):
+        a, b = acc[True][idx], acc[False][idx]
+        ma, mb = a.mean(0), b.mean(0)
+        se = np.sqrt(a.var(0, ddof=1) / len(a) + b.var(0, ddof=1) / len(b))
+        z = np.abs(ma - mb) / np.where(se > 0, se, 1)
+        print(f"  {name}: max|z| = {z.max():.2f} "
+              f"(megapair {ma[z.argmax()]:.5f} vs scan {mb[z.argmax()]:.5f} "
+              f"at T={temps[z.argmax()]:.3f})")
+        worst = max(worst, float(z.max()))
+    limit = 4.5
+    status = "PASSED" if worst < limit else "FAILED"
+    print(f"megapair-vs-scan z-test: max|z| {worst:.2f} < {limit} ... {status}")
+    return worst < limit
+
+
 def run_binder(quick):
     from peapods_tpu.models.ising import Ising
 
@@ -114,13 +160,16 @@ def run_binder(quick):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=["ztest", "binder"])
+    ap.add_argument("--only", choices=["ztest", "pairs", "binder"])
     args = ap.parse_args()
 
     ok = True
     if args.only in (None, "ztest"):
         print("== mega vs per-sweep scan: two-sample z-test ==")
         ok &= run_ztest(args.quick)
+    if args.only in (None, "pairs"):
+        print("== megapair vs per-sweep scan: spin-glass z-test ==")
+        ok &= run_pairs_ztest(args.quick)
     if args.only in (None, "binder"):
         print("== Binder cumulant at T_c through the mega path ==")
         ok &= run_binder(args.quick)
