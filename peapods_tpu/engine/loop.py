@@ -45,6 +45,7 @@ from ..ops import pallas_sweep3d
 from ..ops import pallas_mega
 from ..ops import pallas_megapair
 from ..ops import pallas_cc
+from ..ops import pallas_cc_batch
 from ..utils.profiling import phase_scope
 from .config import SimConfig
 
@@ -84,6 +85,11 @@ SERIES = {"m2_ac": 0, "q2_ac": 1, "diag_e": 2, "diag_ql": 3}
 N_SERIES = len(SERIES)
 
 _PH_SWEEP, _PH_FK, _PH_OVERLAP, _PH_PT = range(1, 5)
+
+# Device-side equilibration checkpoint slots: sweeps 128*2^k
+# (equilibration.rs:17-59); 24 slots reach ~1e9 sweeps.  The final
+# checkpoint (sweep n_sweeps) is derived host-side from the running sums.
+N_EQ_SLOTS = 24
 
 
 def _kahan_add(total, comp, value):
@@ -371,8 +377,24 @@ class LoopProgram:
             and (c is None or c.action == "observe")
             and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
         )
+        # Autocorrelation ring + equilibration checkpoints accumulate ON
+        # DEVICE (scan-carry ring of the last max_lag values + Kahan lagged
+        # sums; running means snapshotted at the 128*2^k sweeps) — the
+        # reference's bounded-memory in-core accumulators
+        # (statistics/autocorrelation.rs:77-101, equilibration.rs:17-59).
+        # Only the FFT backend still needs the raw per-sweep series
+        # host-side (it retains the full series by definition).
+        self.ac_device = (
+            cfg.autocorrelation_max_lag is not None
+            and cfg.autocorrelation_backend == "ring"
+        )
+        self.equil_device = cfg.equilibration_diagnostic
         self.emit_series = (
-            cfg.autocorrelation_max_lag is not None or cfg.equilibration_diagnostic
+            cfg.autocorrelation_max_lag is not None
+            and cfg.autocorrelation_backend == "fft"
+        )
+        self.need_series_vals = (
+            self.emit_series or self.ac_device or self.equil_device
         )
         # Megakernel fast path (ops/pallas_mega.py): the whole
         # sweep+measure+PT cycle stays on-chip for a block of sweeps.  Only
@@ -431,6 +453,42 @@ class LoopProgram:
             and rt.n_disorder * rt.n_systems <= 8
             and (rt.mesh is None or rt.mesh.devices.size == 1)
         )
+        # Batched CC kernel (ops/pallas_cc_batch.py): many small graphs
+        # packed per VMEM tile with per-tile convergence exit — the TPU
+        # answer to the reference's per-graph union-find over rayon
+        # (clusters/fk.rs:28-171).  Covers the many-graph regime the
+        # single-graph kernel (cc_pallas) is gated away from.
+        # Single-device only: the cluster phases run under lax.cond event
+        # gates, and a shard_map-wrapped pallas_call inside a cond deadlocks
+        # the interpret-mode mesh (and is untestable on this one-chip host);
+        # multi-device meshes keep the XLA-partitioned jnp CC.
+        self.cc_batch = (
+            rt.pallas_ok
+            and pallas_cc_batch.supports_cc_batch(rt.lattice)
+            and not self.cc_pallas
+            and _os.environ.get("PEAPODS_DISABLE_CCBATCH") != "1"
+            and (rt.mesh is None or rt.mesh.devices.size == 1)
+        )
+        if (
+            rt.pallas_ok
+            and pallas_cc_batch.supports_cc_batch(rt.lattice)
+            and not self.cc_batch
+            and not self.cc_pallas
+            and (cfg.cluster_update is not None or h is not None)
+        ):
+            from ..utils.log import log_once as _log_once
+
+            _log_once(
+                "multi-device mesh: cluster labeling uses the jnp CC path "
+                "(batched CC kernel is single-device)"
+            )
+        self._ccb = (
+            pallas_cc_batch.cc_batch_factors(
+                rt.lattice, rt.n_disorder * rt.n_systems
+            )
+            if self.cc_batch
+            else None
+        )
         self._chunk_cache = {}
         self._snap_fn = None
         from ..utils.log import log_once
@@ -456,7 +514,16 @@ class LoopProgram:
             sweep = "jnp"
         parts = [f"sweep={sweep}"]
         if self.cfg.cluster_update is not None or self.cfg.overlap_cluster:
-            parts.append(f"cc={'pallas' if self.cc_pallas else 'jnp'}")
+            cc = (
+                "pallas"
+                if self.cc_pallas
+                else (
+                    f"pallas-batch(kp={self._ccb[0]},ks={self._ccb[1]})"
+                    if self.cc_batch
+                    else "jnp"
+                )
+            )
+            parts.append(f"cc={cc}")
         if self.fuse_measure:
             parts.append("fused-measure")
         if rt.mesh is not None and rt.mesh.devices.size > 1:
@@ -492,6 +559,21 @@ class LoopProgram:
             acc["top4_n"] = jnp.zeros((d, self.n_modes), jnp.int32)
         for kind in self.obs_kinds_used:
             acc[f"ov_obs_{kind}"] = _zero_obs(d, t, n_bins)
+        if self.ac_device:
+            lag = int(self.cfg.autocorrelation_max_lag)
+            c = 2 if self.has_pairs else 1
+            acc["ac_ring"] = jnp.zeros((lag, d, c, t), jnp.float32)
+            acc["ac_sum_prod"] = jnp.zeros((lag + 1, d, c, t), jnp.float32)
+            acc["ac_sum_prod_c"] = jnp.zeros((lag + 1, d, c, t), jnp.float32)
+            acc["ac_sum"] = jnp.zeros((d, c, t), jnp.float32)
+            acc["ac_sum_c"] = jnp.zeros((d, c, t), jnp.float32)
+            acc["ac_sum2"] = jnp.zeros((d, c, t), jnp.float32)
+            acc["ac_sum2_c"] = jnp.zeros((d, c, t), jnp.float32)
+            acc["ac_count"] = jnp.int32(0)
+        if self.equil_device:
+            acc["eq_sum"] = jnp.zeros((d, 2, t), jnp.float32)
+            acc["eq_sum_c"] = jnp.zeros((d, 2, t), jnp.float32)
+            acc["eq_ckpt"] = jnp.zeros((N_EQ_SLOTS, d, 2, t), jnp.float32)
         self._float_paths = _float_hist_paths(acc)
         if self._float_paths:
             # distinct arrays per slot — donation rejects aliased buffers
@@ -530,6 +612,87 @@ class LoopProgram:
         acc["kahan_tot"] = tot
         acc["kahan_comp"] = comp
         return acc
+
+    def ac_equil_block(self, acc, series_vals, xs, warmup):
+        """Fold a block of per-sweep series values into the on-device
+        autocorrelation ring and equilibration accumulators.
+
+        Args:
+            acc: accumulator dict (returned updated).
+            series_vals: f32 ``[n, d, N_SERIES, T]`` UNGATED per-sweep values
+                (rows: m2_ac, q2_ac, diag_e, diag_ql).
+            xs: ``int32 [n]`` absolute sweep indices (-1 sentinels).
+            warmup: traced scalar warmup sweep count.
+
+        The ring advances only on recorded (post-warmup) sweeps, matching
+        the host :class:`AutocorrStream`; the equilibration sums consume
+        every active sweep (mod.rs:511,531) and snapshot the running mean at
+        sweeps 128*2^k.
+        """
+        if not (self.ac_device or self.equil_device):
+            return acc
+        acc = dict(acc)
+        n = series_vals.shape[0]
+        c = 2 if self.has_pairs else 1
+
+        def body(i, a):
+            a = dict(a)
+            x = xs[i]
+            active = x >= 0
+            if self.ac_device:
+                rec = active & (x >= warmup)
+                g = rec.astype(jnp.float32)
+                v = jax.lax.dynamic_slice_in_dim(
+                    series_vals, i, 1, 0
+                )[0, :, :c, :]  # [d, c, T]
+                ring = a["ac_ring"]
+                lag = ring.shape[0]
+                lagged = jnp.concatenate([v[None], ring], axis=0)
+                # pairs (t, t - delta) exist iff delta <= #previously
+                # recorded values
+                ok = (
+                    (jnp.arange(lag + 1) <= a["ac_count"]).astype(jnp.float32)
+                    * g
+                )
+                a["ac_sum_prod"], a["ac_sum_prod_c"] = _kahan_add(
+                    a["ac_sum_prod"], a["ac_sum_prod_c"],
+                    v[None] * lagged * ok[:, None, None, None],
+                )
+                a["ac_sum"], a["ac_sum_c"] = _kahan_add(
+                    a["ac_sum"], a["ac_sum_c"], v * g
+                )
+                a["ac_sum2"], a["ac_sum2_c"] = _kahan_add(
+                    a["ac_sum2"], a["ac_sum2_c"], v * v * g
+                )
+                a["ac_ring"] = jnp.where(
+                    g > 0, jnp.concatenate([v[None], ring[:-1]], axis=0), ring
+                )
+                a["ac_count"] = a["ac_count"] + rec.astype(jnp.int32)
+            if self.equil_device:
+                dv = jax.lax.dynamic_slice_in_dim(
+                    series_vals, i, 1, 0
+                )[0, :, 2:4, :]  # [d, 2, T] (diag_e, diag_ql)
+                af = active.astype(jnp.float32)
+                a["eq_sum"], a["eq_sum_c"] = _kahan_add(
+                    a["eq_sum"], a["eq_sum_c"], dv * af
+                )
+                count = x + 1
+                is_ck = active & (count >= 128) & ((count & (count - 1)) == 0)
+                slot = jnp.clip(
+                    jnp.round(
+                        jnp.log2(jnp.maximum(count, 1).astype(jnp.float32))
+                    ).astype(jnp.int32)
+                    - 7,
+                    0,
+                    N_EQ_SLOTS - 1,
+                )
+                avg = a["eq_sum"] / jnp.maximum(count, 1).astype(jnp.float32)
+                a["eq_ckpt"] = a["eq_ckpt"].at[slot].set(
+                    jnp.where(is_ck, avg, a["eq_ckpt"][slot])
+                )
+            return a
+
+        return jax.lax.fori_loop(0, n, body, acc)
 
     # --------------------------------------------------------------- phases
 
@@ -643,105 +806,220 @@ class LoopProgram:
             return spins, (e, m)
         return out, None
 
-    def _fk_phase(self, spins, sid, key, coup):
-        """FK update for one realization; returns (spins, csd_t, obs_delta)."""
+    def _cc_many(self, active_flat):
+        """Connected components over a flat graph batch.
+
+        ``active_flat``: ``bool [B, n_spins, n_nb]`` (disorder-major when a
+        mesh shards disorder).  Dispatch: the single-graph Pallas kernel for
+        tiny batches of big graphs (the 256^2 SW stress case), the batched
+        packing kernel for many small graphs, the vectorized jnp loop
+        otherwise.
+        """
+        import os
+
+        rt = self.rt
+        b = active_flat.shape[0]
+        interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        if self.cc_pallas:
+            return jax.vmap(
+                lambda a: pallas_cc.connected_components_2d(
+                    a, shape=tuple(rt.lattice.shape), interpret=interp
+                )
+            )(active_flat)
+        if self.cc_batch:
+            kp, ks = self._ccb
+            tile = kp * ks
+
+            def call(a):
+                nloc = a.shape[0]
+                pad = (-nloc) % tile
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0
+                    )
+                lab = pallas_cc_batch.connected_components_batch(
+                    a, shape=tuple(rt.lattice.shape), kp=kp, ks=ks,
+                    interpret=interp,
+                )
+                return lab[:nloc]
+
+            return call(active_flat)
+        return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(
+            active_flat
+        )
+
+    def _fk_phase_batched(self, spins, sid, keys):
+        """FK update over the full ``[n_disorder, n_systems]`` batch.
+
+        Bond activation and the post-CC work stay vmapped per disorder; the
+        CC fixed point runs ONCE over the flattened graph batch through
+        :meth:`_cc_many` (the reference runs per-graph union-find inside its
+        rayon fan-out, clusters/fk.rs:28-171 — here the batch is the
+        parallelism axis).  Returns ``(spins, csd_t, obs_delta)`` with
+        leading disorder axes.
+        """
         rt = self.rt
         cfgc = self.cfg.cluster_update
         wolff = cfgc.mode == "wolff"
         update = cfgc.action == "update"
-        sys_temps = slot_temps_for_systems(sid, rt.temps)
-        keys = jax.random.split(jax.random.fold_in(key, _PH_FK), rt.n_systems)
+        d = spins.shape[0]
 
-        import os
+        def bonds_per_disorder(spins_d, sid_d, key_d, coup_d):
+            sys_temps = slot_temps_for_systems(sid_d, rt.temps)
+            ks2 = jax.random.split(
+                jax.random.fold_in(key_d, _PH_FK), rt.n_systems
+            )
 
-        cc_interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+            def one(s, temp, k):
+                kb, kf = jax.random.split(k)
+                return cl.fk_bond_activation(s, coup_d, rt.geom, temp, kb), kf
 
-        def one_system(s, temp, k):
-            kb, ks = jax.random.split(k)
-            active = cl.fk_bond_activation(s, coup, rt.geom, temp, kb)
-            if self.cc_pallas:
-                labels = pallas_cc.connected_components_2d(
-                    active, shape=tuple(rt.lattice.shape), interpret=cc_interp
+            return jax.vmap(one)(spins_d, sys_temps, ks2)
+
+        active, keys_flip = jax.vmap(bonds_per_disorder)(
+            spins, sid, keys, rt.couplings
+        )
+        labels = self._cc_many(
+            active.reshape(
+                d * rt.n_systems, rt.n_spins, rt.lattice.n_neighbors
+            )
+        ).reshape(d, rt.n_systems, rt.n_spins)
+
+        def finish_per_disorder(spins_d, active_d, labels_d, keys_d, sid_d):
+            def one(s, act, lab, k):
+                counts = (
+                    cl.component_counts(lab)
+                    if (self.collect_fk or self.observe_fk)
+                    else None
                 )
-            else:
-                labels = cl.connected_components(active, rt.geom)
-            counts = (
-                cl.component_counts(labels)
-                if (self.collect_fk or self.observe_fk)
-                else None
-            )
-            if wolff:
-                seed = jax.random.randint(ks, (), 0, rt.n_spins)
-                flip = cl.wolff_flip_mask(labels, seed)
-            else:
-                flip = cl.cluster_coin_flip_mask(ks, labels)
-            new_s = jnp.where(flip, -s, s) if update else s
-            csd = cl.csd_histogram(counts) if self.collect_fk else None
-            obs = (
-                cl.graph_observation(
-                    active, counts, labels, rt.geom, self.with_winding
+                if wolff:
+                    seed = jax.random.randint(k, (), 0, rt.n_spins)
+                    flip = cl.wolff_flip_mask(lab, seed)
+                else:
+                    flip = cl.cluster_coin_flip_mask(k, lab)
+                new_s = jnp.where(flip, -s, s) if update else s
+                csd = cl.csd_histogram(counts) if self.collect_fk else None
+                obs = (
+                    cl.graph_observation(
+                        act, counts, lab, rt.geom, self.with_winding
+                    )
+                    if self.observe_fk
+                    else None
                 )
-                if self.observe_fk
-                else None
-            )
-            return new_s, csd, obs
+                return new_s, csd, obs
 
-        new_spins, csd_sys, obs_sys = jax.vmap(one_system)(spins, sys_temps, keys)
-
-        csd_t = None
-        obs_delta = None
-        if self.collect_fk:
-            csd_t = csd_sys[sid].sum(0)  # per-slot -> per-temp (mod.rs:471-477)
-        if self.observe_fk:
-            # reorder per-system fields to [n_temps, n_replicas]
-            slot = lambda x: jnp.swapaxes(x[sid], 0, 1)
-            obs_slot = cl.GraphObservation(
-                top4=slot(obs_sys.top4),
-                active_bonds=slot(obs_sys.active_bonds),
-                winding_x=slot(obs_sys.winding_x),
-                winding_y=slot(obs_sys.winding_y),
-                large_components=slot(obs_sys.large_components),
+            new_spins, csd_sys, obs_sys = jax.vmap(one)(
+                spins_d, active_d, labels_d, keys_d
             )
-            obs_delta = _sum_slots_obs(
-                obs_slot, csd_t, rt.n_replicas, rt.n_spins, rt.lattice.n_neighbors
-            )
-        return new_spins, csd_t, obs_delta
+            csd_t = None
+            obs_delta = None
+            if self.collect_fk:
+                # per-slot -> per-temp (mod.rs:471-477)
+                csd_t = csd_sys[sid_d].sum(0)
+            if self.observe_fk:
+                # reorder per-system fields to [n_temps, n_replicas]
+                slot = lambda x: jnp.swapaxes(x[sid_d], 0, 1)
+                obs_slot = cl.GraphObservation(
+                    top4=slot(obs_sys.top4),
+                    active_bonds=slot(obs_sys.active_bonds),
+                    winding_x=slot(obs_sys.winding_x),
+                    winding_y=slot(obs_sys.winding_y),
+                    large_components=slot(obs_sys.large_components),
+                )
+                obs_delta = _sum_slots_obs(
+                    obs_slot, csd_t, rt.n_replicas, rt.n_spins,
+                    rt.lattice.n_neighbors,
+                )
+            return new_spins, csd_t, obs_delta
 
-    def _make_task_runner(self, mode, with_snapshot):
-        """Per-task overlap-move kernel dispatch shared by the scan path and
-        the megapair runner; ``coup`` is closed over by the caller's vmap."""
+        return jax.vmap(finish_per_disorder)(
+            spins, active, labels, keys_flip, sid
+        )
+
+    def _run_tasks_batched(self, mode, tspins, tkeys, with_snapshot):
+        """Run one overlap mode over the FULL task batch, with the CC fixed
+        points hoisted through :meth:`_cc_many` (one batched labeling per CC
+        round instead of one per task — the reference's per-task union-find
+        over rayon, clusters/overlap.rs:64-144, becomes a packed batch).
+
+        ``tspins``: int8 ``[n_disorder, n_tasks, group_size, n_spins]``
+        (tasks temp-major); ``tkeys``: ``[n_disorder, n_tasks]`` keys.  The
+        per-task key splits and draw order match the monolithic task
+        kernels bitwise.  Returns :class:`OverlapMoveOut` with leading
+        ``[n_disorder, n_tasks]`` axes.
+        """
         rt = self.rt
         h = self.cfg.overlap_cluster
         wolff = h.cluster_mode == "wolff"
         update = h.action == "update"
         winding = self.with_winding and self.observe_overlap
         with_stats = self.collect_overlap or self.observe_overlap
+        g = mode.group_size
+        n_groups = rt.n_replicas // g
+        d, n_tasks = tspins.shape[:2]
+        task_temps = jnp.repeat(rt.temps, n_groups)  # [n_tasks]
+        flat = lambda x: x.reshape((d * n_tasks,) + x.shape[2:])
+        unflat = lambda x: x.reshape((d, n_tasks) + x.shape[1:])
 
-        def run_task(ts, temp, k, coup):
-            if mode.kind == "houdayer":
-                out = ov.houdayer_task(
-                    ts, k, rt.geom,
-                    wolff=wolff, update=update, with_winding=winding,
-                    with_stats=with_stats,
+        if mode.kind == "houdayer":
+            bonds, aux = jax.vmap(jax.vmap(
+                lambda ts, k: ov.houdayer_bonds(ts, k, rt.geom)
+            ))(tspins, tkeys)
+            labels = unflat(self._cc_many(flat(bonds)))
+            out = jax.vmap(jax.vmap(
+                lambda ts, lab, bo, au: ov.houdayer_finish(
+                    ts, lab, bo, au, rt.geom, wolff=wolff, update=update,
+                    with_winding=winding, with_stats=with_stats,
                 )
-            elif mode.kind == "jorg":
-                out = ov.jorg_task(
-                    ts, k, coup, temp, rt.geom,
-                    wolff=wolff, update=update, with_winding=winding,
-                    with_stats=with_stats,
-                )
-            else:
-                out = ov.cmr_task(
-                    ts, k, coup, temp, rt.geom,
-                    wolff=wolff, update=update, with_winding=winding,
-                    with_stats=with_stats,
-                )
-            if not (with_stats or with_snapshot):
-                return out._replace(labels=None, blue_labels=None,
-                                    counts=None)
-            return out
+            ))(tspins, labels, bonds, aux)
+        elif mode.kind == "jorg":
+            def build_d(ts_d, k_d, coup_d):
+                return jax.vmap(
+                    lambda ts, tp, k: ov.jorg_bonds(
+                        ts, k, coup_d, tp, rt.geom
+                    )
+                )(ts_d, task_temps, k_d)
 
-        return run_task
+            bonds, aux = jax.vmap(build_d)(tspins, tkeys, rt.couplings)
+            labels = unflat(self._cc_many(flat(bonds)))
+            out = jax.vmap(jax.vmap(
+                lambda ts, lab, bo, au: ov.jorg_finish(
+                    ts, lab, bo, au, rt.geom, wolff=wolff, update=update,
+                    with_winding=winding, with_stats=with_stats,
+                )
+            ))(tspins, labels, bonds, aux)
+        else:  # cmr: two CC rounds (blue, then grey)
+            def build_d(ts_d, k_d, coup_d):
+                return jax.vmap(
+                    lambda ts, tp, k: ov.cmr_blue_bonds(
+                        ts, k, coup_d, tp, rt.geom
+                    )
+                )(ts_d, task_temps, k_d)
+
+            blue, aux = jax.vmap(build_d)(tspins, tkeys, rt.couplings)
+            blue_labels = unflat(self._cc_many(flat(blue)))
+
+            def mid_d(ts_d, bl_d, b_d, au_d, coup_d):
+                return jax.vmap(
+                    lambda ts, bl, b, au: ov.cmr_mid(
+                        ts, bl, b, au, coup_d, rt.geom, wolff=wolff,
+                        update=update, with_winding=winding,
+                        with_stats=with_stats,
+                    )
+                )(ts_d, bl_d, b_d, au_d)
+
+            tsp2, grey_bonds, carry = jax.vmap(mid_d)(
+                tspins, blue_labels, blue, aux, rt.couplings
+            )
+            grey_labels = unflat(self._cc_many(flat(grey_bonds)))
+            out = jax.vmap(jax.vmap(
+                lambda ts, gl, gb, bl, ca: ov.cmr_finish(
+                    ts, gl, gb, bl, ca, rt.geom, wolff=wolff, update=update
+                )
+            ))(tsp2, grey_labels, grey_bonds, blue_labels, carry)
+        if not (with_stats or with_snapshot):
+            out = out._replace(labels=None, blue_labels=None, counts=None)
+        return out
 
     def _task_stats(self, out, n_groups):
         """Per-temperature stats reduction of a task batch (temps-major
@@ -765,42 +1043,59 @@ class LoopProgram:
         return csd_t, obs_delta["top4_frac"], obs_delta
 
     def _overlap_branch(self, mode, with_snapshot):
-        """Build one ``lax.switch`` branch; all branches share output shapes.
+        """Build one disorder-batched ``lax.switch`` branch; all branches
+        share output shapes.
 
         Cluster statistics (scatter-heavy) and snapshot payloads are built
         only when collected — XLA does not reliably dead-code them through
         the event ``lax.cond``, and they would otherwise dominate the event
-        cost on TPU.
+        cost on TPU.  The branch takes the full ``[n_disorder, ...]`` batch
+        so the CC fixed points inside :meth:`_run_tasks_batched` can run
+        once over every (disorder, temp, group) task.
         """
         rt = self.rt
         g = mode.group_size
         n_groups = rt.n_replicas // g
-        run_task_c = self._make_task_runner(mode, with_snapshot)
-        with_stats = self.collect_overlap or self.observe_overlap
+        n_tasks = rt.n_temps * n_groups
 
-        def branch(spins, sid, key, coup):
-            k_shuffle, k_tasks = jax.random.split(jax.random.fold_in(key, _PH_OVERLAP))
-            tasks = ov.build_tasks(sid, k_shuffle, g)  # [T, n_groups, g]
-            flat = tasks.reshape(-1, g)
-            tspins = spins[flat]  # [n_tasks, g, n_spins]
-            task_temps = jnp.repeat(rt.temps, n_groups)
-            tkeys = jax.random.split(k_tasks, flat.shape[0])
+        def branch(spins, sid, keys):
+            d = spins.shape[0]
 
-            run_task = lambda ts, temp, k: run_task_c(ts, temp, k, coup)
-            out = jax.vmap(run_task)(tspins, task_temps, tkeys)
-            new_spins = spins.at[flat.reshape(-1)].set(
-                out.spins.reshape(-1, rt.n_spins)
-            )
+            def tasks_d(sid_d, key_d):
+                k_shuffle, k_tasks = jax.random.split(
+                    jax.random.fold_in(key_d, _PH_OVERLAP)
+                )
+                tasks = ov.build_tasks(sid_d, k_shuffle, g)  # [T, G, g]
+                tkeys = jax.random.split(k_tasks, n_tasks)
+                return tasks, tkeys
 
-            csd_t, top4_frac, obs_delta = self._task_stats(out, n_groups)
+            tasks, tkeys = jax.vmap(tasks_d)(sid, keys)
+            flat_idx = tasks.reshape(d, n_tasks, g)
+            tspins = jax.vmap(lambda s, f: s[f])(spins, flat_idx)
+            out = self._run_tasks_batched(mode, tspins, tkeys, with_snapshot)
+            new_spins = jax.vmap(
+                lambda s, f, o: s.at[f.reshape(-1)].set(
+                    o.reshape(-1, rt.n_spins)
+                )
+            )(spins, flat_idx, out.spins)
+
+            csd_t, top4_frac, obs_delta = jax.vmap(
+                lambda o: self._task_stats(o, n_groups)
+            )(out)
 
             if with_snapshot:
                 # Snapshot payload: first group per temperature, first two
                 # replicas, pre-move spins (mod.rs:682-714).
-                labels_bt = out.labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
-                blue_bt = out.blue_labels.reshape(rt.n_temps, n_groups, -1)[:, 0]
-                pair_sids = tasks[:, 0, :2]
-                pair_spins = tspins.reshape(rt.n_temps, n_groups, g, -1)[:, 0, :2]
+                labels_bt = out.labels.reshape(
+                    d, rt.n_temps, n_groups, -1
+                )[:, :, 0]
+                blue_bt = out.blue_labels.reshape(
+                    d, rt.n_temps, n_groups, -1
+                )[:, :, 0]
+                pair_sids = tasks[:, :, 0, :2]
+                pair_spins = tspins.reshape(
+                    d, rt.n_temps, n_groups, g, -1
+                )[:, :, 0, :2]
                 snap = (labels_bt, blue_bt, pair_spins, pair_sids)
             else:
                 snap = None
@@ -961,8 +1256,8 @@ class LoopProgram:
 
                 def run_fk(args):
                     spins, acc = args
-                    new_spins, csd_t, obs_delta = jax.vmap(self._fk_phase)(
-                        spins, sid, keys, rt.couplings
+                    new_spins, csd_t, obs_delta = self._fk_phase_batched(
+                        spins, sid, keys
                     )
                     acc = dict(acc)
                     if self.collect_fk:
@@ -994,8 +1289,9 @@ class LoopProgram:
                 acc["rec_sums"], acc["rec_comp"], rec * rec_f32
             )
             acc["n_recorded"] = acc["n_recorded"] + rec_i32
-            if self.emit_series:
-                series = jnp.stack(
+            series = None
+            if self.need_series_vals:
+                svals = jnp.stack(
                     [
                         rec[:, REC["m2_ac"], :],
                         rec[:, REC["q2_ac"], :],
@@ -1004,8 +1300,11 @@ class LoopProgram:
                     ],
                     axis=1,
                 )  # [D, N_SERIES, T]
-            else:
-                series = None
+                acc = self.ac_equil_block(
+                    acc, svals[None], sweep_local[None], state["warmup"]
+                )
+                if self.emit_series:
+                    series = svals
             if self.has_pairs:
                 idx, ql = hist_delta  # each [D, P, T]
                 t_cols = jnp.broadcast_to(
@@ -1032,12 +1331,9 @@ class LoopProgram:
                 def run_overlap(args):
                     spins, acc, _ = args
 
-                    def dispatch(s, si, k, cp):
-                        return jax.lax.switch(mode_idx, branches, s, si, k, cp)
-
-                    new_spins, csd_t, top4_frac, obs_delta, snap = jax.vmap(
-                        dispatch
-                    )(spins, sid, keys, rt.couplings)
+                    new_spins, csd_t, top4_frac, obs_delta, snap = (
+                        jax.lax.switch(mode_idx, branches, spins, sid, keys)
+                    )
                     acc = dict(acc)
                     if self.collect_overlap:
                         acc["overlap_csd"] = (
@@ -1262,16 +1558,22 @@ class LoopProgram:
             rec = rec.at[:, :, REC["e2_sum"]].set(e_rt * e_rt)
             rec = rec.at[:, :, REC["m2_ac"]].set(m2)
             rec = rec.at[:, :, REC["diag_e"]].set(e_rt)
-            rec = rec * gate[None, :, None, None]
 
             acc = dict(acc)
             acc["rec_sums"], acc["rec_comp"] = _kahan_add(
-                acc["rec_sums"], acc["rec_comp"], rec.sum(1)
+                acc["rec_sums"], acc["rec_comp"],
+                (rec * gate[None, :, None, None]).sum(1),
             )
             acc["n_recorded"] = acc["n_recorded"] + gate.sum().astype(jnp.int32)
 
-            if self.emit_series:
-                series = jnp.stack(
+            series = None
+            if self.need_series_vals:
+                # UNGATED values: the equilibration diagnostic consumes every
+                # sweep including warmup (mod.rs:511,531); the warmup gate
+                # applies only to the autocorrelation ring.  Sentinel sweeps
+                # are zero (the kernel zeroes their outputs) and masked by
+                # their -1 indices / sliced off host-side.
+                svals = jnp.stack(
                     [
                         rec[:, :, REC["m2_ac"]],
                         rec[:, :, REC["q2_ac"]],
@@ -1280,8 +1582,9 @@ class LoopProgram:
                     ],
                     axis=2,
                 ).swapaxes(0, 1)  # [n_inner, d, N_SERIES, T]
-            else:
-                series = None
+                acc = self.ac_equil_block(acc, svals, xs_blk, state["warmup"])
+                if self.emit_series:
+                    series = svals
 
             new_state = dict(state)
             new_state["spins"] = spins_sys
@@ -1309,42 +1612,50 @@ class LoopProgram:
     # --------------------------------------------------- megapair runner
 
     def _overlap_branch_slots(self, mode):
-        """Overlap-move event on slot-ordered spins (one realization).
+        """Overlap-move event on slot-ordered spins (disorder-batched).
 
         Megapair counterpart of :meth:`_overlap_branch`: tasks are built in
         slot space — a task group at temperature t is a shuffled subset of
         the replicas at slot column t (the reference shuffles the systems at
         each temperature, overlap.rs:35-56; replica slots at a temperature
-        ARE those systems) — so no by-system gather/scatter is needed.
+        ARE those systems) — so no by-system gather/scatter is needed.  The
+        CC fixed points run batched via :meth:`_run_tasks_batched`.
         """
         rt = self.rt
         g = mode.group_size
         n_groups = rt.n_replicas // g
-        run_task_c = self._make_task_runner(mode, with_snapshot=False)
         R, T, n = rt.n_replicas, rt.n_temps, rt.n_spins
 
-        def branch(slot_flat, key, coup):
-            # slot_flat: int8 [R, T, n_spins]
-            k_shuffle, k_tasks = jax.random.split(
-                jax.random.fold_in(key, _PH_OVERLAP)
-            )
-            keys_t = jax.random.split(k_shuffle, T)
-            perm = jax.vmap(
-                lambda k: jax.random.permutation(k, R)
-            )(keys_t)  # [T, R]
-            tasks = perm[:, : n_groups * g].reshape(T, n_groups, g)
-            t_idx = jnp.arange(T)[:, None, None]
-            tspins = slot_flat[tasks, t_idx]  # [T, G, g, n]
-            flat_ts = tspins.reshape(T * n_groups, g, n)
-            task_temps = jnp.repeat(rt.temps, n_groups)
-            tkeys = jax.random.split(k_tasks, T * n_groups)
+        def branch(slot_flat, keys):
+            # slot_flat: int8 [d, R, T, n_spins]
+            d = slot_flat.shape[0]
 
-            run_task = lambda ts, temp, k: run_task_c(ts, temp, k, coup)
-            out = jax.vmap(run_task)(flat_ts, task_temps, tkeys)
-            new_sf = slot_flat.at[tasks, t_idx].set(
-                out.spins.reshape(T, n_groups, g, n)
+            def tasks_d(key_d):
+                k_shuffle, k_tasks = jax.random.split(
+                    jax.random.fold_in(key_d, _PH_OVERLAP)
+                )
+                keys_t = jax.random.split(k_shuffle, T)
+                perm = jax.vmap(
+                    lambda k: jax.random.permutation(k, R)
+                )(keys_t)  # [T, R]
+                tasks = perm[:, : n_groups * g].reshape(T, n_groups, g)
+                tkeys = jax.random.split(k_tasks, T * n_groups)
+                return tasks, tkeys
+
+            tasks, tkeys = jax.vmap(tasks_d)(keys)
+            t_idx = jnp.arange(T)[:, None, None]
+            tspins = jax.vmap(lambda sf, tk: sf[tk, t_idx])(slot_flat, tasks)
+            out = self._run_tasks_batched(
+                mode, tspins.reshape(d, T * n_groups, g, n), tkeys, False
             )
-            csd_t, top4_frac, obs_delta = self._task_stats(out, n_groups)
+            new_sf = jax.vmap(
+                lambda sf, tk, o: sf.at[tk, t_idx].set(
+                    o.reshape(T, n_groups, g, n)
+                )
+            )(slot_flat, tasks, out.spins)
+            csd_t, top4_frac, obs_delta = jax.vmap(
+                lambda o: self._task_stats(o, n_groups)
+            )(out)
             return new_sf, csd_t, top4_frac, obs_delta
 
         return branch
@@ -1465,7 +1776,8 @@ class LoopProgram:
         )
         call_full = make_call(n_inner, True) if h is None else None
 
-        def apply_records(acc, e_sw, m_sw, qs_sw, ql_sw, gate_f, gate_i):
+        def apply_records(acc, e_sw, m_sw, qs_sw, ql_sw, gate_f, gate_i,
+                          xs_part, warm):
             """Fold one kernel call's per-sweep outputs into the
             accumulators; returns (acc, series [n, d, N_SERIES, T])."""
             n = e_sw.shape[1]
@@ -1492,11 +1804,11 @@ class LoopProgram:
             rec = rec.at[:, :, REC["ql4_sum"]].set((ql2 * ql2).sum(2))
             rec = rec.at[:, :, REC["q2_ac"]].set(q2.sum(2) / n_pairs)
             rec = rec.at[:, :, REC["diag_ql"]].set(ql.sum(2) / n_pairs)
-            rec = rec * gate_f[None, :, None, None]
 
             acc = dict(acc)
             acc["rec_sums"], acc["rec_comp"] = _kahan_add(
-                acc["rec_sums"], acc["rec_comp"], rec.sum(1)
+                acc["rec_sums"], acc["rec_comp"],
+                (rec * gate_f[None, :, None, None]).sum(1),
             )
             acc["n_recorded"] = acc["n_recorded"] + gate_i.sum()
 
@@ -1518,8 +1830,9 @@ class LoopProgram:
                 acc["q_hist"], acc["ql_at_q"], acc["ql2_at_q"], idx, ql
             )
 
-            if self.emit_series:
-                series = jnp.stack(
+            series = None
+            if self.need_series_vals:
+                svals = jnp.stack(
                     [
                         rec[:, :, REC["m2_ac"]],
                         rec[:, :, REC["q2_ac"]],
@@ -1528,8 +1841,9 @@ class LoopProgram:
                     ],
                     axis=2,
                 ).swapaxes(0, 1)  # [n, d, N_SERIES, T]
-            else:
-                series = None
+                acc = self.ac_equil_block(acc, svals, xs_part, warm)
+                if self.emit_series:
+                    series = svals
             return acc, series
 
         def call_body(carry, xs_blk):
@@ -1580,7 +1894,8 @@ class LoopProgram:
                 ]
                 gate_i0 = gate_f0.astype(jnp.int32)
                 acc, ser = apply_records(
-                    acc, e_a, m_a, qs_a, ql_a, gate_f0, gate_i0
+                    acc, e_a, m_a, qs_a, ql_a, gate_f0, gate_i0,
+                    xs_blk[:1], warm,
                 )
                 if ser is not None:
                     series_parts.append(ser)
@@ -1599,13 +1914,8 @@ class LoopProgram:
                 def run_event(args):
                     slot_flat, acc = args
 
-                    def dispatch(sf, k, cp):
-                        return jax.lax.switch(
-                            mode_idx, slot_branches, sf, k, cp
-                        )
-
-                    new_sf, csd_t, top4_frac, obs_delta = jax.vmap(dispatch)(
-                        slot_flat, keys_evt, rt.couplings
+                    new_sf, csd_t, top4_frac, obs_delta = jax.lax.switch(
+                        mode_idx, slot_branches, slot_flat, keys_evt
                     )
                     acc = dict(acc)
                     if self.collect_overlap:
@@ -1715,7 +2025,7 @@ class LoopProgram:
                     )
                     acc, ser = apply_records(
                         acc, e_b, m_b, qs_b, ql_b, gate_fb,
-                        gate_fb.astype(jnp.int32),
+                        gate_fb.astype(jnp.int32), xs_blk[1:], warm,
                     )
                     if ser is not None:
                         series_parts.append(ser)
@@ -1737,7 +2047,7 @@ class LoopProgram:
                 )
                 acc, ser = apply_records(
                     acc, e_f, m_f, qs_f, ql_f, gate_f,
-                    gate_f.astype(jnp.int32),
+                    gate_f.astype(jnp.int32), xs_blk, warm,
                 )
                 if ser is not None:
                     series_parts.append(ser)

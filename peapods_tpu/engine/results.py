@@ -72,10 +72,10 @@ class HostAccum:
                 p *= 2
             if not ckpts or ckpts[-1] != self.n_sweeps:
                 ckpts.append(self.n_sweeps)
+            # snaps are drained from the on-device checkpoint slots
+            # (engine/loop.py ac_equil_block) at the end of sample()
             self.equil = {
                 "checkpoints": ckpts,
-                "sum_e": np.zeros((d, t), np.float64),
-                "sum_ql": np.zeros((d, t), np.float64),
                 "snaps": [],  # (count, e_avg [d,t], ql_avg [d,t])
             }
 
@@ -109,37 +109,20 @@ class HostAccum:
         n_new = block.shape[0]
         start = self.sweeps_seen
 
-        # recorded (post-warmup) slice feeds the autocorrelation series
+        # recorded (post-warmup) slice feeds the FFT autocorrelation series
+        # (the ring backend and the equilibration diagnostic accumulate on
+        # device; see drain_device_acc)
         lo = max(0, self.warmup - start)
         if lo < n_new:
             n_rec = n_new - lo
-            if self.ac is not None:
+            if self.ac is not None and self.ac.backend == "fft":
                 self.ac.push_block(
                     block[lo:, :, SERIES["m2_ac"], :].reshape(n_rec, -1)
                 )
-            if self.ac_q is not None:
+            if self.ac_q is not None and self.ac_q.backend == "fft":
                 self.ac_q.push_block(
                     block[lo:, :, SERIES["q2_ac"], :].reshape(n_rec, -1)
                 )
-
-        if self.equil is not None:
-            e = block[:, :, SERIES["diag_e"], :].astype(np.float64)
-            ql = block[:, :, SERIES["diag_ql"], :].astype(np.float64)
-            eq = self.equil
-            cum_e = np.cumsum(e, axis=0)
-            cum_ql = np.cumsum(ql, axis=0)
-            for ck in eq["checkpoints"]:
-                if start < ck <= start + n_new:
-                    j = ck - start - 1
-                    eq["snaps"].append(
-                        (
-                            ck,
-                            (eq["sum_e"] + cum_e[j]) / ck,
-                            (eq["sum_ql"] + cum_ql[j]) / ck,
-                        )
-                    )
-            eq["sum_e"] += cum_e[-1]
-            eq["sum_ql"] += cum_ql[-1]
 
         self.sweeps_seen += n_new
 
@@ -175,6 +158,46 @@ class HostAccum:
             self._obs_drain(
                 self.ov_obs[kind], acc[f"ov_obs_{kind}"], f"ov_obs_{kind}", tot
             )
+
+        if "ac_sum_prod" in acc and self.ac is not None:
+            # device autocorrelation ring: inject the lagged-product sums
+            # into the host stream (clamped to its max_lag); the normalize
+            # step is unchanged (statistics/autocorrelation.rs:165-186)
+            r, t = self.d_real, self.rt.n_temps
+            lagp1 = self.ac.max_lag + 1
+            sp = np.asarray(acc["ac_sum_prod"], np.float64)[:lagp1, :r]
+            so = np.asarray(acc["ac_sum"], np.float64)[:r]
+            so2 = np.asarray(acc["ac_sum2"], np.float64)[:r]
+            count = int(np.asarray(acc["ac_count"]))
+
+            def inject(stream, ci):
+                stream._sum_prod = np.ascontiguousarray(
+                    sp[:, :, ci].reshape(lagp1, r * t)
+                )
+                stream.sum_o = np.ascontiguousarray(
+                    so[:, ci].reshape(r * t)
+                )
+                stream.sum_o2 = np.ascontiguousarray(
+                    so2[:, ci].reshape(r * t)
+                )
+                stream.n_recorded = count
+
+            inject(self.ac, 0)
+            if self.ac_q is not None:
+                inject(self.ac_q, 1)
+
+        if "eq_ckpt" in acc and self.equil is not None:
+            ck = np.asarray(acc["eq_ckpt"], np.float64)[:, : self.d_real]
+            sums = np.asarray(acc["eq_sum"], np.float64)[: self.d_real]
+            for c in self.equil["checkpoints"]:
+                if c == self.n_sweeps:
+                    e_avg = sums[:, 0] / self.n_sweeps
+                    ql_avg = sums[:, 1] / self.n_sweeps
+                else:
+                    j = c.bit_length() - 8  # c == 128 * 2**j
+                    e_avg = ck[j, :, 0]
+                    ql_avg = ck[j, :, 1]
+                self.equil["snaps"].append((c, e_avg, ql_avg))
 
     def _obs_drain(self, host, dev, prefix, tot):
         r = self.d_real

@@ -39,7 +39,20 @@ import jax.numpy as jnp
 
 from . import cluster as cl
 
-__all__ = ["build_tasks", "OverlapMoveOut", "houdayer_task", "jorg_task", "cmr_task"]
+__all__ = [
+    "build_tasks",
+    "OverlapMoveOut",
+    "houdayer_task",
+    "jorg_task",
+    "cmr_task",
+    "houdayer_bonds",
+    "houdayer_finish",
+    "jorg_bonds",
+    "jorg_finish",
+    "cmr_blue_bonds",
+    "cmr_mid",
+    "cmr_finish",
+]
 
 
 def build_tasks(system_ids, key, group_size: int):
@@ -87,6 +100,41 @@ def _stats(active, labels, geom, with_winding, with_stats):
     )
 
 
+def houdayer_bonds(tspins, key, geom):
+    """Stage 1: deterministic bonds between balanced sites.
+
+    Returns ``(bonds, aux)``; ``aux`` carries the active mask and the
+    pre-split flip keys so :func:`houdayer_finish` draws exactly what the
+    monolithic task would.
+    """
+    active = tspins.astype(jnp.int32).sum(0) == 0
+    bonds = jnp.stack(
+        [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
+        axis=-1,
+    )
+    k_seed, k_coin = jax.random.split(key)
+    return bonds, (active, k_seed, k_coin)
+
+
+def houdayer_finish(
+    tspins, labels, bonds, aux, geom, *, wolff, update, with_winding,
+    with_stats,
+):
+    """Stage 2: stats + cluster flip given the component labels."""
+    active, k_seed, k_coin = aux
+    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
+    if wolff:
+        seed, found = cl.find_seed(k_seed, active)
+        flip = cl.wolff_flip_mask(labels, seed) & found
+    else:
+        flip = cl.cluster_coin_flip_mask(
+            k_coin, labels, nonsingleton=cl.nonsingleton_mask(bonds, geom)
+        )
+    if update:
+        tspins = jnp.where(flip[None, :], -tspins, tspins)
+    return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
+
+
 def houdayer_task(
     tspins, key, geom, *, wolff: bool, update: bool, with_winding: bool,
     with_stats: bool = True,
@@ -97,15 +145,33 @@ def houdayer_task(
         tspins: ``int8 [group_size, n_spins]``.
         update: mutate spins (False = observe).
     """
-    active = tspins.astype(jnp.int32).sum(0) == 0
-    bonds = jnp.stack(
+    bonds, aux = houdayer_bonds(tspins, key, geom)
+    labels = cl.connected_components(bonds, geom)
+    return houdayer_finish(
+        tspins, labels, bonds, aux, geom, wolff=wolff, update=update,
+        with_winding=with_winding, with_stats=with_stats,
+    )
+
+
+def jorg_bonds(tspins, key, coup_fwd, temp, geom):
+    """Stage 1: stochastic pair bonds on satisfied unequal-overlap edges."""
+    a, b = tspins[0], tspins[1]
+    active = a != b
+    k_bond, k_seed, k_coin = jax.random.split(key, 3)
+    fk = cl.fk_bond_activation(a, coup_fwd, geom, temp, k_bond, factor=4.0)
+    active_pair = jnp.stack(
         [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
         axis=-1,
     )
-    labels = cl.connected_components(bonds, geom)
-    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
+    return fk & active_pair, (active, k_seed, k_coin)
 
-    k_seed, k_coin = jax.random.split(key)
+
+def jorg_finish(
+    tspins, labels, bonds, aux, geom, *, wolff, update, with_winding,
+    with_stats,
+):
+    active, k_seed, k_coin = aux
+    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
     if wolff:
         seed, found = cl.find_seed(k_seed, active)
         flip = cl.wolff_flip_mask(labels, seed) & found
@@ -131,28 +197,12 @@ def jorg_task(
     with_stats: bool = True,
 ):
     """Joerg stochastic overlap move on one pair task (``group_size == 2``)."""
-    a, b = tspins[0], tspins[1]
-    active = a != b
-    k_bond, k_seed, k_coin = jax.random.split(key, 3)
-    fk = cl.fk_bond_activation(a, coup_fwd, geom, temp, k_bond, factor=4.0)
-    active_pair = jnp.stack(
-        [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
-        axis=-1,
-    )
-    bonds = fk & active_pair
+    bonds, aux = jorg_bonds(tspins, key, coup_fwd, temp, geom)
     labels = cl.connected_components(bonds, geom)
-    counts, csd, obs = _stats(bonds, labels, geom, with_winding, with_stats)
-
-    if wolff:
-        seed, found = cl.find_seed(k_seed, active)
-        flip = cl.wolff_flip_mask(labels, seed) & found
-    else:
-        flip = cl.cluster_coin_flip_mask(
-            k_coin, labels, nonsingleton=cl.nonsingleton_mask(bonds, geom)
-        )
-    if update:
-        tspins = jnp.where(flip[None, :], -tspins, tspins)
-    return OverlapMoveOut(tspins, labels, labels, counts, csd, obs)
+    return jorg_finish(
+        tspins, labels, bonds, aux, geom, wolff=wolff, update=update,
+        with_winding=with_winding, with_stats=with_stats,
+    )
 
 
 def _cmr_satisfied(a, b, coup_fwd, geom):
@@ -170,6 +220,73 @@ def _cmr_satisfied(a, b, coup_fwd, geom):
     return a_sat, b_sat
 
 
+def cmr_blue_bonds(tspins, key, coup_fwd, temp, geom):
+    """CMR stage 1: blue bonds on doubly-satisfied edges, p = 1 - r^2."""
+    a, b = tspins[0], tspins[1]
+    k_blue, k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
+    r = jnp.exp(-2.0 * jnp.abs(coup_fwd) / temp)
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
+    u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
+    blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
+    return blue, (r, k_red, k_seed, k_bcoin, k_gcoin)
+
+
+def cmr_mid(
+    tspins, blue_labels, blue, aux, coup_fwd, geom, *, wolff, update,
+    with_winding, with_stats,
+):
+    """CMR stage 2: blue stats + joint blue flip + red-bond extension.
+
+    Returns ``(tspins, grey_bonds, carry)`` where ``carry`` feeds
+    :func:`cmr_finish` after the grey component labeling.
+    """
+    r, k_red, k_seed, k_bcoin, k_gcoin = aux
+    a, b = tspins[0], tspins[1]
+    blue_counts, csd, obs = _stats(blue, blue_labels, geom, with_winding,
+                                   with_stats)
+    seed = jax.random.randint(k_seed, (), 0, a.shape[0])
+    if wolff:
+        blue_flip = cl.wolff_flip_mask(blue_labels, seed)
+    else:
+        blue_flip = cl.cluster_coin_flip_mask(
+            k_bcoin, blue_labels, nonsingleton=cl.nonsingleton_mask(blue, geom)
+        )
+    if update:
+        a = jnp.where(blue_flip, -a, a)
+        b = jnp.where(blue_flip, -b, b)
+
+    # red bonds on singly-satisfied edges (post-flip), p = 1 - r
+    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
+    u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
+    red = (a_sat != b_sat) & (u_red < 1.0 - r)
+    tspins = jnp.stack([a, b])
+    return tspins, blue | red, (seed, k_gcoin, blue_counts, csd, obs)
+
+
+def cmr_finish(tspins, grey_labels, grey_bonds, blue_labels, carry, geom, *,
+               wolff, update):
+    """CMR stage 3: grey flips with k in {1..3} (Wolff) / {0..3} (SW)."""
+    seed, k_gcoin, blue_counts, csd, obs = carry
+    a, b = tspins[0], tspins[1]
+    if wolff:
+        k = jax.random.randint(k_gcoin, (), 1, 4)
+        in_grey = cl.wolff_flip_mask(grey_labels, seed)
+        flip_a = in_grey & ((k & 1) != 0)
+        flip_b = in_grey & ((k & 2) != 0)
+    else:
+        # one k in {0..3} per grey cluster (overlap.rs:822-842)
+        k = (cl.cluster_uniform(k_gcoin, grey_labels) * 4.0).astype(jnp.int32)
+        nonsingleton = cl.nonsingleton_mask(grey_bonds, geom)
+        flip_a = nonsingleton & ((k & 1) != 0)
+        flip_b = nonsingleton & ((k & 2) != 0)
+    if update:
+        a = jnp.where(flip_a, -a, a)
+        b = jnp.where(flip_b, -b, b)
+    tspins = jnp.stack([a, b])
+    return OverlapMoveOut(tspins, grey_labels, blue_labels, blue_counts, csd,
+                          obs)
+
+
 def cmr_task(
     tspins,
     key,
@@ -183,49 +300,14 @@ def cmr_task(
     with_stats: bool = True,
 ):
     """CMR two-phase (blue -> grey) move on one pair task."""
-    a, b = tspins[0], tspins[1]
-    k_blue, k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
-    r = jnp.exp(-2.0 * jnp.abs(coup_fwd) / temp)
-
-    # Phase 1: blue bonds on doubly-satisfied edges, p = 1 - r^2.
-    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
-    u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
-    blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
+    blue, aux = cmr_blue_bonds(tspins, key, coup_fwd, temp, geom)
     blue_labels = cl.connected_components(blue, geom)
-    blue_counts, csd, obs = _stats(blue, blue_labels, geom, with_winding,
-                                   with_stats)
-
-    seed = jax.random.randint(k_seed, (), 0, a.shape[0])
-    if wolff:
-        blue_flip = cl.wolff_flip_mask(blue_labels, seed)
-    else:
-        blue_flip = cl.cluster_coin_flip_mask(
-            k_bcoin, blue_labels, nonsingleton=cl.nonsingleton_mask(blue, geom)
-        )
-    if update:
-        a = jnp.where(blue_flip, -a, a)
-        b = jnp.where(blue_flip, -b, b)
-
-    # Phase 2: red bonds on singly-satisfied edges (post-flip), p = 1 - r.
-    a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
-    u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
-    red = (a_sat != b_sat) & (u_red < 1.0 - r)
-    grey_labels = cl.connected_components(blue | red, geom)
-
-    if wolff:
-        k = jax.random.randint(k_gcoin, (), 1, 4)
-        in_grey = cl.wolff_flip_mask(grey_labels, seed)
-        flip_a = in_grey & ((k & 1) != 0)
-        flip_b = in_grey & ((k & 2) != 0)
-    else:
-        # one k in {0..3} per grey cluster (overlap.rs:822-842)
-        k = (cl.cluster_uniform(k_gcoin, grey_labels) * 4.0).astype(jnp.int32)
-        nonsingleton = cl.nonsingleton_mask(blue | red, geom)
-        flip_a = nonsingleton & ((k & 1) != 0)
-        flip_b = nonsingleton & ((k & 2) != 0)
-    if update:
-        a = jnp.where(flip_a, -a, a)
-        b = jnp.where(flip_b, -b, b)
-
-    tspins = jnp.stack([a, b])
-    return OverlapMoveOut(tspins, grey_labels, blue_labels, blue_counts, csd, obs)
+    tspins, grey_bonds, carry = cmr_mid(
+        tspins, blue_labels, blue, aux, coup_fwd, geom, wolff=wolff,
+        update=update, with_winding=with_winding, with_stats=with_stats,
+    )
+    grey_labels = cl.connected_components(grey_bonds, geom)
+    return cmr_finish(
+        tspins, grey_labels, grey_bonds, blue_labels, carry, geom,
+        wolff=wolff, update=update,
+    )

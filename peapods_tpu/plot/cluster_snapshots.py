@@ -1,154 +1,182 @@
 #!/usr/bin/env python
-"""Visualize cluster snapshots from sweep .npz files.
+"""Render overlap-cluster snapshots stored in sweep ``.npz`` files.
 
-Behavior-parity port of ``/root/reference/plot/cluster_snapshots.py`` for the
-TPU build's identical snapshot npz schema.
+Consumes the same snapshot npz schema the reference writes (keys
+``<prefix>_snapshot_{sweep_ids,mode_idxs,cluster_ids,spins,system_ids}``,
+``<prefix>_lattice_shape``, optional ``..._blue_ids`` for CMR and a global
+``temperatures`` array) and keeps its rendering conventions — CMR greys in
+red under blues in blue, other modes in green, clusters below 10 sites
+left white (reference ``plot/cluster_snapshots.py``).
 
 Usage:
     python -m peapods_tpu.plot.cluster_snapshots results.npz
     python -m peapods_tpu.plot.cluster_snapshots results.npz -s 3 -t 5
     python -m peapods_tpu.plot.cluster_snapshots results.npz --all-temps
-    python -m peapods_tpu.plot.cluster_snapshots results.npz -o snapshot.png
+    python -m peapods_tpu.plot.cluster_snapshots results.npz -o out.png
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+from dataclasses import dataclass, field
 
 import numpy as np
 
 MIN_CLUSTER_SIZE = 10
-# grey clusters render red, CMR blue clusters blue, non-CMR clusters green
-PALETTE = {
-    "blue": np.array([0.2, 0.5, 1.0]),
-    "red": np.array([0.9, 0.2, 0.2]),
-    "green": np.array([0.2, 0.8, 0.3]),
+RGB = {
+    "white": (1.0, 1.0, 1.0),
+    "green": (0.2, 0.8, 0.3),   # non-CMR cluster sites
+    "red": (0.9, 0.2, 0.2),     # CMR grey clusters
+    "blue": (0.2, 0.5, 1.0),    # CMR blue clusters (drawn on top)
+}
+
+# npz schema: attribute -> key suffix under the run prefix
+_KEYS = {
+    "sweep_ids": "snapshot_sweep_ids",
+    "mode_idxs": "snapshot_mode_idxs",
+    "cluster_ids": "snapshot_cluster_ids",
+    "spins": "snapshot_spins",
+    "system_ids": "snapshot_system_ids",
 }
 
 
-def load_snapshots(path):
-    data = np.load(path, allow_pickle=True)
-    prefix = next(
-        (
-            k[: -len("_snapshot_sweep_ids")]
-            for k in data.files
-            if k.endswith("_snapshot_sweep_ids")
-        ),
-        None,
-    )
-    if prefix is None:
-        print("no snapshot data found in npz", file=sys.stderr)
-        sys.exit(1)
+@dataclass
+class SnapshotSet:
+    """All snapshot arrays of one run, plus lattice/temperature metadata."""
 
-    result = {
-        "sweep_ids": data[f"{prefix}_snapshot_sweep_ids"],
-        "mode_idxs": data[f"{prefix}_snapshot_mode_idxs"],
-        "cluster_ids": data[f"{prefix}_snapshot_cluster_ids"],
-        "spins": data[f"{prefix}_snapshot_spins"],
-        "system_ids": data[f"{prefix}_snapshot_system_ids"],
-        "shape": tuple(data[f"{prefix}_lattice_shape"]),
-    }
-    if f"{prefix}_snapshot_blue_ids" in data.files:
-        result["blue_ids"] = data[f"{prefix}_snapshot_blue_ids"]
-    if "temperatures" in data.files:
-        result["temperatures"] = data["temperatures"]
-    return result
+    sweep_ids: np.ndarray
+    mode_idxs: np.ndarray
+    cluster_ids: np.ndarray  # [n_snaps, n_temps, n_spins]
+    spins: np.ndarray
+    system_ids: np.ndarray
+    shape: tuple
+    blue_ids: np.ndarray | None = None
+    temperatures: np.ndarray | None = None
+    _cache: dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_npz(cls, path):
+        data = np.load(path, allow_pickle=True)
+        suffix = "_" + _KEYS["sweep_ids"]
+        prefixes = [k[: -len(suffix)] for k in data.files if k.endswith(suffix)]
+        if not prefixes:
+            raise SystemExit("no snapshot data found in npz")
+        p = prefixes[0]
+        fields = {a: data[f"{p}_{s}"] for a, s in _KEYS.items()}
+        blue = f"{p}_snapshot_blue_ids"
+        return cls(
+            shape=tuple(data[f"{p}_lattice_shape"]),
+            blue_ids=data[blue] if blue in data.files else None,
+            temperatures=(
+                data["temperatures"] if "temperatures" in data.files else None
+            ),
+            **fields,
+        )
+
+    @property
+    def n_snaps(self):
+        return len(self.sweep_ids)
+
+    @property
+    def n_temps(self):
+        return self.cluster_ids.shape[1]
+
+    @property
+    def is_cmr(self):
+        return self.blue_ids is not None
+
+    def panel_title(self, snap, temp):
+        t = (
+            f"T={self.temperatures[temp]:.4f}"
+            if self.temperatures is not None
+            else f"t_idx={temp}"
+        )
+        return f"sweep {self.sweep_ids[snap]}, {t}"
+
+    def rgb(self, snap, temp):
+        """``[H, W, 3]`` panel image.
+
+        Sites belonging to clusters of >= MIN_CLUSTER_SIZE sites are
+        colored; CMR paints grey clusters red then blue clusters over them.
+        """
+        if len(self.shape) != 2:
+            raise ValueError(
+                f"only 2D lattices supported, got shape {self.shape}"
+            )
+        layers = [(self.cluster_ids, "red" if self.is_cmr else "green")]
+        if self.is_cmr:
+            layers.append((self.blue_ids, "blue"))
+        img = np.full(self.cluster_ids.shape[-1], 0, np.int8)
+        colors = [RGB["white"]]
+        for ids, color in layers:
+            labels = ids[snap, temp]
+            _, inv, counts = np.unique(
+                labels, return_inverse=True, return_counts=True
+            )
+            img[counts[inv] >= MIN_CLUSTER_SIZE] = len(colors)
+            colors.append(RGB[color])
+        return np.asarray(colors, float)[img].reshape(*self.shape, 3)
 
 
-def _large_cluster_mask(ids):
-    """Mask of sites in clusters of at least MIN_CLUSTER_SIZE sites."""
-    _, inverse, counts = np.unique(ids, return_inverse=True, return_counts=True)
-    return counts[inverse] >= MIN_CLUSTER_SIZE
-
-
-def cluster_image(snaps, snap_idx, temp_idx):
-    shape = snaps["shape"]
-    if len(shape) != 2:
-        raise ValueError(f"only 2D lattices supported, got shape {shape}")
-    n_spins = int(np.prod(shape))
-    img = np.ones((n_spins, 3))
-
-    in_grey = _large_cluster_mask(snaps["cluster_ids"][snap_idx, temp_idx])
-    if "blue_ids" in snaps:
-        img[in_grey] = PALETTE["red"]
-        in_blue = _large_cluster_mask(snaps["blue_ids"][snap_idx, temp_idx])
-        img[in_blue] = PALETTE["blue"]
-    else:
-        img[in_grey] = PALETTE["green"]
-    return img.reshape(*shape, 3)
-
-
-def plot_single(snaps, snap_idx, temp_idx, ax):
-    ax.imshow(
-        cluster_image(snaps, snap_idx, temp_idx),
-        interpolation="nearest",
-        origin="lower",
-    )
+def _draw(ax, snaps, snap, temp):
+    ax.imshow(snaps.rgb(snap, temp), interpolation="nearest", origin="lower")
     ax.set_xticks([])
     ax.set_yticks([])
-    sweep_id = snaps["sweep_ids"][snap_idx]
-    temps = snaps.get("temperatures")
-    if temps is not None:
-        ax.set_title(f"sweep {sweep_id}, T={temps[temp_idx]:.4f}", fontsize=9)
-    else:
-        ax.set_title(f"sweep {sweep_id}, t_idx={temp_idx}", fontsize=9)
+    ax.set_title(snaps.panel_title(snap, temp), fontsize=9)
 
 
-def _grid_plot(n_panels, plot_fn, title):
+def render(snaps, panels, title):
+    """Lay ``panels`` (list of (snap, temp) pairs) onto a grid figure."""
     import matplotlib.pyplot as plt
 
-    ncols = min(4, n_panels)
-    nrows = (n_panels + ncols - 1) // ncols
+    if len(panels) == 1:
+        fig, ax = plt.subplots(figsize=(6, 6))
+        _draw(ax, snaps, *panels[0])
+        return fig
+    ncols = min(4, len(panels))
+    nrows = -(-len(panels) // ncols)
     fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 4 * nrows))
-    axes = np.atleast_2d(axes)
-    for i in range(n_panels):
-        plot_fn(i, axes[i // ncols, i % ncols])
-    for i in range(n_panels, nrows * ncols):
-        axes[i // ncols, i % ncols].axis("off")
+    flat = np.atleast_1d(axes).ravel()
+    for ax, panel in zip(flat, panels):
+        _draw(ax, snaps, *panel)
+    for ax in flat[len(panels):]:
+        ax.axis("off")
     fig.suptitle(title, fontsize=12)
     return fig
 
 
-def main():
+def main(argv=None):
     import matplotlib.pyplot as plt
 
-    parser = argparse.ArgumentParser(description="Plot cluster snapshots")
-    parser.add_argument("npz", help="Path to .npz file")
-    parser.add_argument("-s", "--snap", type=int, default=-1)
-    parser.add_argument("-t", "--temp", type=int, default=0)
-    parser.add_argument("--all-temps", action="store_true")
-    parser.add_argument("--all-snaps", action="store_true")
-    parser.add_argument("-o", "--output", default=None)
-    args = parser.parse_args()
+    ap = argparse.ArgumentParser(description="Plot cluster snapshots")
+    ap.add_argument("npz", help="Path to .npz file")
+    ap.add_argument("-s", "--snap", type=int, default=-1)
+    ap.add_argument("-t", "--temp", type=int, default=0)
+    ap.add_argument("--all-temps", action="store_true")
+    ap.add_argument("--all-snaps", action="store_true")
+    ap.add_argument("-o", "--output", default=None)
+    args = ap.parse_args(argv)
 
-    snaps = load_snapshots(args.npz)
-    n_snaps = len(snaps["sweep_ids"])
-    n_temps = snaps["cluster_ids"].shape[1]
-    mode = "CMR" if "blue_ids" in snaps else "overlap"
-    snap_idx = args.snap % n_snaps
-    temp_idx = args.temp % n_temps
+    try:
+        snaps = SnapshotSet.from_npz(args.npz)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        raise
+    s = args.snap % snaps.n_snaps
+    t = args.temp % snaps.n_temps
+    mode = "CMR" if snaps.is_cmr else "overlap"
 
     if args.all_temps:
-        fig = _grid_plot(
-            n_temps,
-            lambda t, ax: plot_single(snaps, snap_idx, t, ax),
-            f"{mode} clusters — snapshot {snap_idx}",
-        )
+        panels = [(s, ti) for ti in range(snaps.n_temps)]
+        title = f"{mode} clusters — snapshot {s}"
     elif args.all_snaps:
-        temps = snaps.get("temperatures")
-        t_label = (
-            f"T={temps[temp_idx]:.4f}" if temps is not None else f"t_idx={temp_idx}"
-        )
-        fig = _grid_plot(
-            n_snaps,
-            lambda s, ax: plot_single(snaps, s, temp_idx, ax),
-            f"{mode} clusters — {t_label}",
-        )
+        panels = [(si, t) for si in range(snaps.n_snaps)]
+        title = f"{mode} clusters — {snaps.panel_title(0, t).split(', ')[1]}"
     else:
-        fig, ax = plt.subplots(figsize=(6, 6))
-        plot_single(snaps, snap_idx, temp_idx, ax)
+        panels, title = [(s, t)], None
 
+    fig = render(snaps, panels, title)
     fig.tight_layout()
     if args.output:
         fig.savefig(args.output, dpi=200, bbox_inches="tight")

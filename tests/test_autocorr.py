@@ -69,3 +69,62 @@ def test_sokal_window_and_lag_clamp():
     assert clamp_max_lag(1000, 100) == 25
     assert clamp_max_lag(10, 100) == 10
     assert clamp_max_lag(1000, 0) == 1
+
+
+def test_device_equil_checkpoint_prefix_consistency():
+    """The on-device equilibration accumulator (engine/loop.py
+    ac_equil_block): a 256-sweep run's first checkpoint (sweep 128) must
+    equal a 128-sweep run's final checkpoint on the identical trajectory
+    (the running averages are prefix sums of the same per-sweep values)."""
+    import numpy as np
+    from peapods_tpu import Ising
+
+    def run(n):
+        m = Ising(
+            (8, 8),
+            couplings="bimodal",
+            temperatures=np.array([1.5, 2.5], np.float32),
+            n_replicas=2,
+            seed=11,
+        )
+        return m.sample(
+            n, "metropolis", pt_interval=1, equilibration_diagnostic=True,
+            warmup_ratio=0,
+        )
+
+    r256 = run(256)
+    r128 = run(128)
+    np.testing.assert_array_equal(r256["equil_sweeps"][:1], [128])
+    np.testing.assert_array_equal(r128["equil_sweeps"], [128])
+    np.testing.assert_allclose(
+        r256["equil_energy_avg"][0], r128["equil_energy_avg"][0], rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        r256["equil_link_overlap_avg"][0],
+        r128["equil_link_overlap_avg"][0],
+        rtol=2e-6, atol=2e-6,
+    )
+
+
+def test_device_ring_matches_fft_backend():
+    """Device-side ring accumulator vs host-side FFT series on the SAME
+    trajectory (the backend choice never touches the RNG): integrated taus
+    agree to float tolerance (ring == fft is the reference invariant,
+    autocorrelation.rs:126-163)."""
+    import numpy as np
+    from peapods_tpu import Ising
+
+    taus = {}
+    for backend in ("ring", "fft"):
+        m = Ising(
+            (8, 8),
+            couplings="ferro",
+            temperatures=np.array([2.269, 3.0], np.float32),
+            seed=13,
+        )
+        r = m.sample(
+            200, "metropolis", autocorrelation_max_lag=16,
+            autocorrelation_backend=backend, warmup_ratio=0.2,
+        )
+        taus[backend] = np.asarray(r["mags2_tau"], np.float64)
+    np.testing.assert_allclose(taus["ring"], taus["fft"], rtol=1e-4)

@@ -1,0 +1,142 @@
+"""Batched connected-components kernel (ops/pallas_cc_batch.py).
+
+The kernel must be bitwise-equal per graph to the jnp min-label fixed point
+(itself union-find-oracle-tested in tests/test_cluster.py), across every
+packing layout; and the engine's FK phase must produce bitwise-identical
+trajectories whether CC runs through the batch kernel or the jnp loop
+(interpret mode pins the mechanics; throughput is measured on real TPU).
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (8, 8, 8), (16, 16, 16), (8, 128), (8, 24)]
+)
+def test_kernel_matches_jnp_fixed_point(shape):
+    import jax
+    import jax.numpy as jnp
+
+    from peapods_tpu.ops.lattice import Lattice
+    from peapods_tpu.ops.geometry import GridOps
+    from peapods_tpu.ops import cluster as cl
+    from peapods_tpu.ops.pallas_cc_batch import (
+        cc_batch_factors,
+        connected_components_batch,
+        supports_cc_batch,
+    )
+
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    assert supports_cc_batch(lat)
+    kp, ks = cc_batch_factors(lat, 16)
+    b = ((16 + kp * ks - 1) // (kp * ks)) * (kp * ks)
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    # mixed densities: sub/percolating/supercritical plus empty + full
+    dens = np.linspace(0.0, 1.0, b)[:, None, None]
+    active = rng.random((b, lat.n_spins, lat.n_dims)) < dens
+    lab_k = connected_components_batch(
+        jnp.asarray(active), shape=shape, kp=kp, ks=ks, interpret=True
+    )
+    lab_j = jax.vmap(lambda a: cl.connected_components(a, geom))(
+        jnp.asarray(active)
+    )
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_j))
+
+
+def test_engine_fk_bitwise_vs_jnp_cc(monkeypatch):
+    """SW every sweep on a 64^2-class lattice batch: trajectories must be
+    bitwise identical with the batch kernel on and off (labels are equal,
+    so flips, stats, and spins all follow)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    def sim(seed):
+        coup = np.ones((2, 8, 24, 2), np.float32)
+        temps = np.geomspace(1.8, 3.2, 3).astype(np.float32)
+        return IsingSimulation([8, 24], coup, temps, 2, None, seed,
+                               default_chunk=8, mesh=None)
+
+    kw = dict(cluster_update_interval=1, cluster_mode="sw",
+              collect_cluster_stats=True, pt_interval=1, warmup_ratio=0)
+    a = sim(5)
+    ra = a.sample(8, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.cc_batch and not prog.cc_pallas
+
+    monkeypatch.setenv("PEAPODS_DISABLE_CCBATCH", "1")
+    b = sim(5)
+    rb = b.sample(8, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).cc_batch
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(ra["fk_csd"], rb["fk_csd"])
+    np.testing.assert_array_equal(ra["mags2"], rb["mags2"])
+
+
+def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
+    """Jorg+CMR overlap moves (two CC rounds per CMR event) routed through
+    the batch kernel must reproduce the jnp-CC trajectory bitwise — labels
+    are equal, and the staged task kernels draw identically to the
+    monolithic ones."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    def sim(seed):
+        rng = np.random.default_rng(seed)
+        coup = rng.choice(
+            np.float32([-1, 1]), size=(2, 8, 8, 8, 3)
+        )
+        temps = np.geomspace(0.9, 2.2, 3).astype(np.float32)
+        return IsingSimulation([8, 8, 8], coup, temps, 4, None, seed,
+                               default_chunk=10, mesh=None)
+
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=5,
+              overlap_cluster_build_mode="jorg+cmr",
+              collect_cluster_stats=True, warmup_ratio=0)
+    a = sim(7)
+    ra = a.sample(20, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.cc_batch
+
+    monkeypatch.setenv("PEAPODS_DISABLE_CCBATCH", "1")
+    b = sim(7)
+    rb = b.sample(20, "metropolis", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]), np.asarray(b.state["system_ids"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["overlap_csd"]), np.asarray(rb["overlap_csd"])
+    )
+    np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
+
+
+def test_engine_fk_observe_bitwise(monkeypatch):
+    """Observe-mode FK with the batch kernel: graph observations flow and
+    spins still match an observer-free run bitwise."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    def sim(seed):
+        coup = np.ones((8, 24, 2), np.float32)
+        temps = np.array([2.0, 2.6], np.float32)
+        return IsingSimulation([8, 24], coup, temps, 1, None, seed,
+                               default_chunk=4, mesh=None)
+
+    plain = sim(9)
+    plain.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    expected = np.asarray(plain.state["spins"])
+
+    obs = sim(9)
+    r = obs.sample(4, "metropolis", pt_interval=1, cluster_update_interval=2,
+                   cluster_mode="sw", cluster_action="observe",
+                   warmup_ratio=0)
+    assert next(iter(obs._programs.values())).cc_batch
+    np.testing.assert_array_equal(np.asarray(obs.state["spins"]), expected)
+    fk = r["per_disorder"]["cluster_observations"]["fk"]
+    assert fk["observation_count"].sum() > 0

@@ -241,6 +241,28 @@ def test_schema_matches_scan_path(monkeypatch):
     check(mp, scan, ())
 
 
+def test_equilibration_sees_warmup_sweeps():
+    """The equilibration diagnostic consumes every sweep including warmup
+    (reference mod.rs:511,531) — the warmup gate must not zero the emitted
+    series.  Warmup only gates recording, never the trajectory, so the
+    equilibration arrays of warmup=0 and warmup=0.5 runs are identical."""
+    r0 = glass(23).sample(
+        16, "metropolis", pt_interval=1, equilibration_diagnostic=True,
+        warmup_ratio=0,
+    )
+    r5 = glass(23).sample(
+        16, "metropolis", pt_interval=1, equilibration_diagnostic=True,
+        warmup_ratio=0.5,
+    )
+    np.testing.assert_array_equal(r0["equil_sweeps"], r5["equil_sweeps"])
+    np.testing.assert_array_equal(
+        r0["equil_energy_avg"], r5["equil_energy_avg"]
+    )
+    np.testing.assert_array_equal(
+        r0["equil_link_overlap_avg"], r5["equil_link_overlap_avg"]
+    )
+
+
 def test_update_mode_runs_and_counts_events():
     """Jorg+CMR round-robin with updates completes on the megapair path
     (call A -> jnp move -> mirrored PT -> call B) and collects overlap CSD

@@ -6,7 +6,7 @@ matplotlib.use("Agg")
 
 import numpy as np
 
-from peapods_tpu.plot.cluster_snapshots import cluster_image, load_snapshots
+from peapods_tpu.plot.cluster_snapshots import SnapshotSet
 from peapods_tpu.sweep import run_sweep
 
 
@@ -48,6 +48,6 @@ def test_run_sweep_saves_npz_and_plots(tmp_path):
     assert (tmp_path / "pq_4x4_bimodal_cmr_sw.png").exists()
 
     # snapshot viewer consumes the same npz
-    snaps = load_snapshots(npz)
-    img = cluster_image(snaps, 0, 0)
+    snaps = SnapshotSet.from_npz(npz)
+    img = snaps.rgb(0, 0)
     assert img.shape == (4, 4, 3)
