@@ -135,6 +135,7 @@ class Runtime:
     jgrids: jax.Array | None = None  # f32 [n_disorder, 4|6, L0, lanes] (pallas)
     use_pallas: bool = False  # wide-lattice direct kernel
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
+    halo2d: bool = False  # space-mesh halo-exchange 2D kernel
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
     kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
     kernel3d_rows: int = 1  # 3D kernel sublane-pack factor ks (systems/rows)
@@ -170,14 +171,26 @@ class Runtime:
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
         from ..utils.log import log_once
 
+        halo2d = False
         if mesh is not None and "space" in mesh.axis_names:
             # spatial decomposition: the spin axis itself is sharded (row
-            # bands); the roll-based jnp path auto-partitions with XLA halo
-            # collectives, the Pallas kernels do not
-            if use_pallas or pack_k or kernel3d:
+            # bands).  2D direct-kernel shapes keep a Pallas fast path via
+            # the halo-exchange color kernel (sweep_2d_halo_color: ppermute
+            # ring fetches the band-edge neighbor rows before each color
+            # pass); everything else rides the jnp path, whose roll stencils
+            # auto-partition with XLA halo collectives.
+            ns = mesh.shape["space"]
+            halo2d = (
+                on_device
+                and use_pallas
+                and "systems" not in mesh.axis_names
+                and lattice.shape[0] % ns == 0
+                and (lattice.shape[0] // ns) % 8 == 0
+            )
+            if not halo2d and (use_pallas or pack_k or kernel3d):
                 log_once(
                     "'space' mesh axis: falling back to the jnp sweep path "
-                    "(Pallas kernels do not partition the spin axis)"
+                    "(lattice/mesh shape outside the halo kernel's support)"
                 )
             use_pallas = False
             pack_k = 0
@@ -220,7 +233,7 @@ class Runtime:
             local = n_systems // sys_ax
             while k3_rows > 1 and (local // kernel3d) % k3_rows:
                 k3_rows -= 1
-        if use_pallas:
+        if use_pallas or halo2d:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
             )(coup)
@@ -242,6 +255,7 @@ class Runtime:
             jgrids=jgrids,
             use_pallas=use_pallas,
             pallas_ok=on_device,
+            halo2d=halo2d,
             pack_k=pack_k,
             kernel3d=kernel3d,
             kernel3d_rows=k3_rows if kernel3d else 1,
@@ -510,6 +524,8 @@ class LoopProgram:
             sweep = f"pallas-2d-packed(k={rt.pack_k})"
         elif rt.kernel3d:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
+        elif rt.halo2d:
+            sweep = "pallas-2d-halo"
         else:
             sweep = "jnp"
         parts = [f"sweep={sweep}"]
@@ -847,6 +863,60 @@ class LoopProgram:
         return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(
             active_flat
         )
+
+    def _sweep_phase_halo(self, spins, sid, keys):
+        """Checkerboard sweep under the ``space`` mesh axis via the
+        halo-exchange color kernel (two single-color Pallas passes per
+        sweep; a ``ppermute`` ring carries the band-edge rows between
+        shards before each pass, so the second color sees the first
+        color's updates across shard boundaries — the stencil semantics of
+        the unsharded kernel, at full per-chip kernel speed)."""
+        import os
+
+        from jax.sharding import PartitionSpec as P
+
+        rt = self.rt
+        mesh = rt.mesh
+        ns = mesh.shape["space"]
+        h, w = rt.lattice.shape
+        hl = h // ns
+        gibbs = self.cfg.sweep_mode == "gibbs"
+        interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
+        skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
+        seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
+        fwd = [(j, (j + 1) % ns) for j in range(ns)]
+        bwd = [(j, (j - 1) % ns) for j in range(ns)]
+
+        def shard_fn(sp, jg, st, sd):
+            idx = jax.lax.axis_index("space").astype(jnp.int32)
+            off = (idx * hl) * jnp.ones((1, 1), jnp.int32)
+            s4 = sp.reshape(sp.shape[0], sp.shape[1], hl, w)
+            # independent PRNG stream per (shard, color) pass
+            sd = sd ^ ((idx + 1) * jnp.int32(-1640531527))
+            for color in (0, 1):
+                sdc = sd ^ jnp.int32((-2048144789, 1779033703)[color])
+                hup = jax.lax.ppermute(s4[:, :, hl - 1:, :], "space", fwd)
+                hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
+                s4 = pallas_sweep.sweep_2d_halo_color(
+                    s4, jg, st, sdc, hup, hdn, off,
+                    shape_local=(hl, w), color=color, gibbs=gibbs,
+                    interpret=interpret,
+                )
+            return s4.reshape(sp.shape)
+
+        names = mesh.axis_names
+        dis = "disorder" if "disorder" in names else None
+        batch = P(dis)
+        spins_spec = P(dis, None, "space")
+        call = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spins_spec, P(dis, None, "space", None), batch, batch),
+            out_specs=spins_spec,
+            check_vma=False,
+        )
+        return call(spins, rt.jgrids, sys_temps, seeds)
 
     def _fk_phase_batched(self, spins, sid, keys):
         """FK update over the full ``[n_disorder, n_systems]`` batch.
@@ -1244,6 +1314,8 @@ class LoopProgram:
             sweep_scope.__enter__()
             if rt.use_pallas or rt.pack_k or rt.kernel3d:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
+            elif rt.halo2d:
+                spins = self._sweep_phase_halo(spins, sid, keys)
             else:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd

@@ -34,6 +34,8 @@ from .sweep import METROPOLIS_LAZINESS
 __all__ = [
     "sweep_2d",
     "sweep_2d_fused",
+    "sweep_2d_halo_color",
+    "sweep_2d_halo_color_injected",
     "sweep_2d_injected",
     "sweep_2d_packed",
     "sweep_2d_two_sub_injected",
@@ -330,6 +332,147 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
     out_ref[0, 0] = s.astype(jnp.int8)
     e_ref[d_idx, sys_idx] = e_tot / (h_dim * w_dim)
     m_ref[d_idx, sys_idx] = s.sum().astype(jnp.int32)
+
+
+def _kernel_color_halo(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
+                       hup_ref, hdn_ref, out_ref, *, gibbs, color,
+                       u_injected=False, u_ref=None):
+    """Single-color checkerboard update of one ROW BAND with explicit halos.
+
+    Spatial decomposition (SURVEY.md section 5 long-context analog): each
+    shard owns ``[Hl, W]`` rows of the lattice; the vertical neighbors at
+    the band edges arrive as halo rows (``hup`` = global row above the band,
+    ``hdn`` = global row below), fetched by the engine's ``ppermute`` ring
+    before each color pass.  ``off_ref`` carries the band's global first-row
+    index, so checkerboard parity stays globally consistent.  One color per
+    call — the second color's halo rows depend on the first color's updates
+    in the neighboring shards.
+    """
+    d_idx = pl.program_id(0)
+    sys_idx = pl.program_id(1)
+    if not u_injected:
+        _seed_prng(seed_ref, d_idx, sys_idx)
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
+    s = spins_ref[0, 0].astype(jnp.float32)  # [Hl, W]
+    jg = jgrids_ref[0]
+    hup = hup_ref[0, 0].astype(jnp.float32)  # [1, W]
+    hdn = hdn_ref[0, 0].astype(jnp.float32)
+    h_dim, w_dim = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, w_dim), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, w_dim), 1)
+    parity = (row + off_ref[0, 0] + col) & 1
+    up = jnp.where(row == 0, hup, pltpu.roll(s, 1, 0))
+    down = jnp.where(row == h_dim - 1, hdn, pltpu.roll(s, h_dim - 1, 0))
+    field = (
+        up * jg[0]
+        + down * jg[1]
+        + pltpu.roll(s, 1, 1) * jg[2]
+        + pltpu.roll(s, w_dim - 1, 1) * jg[3]
+    )
+    x = -s * field * inv_half_t
+    u = u_ref[0, 0] if u_injected else _hw_uniform(s.shape)
+    if gibbs:
+        p = jax.nn.sigmoid(x)
+    else:
+        p = keep * jnp.exp(jnp.minimum(x, 0.0))
+    flip = (u < p) & (parity == color)
+    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_local", "color", "gibbs", "interpret")
+)
+def sweep_2d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
+                        shape_local, color, gibbs=False, interpret=False):
+    """One color pass over every (realization, system)'s local row band.
+
+    Args:
+        spins: ``int8 [n_d, n_systems, Hl, W]`` local band.
+        jgrids: ``f32 [n_d, 4, Hl, W]`` local pre-shifted coupling grids.
+        hup/hdn: ``int8 [n_d, n_systems, 1, W]`` halo rows (global row above
+            / below the band, post previous color pass).
+        off: ``int32 [1, 1]`` global first-row index of this band.
+        seeds: ``int32 [n_d, 2*n_systems]`` (fold the shard index and the
+            color in before calling — each (shard, color) pass must draw an
+            independent stream).
+    """
+    hl, w = shape_local
+    n_d, n_systems = spins.shape[:2]
+    kernel = functools.partial(_kernel_color_halo, gibbs=gibbs, color=color)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d, n_systems),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hl, w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_d, n_systems, hl, w), jnp.int8),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
+    return out
+
+
+def sweep_2d_halo_color_injected(spins, jgrids, sys_temps, uniforms, hup,
+                                 hdn, off, *, shape_local, color,
+                                 gibbs=False, interpret=False):
+    """Test-only halo-color pass with caller-supplied uniforms
+    (``f32 [n_systems, Hl, W]``); single realization."""
+    hl, w = shape_local
+    n_systems = spins.shape[0]
+    kernel = functools.partial(
+        _kernel_color_halo, gibbs=gibbs, color=color, u_injected=True
+    )
+
+    def wrapped(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+                hdn_ref, u_ref, out_ref):
+        kernel(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+               hdn_ref, out_ref, u_ref=u_ref)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(1, n_systems),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hl, w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_systems, hl, w), jnp.int8),
+        interpret=_interp(interpret),
+    )(
+        jnp.zeros((1, 2 * n_systems), jnp.int32),
+        sys_temps[None],
+        off,
+        spins[None],
+        jgrids[None],
+        hup[None],
+        hdn[None],
+        uniforms[None],
+    )
+    return out[0]
 
 
 def _kernel_injected(temp_ref, spins_ref, jgrids_ref, u_ref, out_ref, *, gibbs):

@@ -114,5 +114,12 @@ def shard_runtime(rt, mesh):
     )
     rt.temps = jax.device_put(rt.temps, rspec)
     if rt.jgrids is not None:
-        rt.jgrids = jax.device_put(rt.jgrids, NamedSharding(mesh, P(dis)))
+        # halo-kernel grids are full-lattice [d, 4, H, W] -> shard the row
+        # axis with the spins; kernel grids otherwise ride the disorder axis
+        spec = (
+            P(dis, None, space, None)
+            if (space is not None and getattr(rt, "halo2d", False))
+            else P(dis)
+        )
+        rt.jgrids = jax.device_put(rt.jgrids, NamedSharding(mesh, spec))
     return rt
