@@ -450,6 +450,9 @@ class LoopProgram:
             and _os.environ.get("PEAPODS_DISABLE_MEGAPAIR") != "1"
             and cfg.cluster_update is None
             and (h is None or h.snapshot_interval is None)
+            # the post-event kernel call covers interval-1 sweeps; its
+            # per-sweep SMEM outputs must fit the budget (_mp_inner_cap)
+            and (h is None or h.interval <= self._mp_inner_cap() + 1)
             and (
                 rt.mesh is None
                 or rt.mesh.devices.size == 1
@@ -1520,7 +1523,14 @@ class LoopProgram:
 
         rt = self.rt
         cfg = self.cfg
-        n_inner = min(chunk_len, 256)
+        # SMEM budget: the kernel's per-sweep outputs are whole-array SMEM
+        # operands (every grid instance maps the full [n_d, n_inner, ...]
+        # arrays), so n_inner is capped to stay within the ~1 MB SMEM.
+        pad = lambda n: -(-max(n, 1) // 128) * 128  # SMEM trailing pad
+        per_inner = rt.n_disorder * (2 * pad(rt.n_systems) + 8) * 4
+        n_inner = min(chunk_len, 256, max(1, 500_000 // per_inner))
+        while chunk_len % n_inner:
+            n_inner -= 1
         n_calls = chunk_len // n_inner
         assert chunk_len == n_calls * n_inner
         gibbs = cfg.sweep_mode == "gibbs"
@@ -1683,6 +1693,23 @@ class LoopProgram:
 
     # --------------------------------------------------- megapair runner
 
+    def _mp_inner_cap(self) -> int:
+        """Max inner sweeps per megapair kernel call within the SMEM budget.
+
+        Per-sweep outputs (e, m, qs, ql) and the seed/PT words are
+        whole-array SMEM operands — every grid instance maps the full
+        ``[n_d, n_inner, ...]`` arrays, so the budget scales with the
+        disorder count too.
+        """
+        rt = self.rt
+        pad = lambda n: -(-max(n, 1) // 128) * 128  # SMEM trailing-dim pad
+        per_inner = rt.n_disorder * 4 * (
+            2 * pad(rt.n_systems)
+            + 2 * pad((rt.n_replicas // 2) * rt.n_temps)
+            + 8
+        )
+        return max(1, 500_000 // per_inner)
+
     def _overlap_branch_slots(self, mode):
         """Overlap-move event on slot-ordered spins (disorder-batched).
 
@@ -1773,7 +1800,9 @@ class LoopProgram:
         if h is not None:
             n_inner = h.interval
         else:
-            n_inner = _math.gcd(chunk_len, 256)
+            n_inner = min(chunk_len, 256, max(1, self._mp_inner_cap()))
+            while chunk_len % n_inner:
+                n_inner -= 1
         assert chunk_len % n_inner == 0, (chunk_len, n_inner)
         n_blocks = chunk_len // n_inner
 
