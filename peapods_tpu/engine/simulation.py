@@ -428,8 +428,11 @@ class IsingSimulation:
         for actual, block in series_blocks:
             accum.add_series(np.asarray(block)[:actual])
         accum.drain_device_acc(acc)
+        from ..utils.fetch import fetch_pytree
+
         return accum.finalize(
-            {k: np.asarray(v) for k, v in state.items() if k.startswith("pt_")}
+            fetch_pytree({k: v for k, v in state.items()
+                          if k.startswith("pt_")})
         )
 
     def _program_for(self, cfg: SimConfig) -> LoopProgram:

@@ -128,10 +128,9 @@ def _mega_kernel(
     d = pl.program_id(0)
 
     def body(es_ref, tmp_ref):
-        # the *_out refs are input_output_aliased to the *_in operands on
-        # hardware; the interpreter ignores aliasing, so the state is also
-        # copied in explicitly (scalar loops — SMEM only loads scalars; a
-        # self-copy on hardware is harmless).  Per-disorder SMEM operands
+        # State flows by explicit copy-in (inputs are NOT aliased to
+        # the outputs: alias + lax.scan iteration deadlocks on hardware,
+        # see the pallas_call note below).  Per-disorder SMEM operands
         # are whole arrays indexed by the grid's disorder index — Mosaic
         # rejects grid-blocked SMEM whose row block is neither the full
         # extent nor 8-divisible.
@@ -363,13 +362,14 @@ def mega_chunk(
         spins_out_shape = jax.ShapeDtypeStruct((n_d, n_slots, h, w), jnp.int8)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     grid_smem = lambda row: smem()
-    # state operands are aliased to their outputs (in-place update): SMEM
-    # arrays only support scalar loads, so a copy-in would need a loop; the
-    # alias makes the kernel see the incoming values in the output refs.
+    # NOTE: no input_output_aliases — an aliased whole-array-SMEM
+    # kernel deadlocks on hardware when iterated inside lax.scan
+    # (in-place reuse across iterations wedges the DMA pipeline;
+    # reproduced on v5e).  The kernel copies state in explicitly, so
+    # aliasing was only an allocation optimization.
     out = pl.pallas_call(
         kernel,
         grid=(n_d,),
-        input_output_aliases={10: 0, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7, 9: 8},
         in_specs=[
             grid_smem(2 * n_inner),             # seeds
             grid_smem(2 * n_inner),             # pt words

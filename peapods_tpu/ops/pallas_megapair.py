@@ -322,11 +322,11 @@ def _mp_kernel(
     d = pl.program_id(0)
 
     def body(es_ref):
-        # *_out refs are input_output_aliased on hardware; the interpreter
-        # ignores aliasing, so state is also copied in explicitly.  SMEM
-        # operands are whole arrays indexed by the grid's disorder index
-        # (Mosaic rejects grid-blocked SMEM whose row block is neither the
-        # full extent nor 8-divisible).
+        # State flows by explicit copy-in (inputs are NOT aliased to the
+        # outputs: alias + lax.scan iteration deadlocks on hardware, see the
+        # pallas_call note below).  SMEM operands are whole arrays indexed
+        # by the grid's disorder index (Mosaic rejects grid-blocked SMEM
+        # whose row block is neither the full extent nor 8-divisible).
         spins_out_ref[...] = spins_ref[...]
 
         def _copy_smem(dst, src, n):
@@ -572,10 +572,14 @@ def megapair_chunk(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     grid_smem = lambda n: smem()
     sweep_smem = lambda n: smem()
+    # NOTE: no input_output_aliases — an aliased whole-array-SMEM
+    # kernel deadlocks on hardware when iterated inside lax.scan
+    # (in-place reuse across iterations wedges the DMA pipeline;
+    # reproduced on v5e).  The kernel copies state in explicitly, so
+    # aliasing was only an allocation optimization.
     out = pl.pallas_call(
         kernel,
         grid=(n_d,),
-        input_output_aliases={10: 0, 4: 5, 5: 6, 6: 7, 7: 8, 8: 9, 9: 10},
         in_specs=[smem()] * 10 + [spins_spec, jg_spec],
         out_specs=(
             spins_spec,
