@@ -183,33 +183,27 @@ def unpack_slots(tiles, sid, l0, block, kp, rp):
 
 # ------------------------------------------------------------------- body
 
-def _row_shift_fns(rows, l0):
+def _row_shift_fns(rows, l0, row):
     """Seam-corrected i +- 1 neighbor-value helpers (rp row blocks stack
     independent systems; the periodic wrap must stay within a block)."""
     if rows == l0:
         return (lambda x: pltpu.roll(x, 1, 0),
-                lambda x: pltpu.roll(x, l0 - 1, 0),
-                None)
-    row = None  # built lazily by caller with matching shape
+                lambda x: pltpu.roll(x, l0 - 1, 0))
+    i_coord = jax.lax.rem(row, np.int32(l0))
+    at_i0 = i_coord == 0
+    at_il = i_coord == (l0 - 1)
 
-    def make(shape_row):
-        i_coord = jax.lax.rem(shape_row, np.int32(l0))
-        at_i0 = i_coord == 0
-        at_il = i_coord == (l0 - 1)
+    def im(x):
+        return jnp.where(
+            at_i0, pltpu.roll(x, rows - (l0 - 1), 0), pltpu.roll(x, 1, 0)
+        )
 
-        def im(x):
-            return jnp.where(
-                at_i0, pltpu.roll(x, rows - (l0 - 1), 0), pltpu.roll(x, 1, 0)
-            )
+    def ip(x):
+        return jnp.where(
+            at_il, pltpu.roll(x, l0 - 1, 0), pltpu.roll(x, rows - 1, 0)
+        )
 
-        def ip(x):
-            return jnp.where(
-                at_il, pltpu.roll(x, l0 - 1, 0), pltpu.roll(x, rows - 1, 0)
-            )
-
-        return im, ip, i_coord
-
-    return make
+    return im, ip
 
 
 def _mp_geometry(rows, lanes, l0, l1, l2):
@@ -218,13 +212,8 @@ def _mp_geometry(rows, lanes, l0, l1, l2):
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
     (jm, jp, km, kp_), parity_jk = _lane_shift_fns(col, block, l1, l2)
-    fns = _row_shift_fns(rows, l0)
-    if callable(fns):
-        im, ip, i_coord = fns(row)
-    else:
-        im, ip, _ = fns
-        i_coord = row
-    parity = (jax.lax.rem(i_coord, np.int32(l0)) + parity_jk) & 1
+    im, ip = _row_shift_fns(rows, l0, row)
+    parity = (jax.lax.rem(row, np.int32(l0)) + parity_jk) & 1
     return (im, ip, jm, jp, km, kp_), parity, row, col
 
 
