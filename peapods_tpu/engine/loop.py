@@ -46,6 +46,7 @@ from ..ops import pallas_mega
 from ..ops import pallas_megapair
 from ..ops import pallas_cc
 from ..ops import pallas_cc_batch
+from ..ops import pallas_event
 from ..utils.profiling import phase_scope
 from .config import SimConfig
 
@@ -506,6 +507,44 @@ class LoopProgram:
             if self.cc_batch
             else None
         )
+        # Fused overlap-event kernel (ops/pallas_event.py): the whole move —
+        # bond build, CC fixed point, cluster flips — in ONE pallas_call per
+        # event, for pair tasks when nothing collects labels/stats (the
+        # perf-config case).  Per-graph scalar draws are bitwise the staged
+        # path's; houdayer (deterministic bonds) is bitwise identical
+        # end-to-end.  Single-device for the same lax.cond/shard_map reason
+        # as cc_batch above.
+        self.event_kernel = (
+            rt.pallas_ok
+            and h is not None
+            and h.action == "update"
+            and not (self.collect_overlap or self.observe_overlap)
+            and pallas_event.supports_event(rt.lattice, 2)
+            and any(m.group_size == 2 for m in h.modes)
+            and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
+            and (rt.mesh is None or rt.mesh.devices.size == 1)
+        )
+        self._evb = (
+            pallas_cc_batch.cc_batch_factors(
+                rt.lattice, rt.n_disorder * rt.n_temps * (rt.n_replicas // 2)
+            )
+            if self.event_kernel
+            else None
+        )
+        # Packed per-task J/T grids (mode-shared: jorg and cmr both consume
+        # J/T).  Built EAGERLY — _event_fused runs inside a jit trace, where
+        # building would leak a tracer into the cache.
+        self._event_jt = (
+            pallas_event.pack_event_jt(
+                rt.couplings, rt.temps, rt.n_replicas // 2,
+                tuple(rt.lattice.shape), *self._evb,
+            )
+            if (
+                self.event_kernel
+                and any(m.kind != "houdayer" for m in h.modes)
+            )
+            else None
+        )
         self._chunk_cache = {}
         self._snap_fn = None
         from ..utils.log import log_once
@@ -543,6 +582,8 @@ class LoopProgram:
                 )
             )
             parts.append(f"cc={cc}")
+        if getattr(self, "event_kernel", False):
+            parts.append(f"event=fused(kp={self._evb[0]},ks={self._evb[1]})")
         if self.fuse_measure:
             parts.append("fused-measure")
         if rt.mesh is not None and rt.mesh.devices.size > 1:
@@ -1034,6 +1075,16 @@ class LoopProgram:
         flat = lambda x: x.reshape((d * n_tasks,) + x.shape[2:])
         unflat = lambda x: x.reshape((d, n_tasks) + x.shape[1:])
 
+        if (
+            self.event_kernel
+            and g == 2
+            and not (with_stats or with_snapshot)
+        ):
+            new_tspins = self._event_fused(mode, tspins, tkeys)
+            return ov.OverlapMoveOut(
+                new_tspins, None, None, None, None, None
+            )
+
         if mode.kind == "houdayer":
             bonds, aux = jax.vmap(jax.vmap(
                 lambda ts, k: ov.houdayer_bonds(ts, k, rt.geom)
@@ -1093,6 +1144,64 @@ class LoopProgram:
         if not (with_stats or with_snapshot):
             out = out._replace(labels=None, blue_labels=None, counts=None)
         return out
+
+    def _event_fused(self, mode, tspins, tkeys):
+        """Run one pair-task overlap event through the fused kernel
+        (ops/pallas_event.py): bonds + CC + flips in one ``pallas_call``.
+
+        ``tspins``: int8 ``[d, n_tasks, 2, n_spins]``; returns the post-move
+        tensor of the same shape.  Per-task scalars come from the exact
+        staged-path key splits; only the per-bond uniforms (jorg/cmr) ride
+        the hardware PRNG instead of threefry.
+        """
+        import os
+
+        rt = self.rt
+        wolff = self.cfg.overlap_cluster.cluster_mode == "wolff"
+        interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        kp, ks = self._evb
+        tile = kp * ks
+        d, n_tasks = tspins.shape[:2]
+        n = rt.n_spins
+        shape = tuple(rt.lattice.shape)
+        l0, block = shape[0], n // shape[0]
+        b0 = d * n_tasks
+        a = tspins[:, :, 0].reshape(b0, n)
+        b = tspins[:, :, 1].reshape(b0, n)
+        if jnp.issubdtype(tkeys.dtype, jax.dtypes.prng_key):
+            keys_flat = tkeys.reshape(b0)
+            key_words = jax.random.key_data(keys_flat)
+        else:  # legacy uint32 [..., 2] key arrays
+            keys_flat = tkeys.reshape(b0, -1)
+            key_words = keys_flat
+        gscal = pallas_event.event_scalars(
+            mode.kind, wolff, a, b, keys_flat, n
+        )
+        words = jax.lax.bitcast_convert_type(
+            key_words.astype(jnp.uint32), jnp.int32
+        )  # [b0, 2]
+        pad = (-b0) % tile
+        if pad:
+            zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+            a = jnp.concatenate([a, zrow(a)], 0)
+            b = jnp.concatenate([b, zrow(b)], 0)
+            pad_scal = jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)
+            gscal = jnp.concatenate([gscal, pad_scal], 0)
+            words = jnp.concatenate([words, zrow(words)], 0)
+        g_tiles = (b0 + pad) // tile
+        a_p = pallas_cc_batch._pack(a, l0, block, kp, ks)
+        b_p = pallas_cc_batch._pack(b, l0, block, kp, ks)
+        gscal_t = gscal.reshape(g_tiles, tile, 6)
+        words_t = words.reshape(g_tiles, tile, 2)[:, :1, :]
+        jt = self._event_jt if mode.kind != "houdayer" else None
+        a2, b2 = pallas_event.overlap_event_batch(
+            a_p, b_p, gscal_t, words_t, jt,
+            kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
+            interpret=interp,
+        )
+        a2 = pallas_cc_batch._unpack(a2, l0, block, kp, ks)[:b0]
+        b2 = pallas_cc_batch._unpack(b2, l0, block, kp, ks)[:b0]
+        return jnp.stack([a2, b2], axis=1).reshape(d, n_tasks, 2, n)
 
     def _task_stats(self, out, n_groups):
         """Per-temperature stats reduction of a task batch (temps-major

@@ -42,7 +42,9 @@ __all__ = [
     "csd_histogram",
     "top4_sizes",
     "find_seed",
+    "coin_salt",
     "cluster_uniform",
+    "salted_uniform",
     "cluster_coin_flip_mask",
     "nonsingleton_mask",
     "wolff_flip_mask",
@@ -216,6 +218,16 @@ def find_seed(key, eligible, n_probes: int = 64):
     return probes[first], hits.any()
 
 
+def coin_salt(key):
+    """The two salt words :func:`cluster_uniform` hashes labels with.
+
+    Exposed so the fused event kernel (ops/pallas_event.py) can draw the
+    exact same salts from the task key and reproduce the staged path's
+    per-cluster coins bitwise.
+    """
+    return jax.random.randint(key, (2,), -(2**31), 2**31 - 1, dtype=jnp.int32)
+
+
 def cluster_uniform(key, labels):
     """One i.i.d. uniform per cluster, constant across the cluster's sites.
 
@@ -225,7 +237,11 @@ def cluster_uniform(key, labels):
     get independent draws, every site of a cluster sees the same draw, and
     different calls/sweeps are decorrelated by the salt.
     """
-    salt = jax.random.randint(key, (2,), -(2**31), 2**31 - 1, dtype=jnp.int32)
+    return salted_uniform(labels, coin_salt(key))
+
+
+def salted_uniform(labels, salt):
+    """murmur-style avalanche hash of (label, salt) to a 24-bit uniform."""
     x = labels.astype(jnp.uint32) ^ salt[0].astype(jnp.uint32)
     # murmur3-style avalanche
     x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
@@ -263,11 +279,14 @@ def wolff_flip_mask(labels, seed):
     return labels == labels[seed]
 
 
-def fk_bond_activation(spins, coup_fwd, geom, temp, key, *, factor=2.0):
+def fk_bond_activation(spins, coup_fwd, geom, temp, key, *, factor=2.0,
+                       u=None):
     """FK forward-bond activation for one system (fk.rs:74,106-114).
 
     ``factor`` is the exponent multiplier: 2 for FK, 4 for the Joerg move's
-    pair bonds (overlap.rs:424-436).  Returns ``bool [n_spins, n_neighbors]``.
+    pair bonds (overlap.rs:424-436).  ``u`` injects the per-bond uniforms
+    (bitwise kernel-vs-reference tests); default draws them from ``key``.
+    Returns ``bool [n_spins, n_neighbors]``.
     """
     s = spins.astype(jnp.float32)
     inter = jnp.stack(
@@ -275,7 +294,8 @@ def fk_bond_activation(spins, coup_fwd, geom, temp, key, *, factor=2.0):
         axis=-1,
     )
     p = 1.0 - jnp.exp(-factor * inter / temp)
-    u = jax.random.uniform(key, inter.shape, dtype=jnp.float32)
+    if u is None:
+        u = jax.random.uniform(key, inter.shape, dtype=jnp.float32)
     return (inter > 0.0) & (u < p)
 
 

@@ -153,12 +153,17 @@ def houdayer_task(
     )
 
 
-def jorg_bonds(tspins, key, coup_fwd, temp, geom):
-    """Stage 1: stochastic pair bonds on satisfied unequal-overlap edges."""
+def jorg_bonds(tspins, key, coup_fwd, temp, geom, u_bond=None):
+    """Stage 1: stochastic pair bonds on satisfied unequal-overlap edges.
+
+    ``u_bond`` injects the per-bond uniforms (kernel bitwise tests).
+    """
     a, b = tspins[0], tspins[1]
     active = a != b
     k_bond, k_seed, k_coin = jax.random.split(key, 3)
-    fk = cl.fk_bond_activation(a, coup_fwd, geom, temp, k_bond, factor=4.0)
+    fk = cl.fk_bond_activation(
+        a, coup_fwd, geom, temp, k_bond, factor=4.0, u=u_bond
+    )
     active_pair = jnp.stack(
         [active & geom.shift_fwd(active, d) for d in range(geom.n_neighbors)],
         axis=-1,
@@ -220,20 +225,24 @@ def _cmr_satisfied(a, b, coup_fwd, geom):
     return a_sat, b_sat
 
 
-def cmr_blue_bonds(tspins, key, coup_fwd, temp, geom):
-    """CMR stage 1: blue bonds on doubly-satisfied edges, p = 1 - r^2."""
+def cmr_blue_bonds(tspins, key, coup_fwd, temp, geom, u_blue=None):
+    """CMR stage 1: blue bonds on doubly-satisfied edges, p = 1 - r^2.
+
+    ``u_blue`` injects the per-bond uniforms (kernel bitwise tests).
+    """
     a, b = tspins[0], tspins[1]
     k_blue, k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
     r = jnp.exp(-2.0 * jnp.abs(coup_fwd) / temp)
     a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
-    u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
+    if u_blue is None:
+        u_blue = jax.random.uniform(k_blue, coup_fwd.shape, dtype=jnp.float32)
     blue = a_sat & b_sat & (u_blue < 1.0 - r * r)
     return blue, (r, k_red, k_seed, k_bcoin, k_gcoin)
 
 
 def cmr_mid(
     tspins, blue_labels, blue, aux, coup_fwd, geom, *, wolff, update,
-    with_winding, with_stats,
+    with_winding, with_stats, u_red=None,
 ):
     """CMR stage 2: blue stats + joint blue flip + red-bond extension.
 
@@ -257,7 +266,8 @@ def cmr_mid(
 
     # red bonds on singly-satisfied edges (post-flip), p = 1 - r
     a_sat, b_sat = _cmr_satisfied(a, b, coup_fwd, geom)
-    u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
+    if u_red is None:
+        u_red = jax.random.uniform(k_red, coup_fwd.shape, dtype=jnp.float32)
     red = (a_sat != b_sat) & (u_red < 1.0 - r)
     tspins = jnp.stack([a, b])
     return tspins, blue | red, (seed, k_gcoin, blue_counts, csd, obs)

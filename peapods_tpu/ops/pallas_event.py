@@ -1,0 +1,398 @@
+"""Pallas TPU kernel: fused overlap-cluster event (bonds + CC + flips).
+
+The staged overlap event (engine ``_run_tasks_batched``) runs bond build,
+connected components, and the cluster flips as separate XLA/Pallas programs
+with HBM round-trips of ``[B, n_spins, n_dims]`` bond tensors between them;
+profiling the 16^3 spin-glass configs showed the event cost sits in that
+surrounding elementwise work and dispatch glue, not the CC fixed point
+(docs/performance.md round 3).  This kernel runs the ENTIRE per-task move —
+active-site masks, stochastic bond draws, the min-label fixed point, and the
+per-cluster flip decisions — on resident VMEM tiles, one ``pallas_call`` per
+event (two CC phases fused for CMR).  It is the TPU counterpart of the
+reference's per-task DFS/union-find move kernels
+(``/root/reference/spin-sim/src/clusters/overlap.rs:64-144``), which touch
+each task's memory once per event.
+
+Batch layout is shared with :mod:`peapods_tpu.ops.pallas_cc_batch`: tasks
+(graphs) are lane-packed (kp per 128-lane group) and sublane-stacked (ks row
+blocks) into fat ``[ks*L0, kp*block]`` tiles; per-graph scalars (Wolff seed,
+coin salts, CMR's k) ride SMEM with a singleton-middle-axis block so each
+grid step maps only its own tile's scalars.
+
+RNG contract (matching the staged path where draws are deterministic):
+
+* Per-graph scalars — the Wolff seed (64-probe ``find_seed``), the SW coin
+  salts, CMR's grey ``k`` — are drawn OUTSIDE from the same task-key splits
+  as the staged kernels (:func:`event_scalars`), so they are bitwise the
+  staged path's draws.
+* Per-CLUSTER coins hash the component label with the passed-in salt using
+  the exact :func:`peapods_tpu.ops.cluster.salted_uniform` avalanche, so
+  they too match bitwise given equal labels.
+* Per-BOND uniforms (Joerg's stochastic pair bonds, CMR's blue/red draws)
+  come from the hardware PRNG — a different stream than the staged path's
+  threefry, exactly like the sweep kernels vs the jnp sweep (statistical
+  equivalence; the injected-uniform entry point pins the decision logic
+  bitwise against the staged functions).  Houdayer bonds are deterministic,
+  so the fused Houdayer event is bitwise identical to the staged path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cluster as cl
+from .pallas_sweep import _hw_uniform, _interp
+from .pallas_cc_batch import _pack, _unpack, supports_cc_batch
+from .pallas_megapair import _mp_geometry
+
+__all__ = [
+    "supports_event",
+    "event_scalars",
+    "pack_event_jt",
+    "overlap_event_batch",
+]
+
+_ROUNDS_PER_CHECK = 16
+
+# gscal column layout (int32 [B, 6] per task)
+_S0, _S1, _S2, _S3, _SEED, _K = range(6)
+
+
+def supports_event(lattice, group_size: int) -> bool:
+    """Fused-event applicability: pair tasks on cc_batch-packable lattices."""
+    return group_size == 2 and supports_cc_batch(lattice)
+
+
+def _i32(c):
+    return np.uint32(c).astype(np.int32)
+
+
+def event_scalars(kind: str, wolff: bool, a, b, tkeys, n_spins: int):
+    """Per-task scalar draws, bitwise the staged path's.
+
+    Key split order per mode matches :mod:`peapods_tpu.ops.overlap`
+    (houdayer_bonds / jorg_bonds / cmr_blue_bonds + cmr_mid/cmr_finish).
+    A Wolff seed of ``n_spins`` encodes "no eligible seed found" — no site
+    matches it, so the kernel's seeded component is empty and the move is a
+    no-op, the reference's task skip (clusters/utils.rs:107-119).
+
+    Args:
+        a / b: ``int8 [B, n_spins]`` task spin pairs.
+        tkeys: ``[B]`` task keys.
+
+    Returns ``int32 [B, 6]`` rows ``(salt0, salt1, salt2, salt3, seed, k)``.
+    """
+    z = jnp.int32(0)
+    none = jnp.int32(n_spins)
+
+    def one(av, bv, key):
+        if kind == "houdayer":
+            k_seed, k_coin = jax.random.split(key)
+            if wolff:
+                seed, found = cl.find_seed(k_seed, av != bv)
+                seed = jnp.where(found, seed, none).astype(jnp.int32)
+                return jnp.stack([z, z, z, z, seed, z])
+            s = cl.coin_salt(k_coin)
+            return jnp.stack([s[0], s[1], z, z, none, z])
+        if kind == "jorg":
+            _k_bond, k_seed, k_coin = jax.random.split(key, 3)
+            if wolff:
+                seed, found = cl.find_seed(k_seed, av != bv)
+                seed = jnp.where(found, seed, none).astype(jnp.int32)
+                return jnp.stack([z, z, z, z, seed, z])
+            s = cl.coin_salt(k_coin)
+            return jnp.stack([s[0], s[1], z, z, none, z])
+        # cmr: blue seed is a plain randint (overlap.rs / ops.overlap.cmr_mid)
+        _k_blue, _k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
+        seed = jax.random.randint(k_seed, (), 0, n_spins, dtype=jnp.int32)
+        if wolff:
+            kq = jax.random.randint(k_gcoin, (), 1, 4, dtype=jnp.int32)
+            return jnp.stack([z, z, z, z, seed, kq])
+        bs = cl.coin_salt(k_bcoin)
+        gs = cl.coin_salt(k_gcoin)
+        return jnp.stack([bs[0], bs[1], gs[0], gs[1], seed, z])
+
+    return jax.vmap(one)(a, b, tkeys)
+
+
+def pack_event_jt(couplings, temps, n_groups: int, shape, kp: int, ks: int):
+    """Packed per-task ``J/T`` grids, ``f32 [G, n_dims, rows, lanes]``.
+
+    Task order is the engine's flat (disorder-major, temperature-major)
+    layout, which is STATIC across events — the engine computes this once
+    per program and reuses it every event.  Padding tasks get ``J/T = 0``
+    (no satisfied bonds ever).
+    """
+    shape = tuple(shape)
+    d, n, nd = couplings.shape
+    l0 = shape[0]
+    block = int(np.prod(shape[1:]))
+    n_temps = temps.shape[0]
+    task_temps = jnp.repeat(temps, n_groups)  # [n_tasks]
+    jt = (
+        couplings[:, None, :, :] / task_temps[None, :, None, None]
+    ).reshape(d * n_temps * n_groups, n, nd)
+    pad = (-jt.shape[0]) % (kp * ks)
+    if pad:
+        jt = jnp.concatenate(
+            [jt, jnp.zeros((pad, n, nd), jt.dtype)], axis=0
+        )
+    return jnp.stack(
+        [_pack(jt[..., dd], l0, block, kp, ks) for dd in range(nd)], axis=1
+    )
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _salted_uniform_i32(labels, s0, s1):
+    """int32 re-expression of :func:`peapods_tpu.ops.cluster.salted_uniform`
+    (bitwise identical; two's-complement mul/xor match uint32)."""
+    srl = jax.lax.shift_right_logical
+    x = labels ^ s0
+    x = (x ^ srl(x, 16)) * _i32(0x85EBCA6B)
+    x = (x ^ srl(x, 13)) * _i32(0xC2B2AE35)
+    x = x ^ srl(x, 16) ^ s1
+    x = (x ^ srl(x, 16)) * _i32(0x7FEB352D)
+    x = (x ^ srl(x, 15)) * _i32(0x846CA68B)
+    x = x ^ srl(x, 16)
+    return srl(x, 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _event_kernel(
+    gscal_ref, a_ref, b_ref, *rest,
+    kind, wolff, injected, l0, l1, l2, kp, ks, n_dims,
+):
+    block = l1 * l2
+    rows, lanes = ks * l0, kp * block
+    n_spins = l0 * block
+    n_g = kp * ks
+    big = jnp.int32(n_spins)
+    refs = list(rest)
+    words_ref = refs.pop(0) if (kind != "houdayer" and not injected) else None
+    jt_ref = refs.pop(0) if kind != "houdayer" else None
+    u_ref = refs.pop(0) if (injected and kind != "houdayer") else None
+    a_out, b_out = refs
+
+    shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
+    im, ip, jm, jp, km, kp_ = shifts
+    fwd = [ip, jp, kp_][:n_dims]
+    bwd = [im, jm, km][:n_dims]
+    local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
+        col, np.int32(block)
+    )
+    gi_tile = (row // np.int32(l0)) * np.int32(kp) + col // np.int32(block)
+
+    def gval(j):
+        """Broadcast per-graph SMEM scalar j to a per-site tile."""
+        v = jnp.zeros((rows, lanes), jnp.int32)
+        for gi in range(n_g):
+            v = jnp.where(gi_tile == gi, gscal_ref[0, gi, j], v)
+        return v
+
+    if words_ref is not None:
+        pltpu.prng_seed(words_ref[0, 0, 0], words_ref[0, 0, 1])
+
+    u_slot = [0]
+
+    def uniform():
+        if injected:
+            u = u_ref[0, u_slot[0]]
+            u_slot[0] += 1
+            return u
+        return _hw_uniform((rows, lanes))
+
+    def shift_mask(f, m):
+        return f(m.astype(jnp.int32)) != 0
+
+    def cc(bonds, seed_tile):
+        """Min-label fixed point; ``seed_tile`` (or None) floods -1 from the
+        per-graph Wolff seed so the seeded component is ``labels == -1``."""
+        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+        if seed_tile is None:
+            init = local_idx
+        else:
+            init = jnp.where(local_idx == seed_tile, jnp.int32(-1), local_idx)
+
+        def propagate(lab):
+            new = lab
+            for d in range(n_dims):
+                lf = jnp.where(bonds[d], fwd[d](lab), big)
+                lb = jnp.where(ab[d], bwd[d](lab), big)
+                new = jnp.minimum(new, jnp.minimum(lf, lb))
+            return new
+
+        def body(carry):
+            lab, _ = carry
+            new = lab
+            for _ in range(_ROUNDS_PER_CHECK):
+                new = propagate(new)
+            return new, jnp.any(new != lab)
+
+        labels, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (init, jnp.bool_(True))
+        )
+        return labels
+
+    def nonsingleton(bonds):
+        inc = bonds[0]
+        for d in range(1, n_dims):
+            inc = inc | bonds[d]
+        for d in range(n_dims):
+            inc = inc | shift_mask(bwd[d], bonds[d])
+        return inc
+
+    a = a_ref[0]
+    b = b_ref[0]
+
+    if kind in ("houdayer", "jorg"):
+        active = a != b
+        if kind == "houdayer":
+            bonds = [active & shift_mask(fwd[d], active) for d in range(n_dims)]
+        else:
+            af = a.astype(jnp.float32)
+            bonds = []
+            for d in range(n_dims):
+                inter = af * fwd[d](af) * jt_ref[0, d]
+                p = 1.0 - jnp.exp(-4.0 * inter)
+                bonds.append(
+                    (inter > 0.0)
+                    & (uniform() < p)
+                    & active
+                    & shift_mask(fwd[d], active)
+                )
+        if wolff:
+            labels = cc(bonds, gval(_SEED))
+            flip = labels == -1
+        else:
+            labels = cc(bonds, None)
+            coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
+            flip = coin & nonsingleton(bonds)
+        a_out[0] = jnp.where(flip, -a, a)
+        b_out[0] = jnp.where(flip, -b, b)
+        return
+
+    # ---- cmr: blue phase -> joint flip -> red extension -> grey flips
+    def sats(av, bv):
+        a_s, b_s = [], []
+        for d in range(n_dims):
+            a_s.append(av * fwd[d](av) * jt_ref[0, d] > 0.0)
+            b_s.append(bv * fwd[d](bv) * jt_ref[0, d] > 0.0)
+        return a_s, b_s
+
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    r = [jnp.exp(-2.0 * jnp.abs(jt_ref[0, d])) for d in range(n_dims)]
+    a_sat, b_sat = sats(af, bf)
+    blue = [
+        a_sat[d] & b_sat[d] & (uniform() < 1.0 - r[d] * r[d])
+        for d in range(n_dims)
+    ]
+    seed_tile = gval(_SEED)
+    if wolff:
+        blue_labels = cc(blue, seed_tile)
+        blue_flip = blue_labels == -1
+    else:
+        blue_labels = cc(blue, None)
+        coin = _salted_uniform_i32(blue_labels, gval(_S0), gval(_S1)) < 0.5
+        blue_flip = coin & nonsingleton(blue)
+    af = jnp.where(blue_flip, -af, af)
+    bf = jnp.where(blue_flip, -bf, bf)
+
+    a_sat, b_sat = sats(af, bf)
+    grey = [
+        blue[d] | ((a_sat[d] != b_sat[d]) & (uniform() < 1.0 - r[d]))
+        for d in range(n_dims)
+    ]
+    if wolff:
+        grey_labels = cc(grey, seed_tile)
+        in_grey = grey_labels == -1
+        k = gval(_K)
+        flip_a = in_grey & ((k & 1) != 0)
+        flip_b = in_grey & ((k & 2) != 0)
+    else:
+        grey_labels = cc(grey, None)
+        u = _salted_uniform_i32(grey_labels, gval(_S2), gval(_S3))
+        k = (u * 4.0).astype(jnp.int32)
+        ns = nonsingleton(grey)
+        flip_a = ns & ((k & 1) != 0)
+        flip_b = ns & ((k & 2) != 0)
+    a_out[0] = jnp.where(flip_a, -af, af).astype(jnp.int8)
+    b_out[0] = jnp.where(flip_b, -bf, bf).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "wolff", "shape", "kp", "ks", "interpret"),
+)
+def overlap_event_batch(
+    a_pack, b_pack, gscal, words, jt=None, u=None, *,
+    kind, wolff, shape, kp, ks, interpret=False,
+):
+    """One fused overlap event over a packed task batch.
+
+    Args:
+        a_pack / b_pack: ``int8 [G, rows, lanes]`` packed replica pairs
+            (:func:`peapods_tpu.ops.pallas_cc_batch._pack` layout).
+        gscal: ``int32 [G, kp*ks, 6]`` per-graph scalars
+            (:func:`event_scalars`, reshaped to tiles).
+        words: ``int32 [G, 1, 2]`` per-tile hardware-PRNG seed words
+            (ignored for houdayer / injected mode).
+        jt: ``f32 [G, n_dims, rows, lanes]`` packed J/T (jorg/cmr only).
+        u: injected per-bond uniforms ``f32 [G, n_u*n_dims, rows, lanes]``
+            (n_u = 1 for jorg, 2 for cmr: blue then red, dim-major within).
+
+    Returns ``(a_pack, b_pack)`` post-move.
+    """
+    shape = tuple(shape)
+    n_dims = len(shape)
+    l0 = shape[0]
+    block = int(np.prod(shape[1:]))
+    l1 = shape[1]
+    l2 = shape[2] if n_dims == 3 else 1
+    rows, lanes = ks * l0, kp * block
+    g = a_pack.shape[0]
+    injected = u is not None
+    kernel = functools.partial(
+        _event_kernel,
+        kind=kind, wolff=wolff, injected=injected,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+    )
+    tile = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (0,) * len(dims),
+        memory_space=pltpu.SMEM,
+    )
+    in_specs = [smem(kp * ks, 6), tile(rows, lanes), tile(rows, lanes)]
+    operands = [gscal, a_pack, b_pack]
+    if kind != "houdayer" and not injected:
+        in_specs.append(smem(1, 2))
+        operands.append(words)
+    if kind != "houdayer":
+        in_specs.append(tile(n_dims, rows, lanes))
+        operands.append(jt)
+    if injected and kind != "houdayer":
+        n_u = u.shape[1]
+        in_specs.append(tile(n_u, rows, lanes))
+        operands.append(u)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=(tile(rows, lanes), tile(rows, lanes)),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+        ),
+        interpret=_interp(interpret),
+    )(*operands)
+    return out

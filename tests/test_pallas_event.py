@@ -1,0 +1,259 @@
+"""Fused overlap-event kernel (ops/pallas_event.py).
+
+The kernel runs bond build + CC + cluster flips in one pallas_call.  Its
+decision logic must match the staged task kernels bitwise:
+
+* Houdayer bonds are deterministic, so the fused event must equal the staged
+  path bitwise end-to-end (both SW and Wolff, 2D and 3D).
+* Joerg/CMR draw per-bond uniforms from the hardware PRNG; the injected-
+  uniform entry point pins everything downstream of the draws bitwise
+  against the staged stage functions fed the same uniforms.
+* In the engine, a Houdayer update run with the fused kernel must be
+  bitwise identical to the staged path, and the Joerg/CMR fused path must
+  integrate (valid spins, schema) — their statistics are covered by the
+  on-TPU suite (tests/tpu_stats_ci.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peapods_tpu.ops import cluster as cl
+from peapods_tpu.ops import overlap as ov
+from peapods_tpu.ops import pallas_event as pe
+from peapods_tpu.ops import pallas_cc_batch as ccb
+from peapods_tpu.ops.geometry import GridOps
+from peapods_tpu.ops.lattice import Lattice
+
+
+def _task_batch(shape, n_tasks, seed):
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n = lat.n_spins
+    key = jax.random.key(seed)
+    ka, kb, kt = jax.random.split(key, 3)
+    a = jax.random.bernoulli(ka, 0.5, (n_tasks, n)).astype(jnp.int8) * 2 - 1
+    b = jax.random.bernoulli(kb, 0.5, (n_tasks, n)).astype(jnp.int8) * 2 - 1
+    tkeys = jax.random.split(kt, n_tasks)
+    return lat, geom, a, b, tkeys
+
+
+def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None):
+    """Pack a flat task batch and run the fused event kernel on it."""
+    shape = tuple(lat.shape)
+    n = lat.n_spins
+    n_tasks = a.shape[0]
+    kp, ks = ccb.cc_batch_factors(lat, n_tasks)
+    tile = kp * ks
+    l0, block = shape[0], n // shape[0]
+    gscal = pe.event_scalars(kind, wolff, a, b, tkeys, n)
+    words = jax.lax.bitcast_convert_type(
+        jax.random.key_data(tkeys).astype(jnp.uint32), jnp.int32
+    )
+    pad = (-n_tasks) % tile
+    if pad:
+        zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        a = jnp.concatenate([a, zrow(a)], 0)
+        b = jnp.concatenate([b, zrow(b)], 0)
+        gscal = jnp.concatenate(
+            [gscal, jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)], 0
+        )
+        words = jnp.concatenate([words, zrow(words)], 0)
+        if u_slots is not None:
+            u_slots = [jnp.concatenate([u, zrow(u)], 0) for u in u_slots]
+    g = (n_tasks + pad) // tile
+    a_p = ccb._pack(a, l0, block, kp, ks)
+    b_p = ccb._pack(b, l0, block, kp, ks)
+    u = (
+        jnp.stack([ccb._pack(s, l0, block, kp, ks) for s in u_slots], axis=1)
+        if u_slots is not None
+        else None
+    )
+    a2, b2 = pe.overlap_event_batch(
+        a_p, b_p, gscal.reshape(g, tile, 6),
+        words.reshape(g, tile, 2)[:, :1, :], jt, u,
+        kind=kind, wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
+    )
+    a2 = ccb._unpack(a2, l0, block, kp, ks)[:n_tasks]
+    b2 = ccb._unpack(b2, l0, block, kp, ks)[:n_tasks]
+    return jnp.stack([a2, b2], axis=1)
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_houdayer_fused_bitwise(shape, wolff):
+    """Deterministic bonds: the fused event equals the staged task bitwise."""
+    lat, geom, a, b, tkeys = _task_batch(shape, 4, seed=len(shape))
+    staged = jax.vmap(
+        lambda av, bv, k: ov.houdayer_task(
+            jnp.stack([av, bv]), k, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+    )(a, b, tkeys)
+    fused = _run_fused(lat, a, b, tkeys, "houdayer", wolff)
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+
+def _jt_for(lat, coup, temps):
+    """Per-task packed J/T via pack_event_jt's (d=1, groups=1) layout."""
+    kp, ks = ccb.cc_batch_factors(lat, temps.shape[0])
+    return pe.pack_event_jt(
+        coup[None], temps, 1, tuple(lat.shape), kp, ks
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_jorg_fused_injected_bitwise(shape, wolff):
+    """Same per-bond uniforms into both paths => bitwise-equal spins."""
+    lat, geom, a, b, tkeys = _task_batch(shape, 4, seed=10 + len(shape))
+    n, nd = lat.n_spins, lat.n_dims
+    rng = np.random.default_rng(5)
+    coup = jnp.asarray(
+        rng.choice([-1.0, 1.0], size=(n, nd)).astype(np.float32)
+    )
+    temps = jnp.asarray(
+        np.linspace(0.8, 1.6, a.shape[0]).astype(np.float32)
+    )
+    u = jnp.asarray(rng.random((a.shape[0], n, nd)).astype(np.float32))
+
+    def staged_one(av, bv, k, t, uu):
+        ts = jnp.stack([av, bv])
+        bonds, aux = ov.jorg_bonds(ts, k, coup, t, geom, u_bond=uu)
+        labels = cl.connected_components(bonds, geom)
+        return ov.jorg_finish(
+            ts, labels, bonds, aux, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+
+    staged = jax.vmap(staged_one)(a, b, tkeys, temps, u)
+    fused = _run_fused(
+        lat, a, b, tkeys, "jorg", wolff,
+        jt=_jt_for(lat, coup, temps),
+        u_slots=[u[..., d] for d in range(nd)],
+    )
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_cmr_fused_injected_bitwise(shape, wolff):
+    """Blue + red uniforms injected into both paths => bitwise equality
+    through both CC phases and the grey k-flips."""
+    lat, geom, a, b, tkeys = _task_batch(shape, 4, seed=20 + len(shape))
+    n, nd = lat.n_spins, lat.n_dims
+    rng = np.random.default_rng(6)
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(
+        np.linspace(0.8, 1.6, a.shape[0]).astype(np.float32)
+    )
+    u_blue = jnp.asarray(rng.random((a.shape[0], n, nd)).astype(np.float32))
+    u_red = jnp.asarray(rng.random((a.shape[0], n, nd)).astype(np.float32))
+
+    def staged_one(av, bv, k, t, ub, ur):
+        ts = jnp.stack([av, bv])
+        blue, aux = ov.cmr_blue_bonds(ts, k, coup, t, geom, u_blue=ub)
+        blue_labels = cl.connected_components(blue, geom)
+        ts, grey_bonds, carry = ov.cmr_mid(
+            ts, blue_labels, blue, aux, coup, geom, wolff=wolff,
+            update=True, with_winding=False, with_stats=False, u_red=ur,
+        )
+        grey_labels = cl.connected_components(grey_bonds, geom)
+        return ov.cmr_finish(
+            ts, grey_labels, grey_bonds, blue_labels, carry, geom,
+            wolff=wolff, update=True,
+        ).spins
+
+    staged = jax.vmap(staged_one)(a, b, tkeys, temps, u_blue, u_red)
+    fused = _run_fused(
+        lat, a, b, tkeys, "cmr", wolff,
+        jt=_jt_for(lat, coup, temps),
+        u_slots=[u_blue[..., d] for d in range(nd)]
+        + [u_red[..., d] for d in range(nd)],
+    )
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+
+def test_salted_uniform_i32_matches_cluster():
+    """The kernel's int32 re-expression of the label hash is bitwise the
+    uint32 original for every label/salt combination it will see."""
+    rng = np.random.default_rng(9)
+    labels = jnp.asarray(
+        np.concatenate([[-1], np.arange(512), rng.integers(0, 2**20, 64)])
+        .astype(np.int32)
+    )
+    for _ in range(4):
+        salt = jnp.asarray(rng.integers(-(2**31), 2**31, 2, dtype=np.int64)
+                           .astype(np.int32))
+        ref = cl.salted_uniform(labels, salt)
+        got = pe._salted_uniform_i32(labels, salt[0], salt[1])
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def _sim(shape, seed, n_disorder=2, n_replicas=4):
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    rng = np.random.default_rng(seed)
+    nd = len(shape)
+    coup = rng.choice(
+        np.float32([-1, 1]), size=(n_disorder,) + tuple(shape) + (nd,)
+    )
+    temps = np.geomspace(0.9, 2.0, 3).astype(np.float32)
+    return IsingSimulation(list(shape), coup, temps, n_replicas, None, seed,
+                           default_chunk=8, mesh=None)
+
+
+def test_engine_houdayer_event_bitwise(monkeypatch):
+    """Engine trajectories must be identical with the fused event kernel on
+    and off for Houdayer (deterministic bonds)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="houdayer", warmup_ratio=0)
+    a = _sim((8, 8, 8), 11)
+    ra = a.sample(9, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel
+
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    b = _sim((8, 8, 8), 11)
+    rb = b.sample(9, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).event_kernel
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]), np.asarray(b.state["system_ids"])
+    )
+    np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
+
+
+def test_engine_jorg_cmr_event_runs(monkeypatch):
+    """Joerg+CMR through the fused kernel: integrates, spins stay valid.
+    (Interpret-mode hardware PRNG is degenerate, so only mechanics here;
+    statistics are pinned by the injected tests + the on-TPU suite.)"""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="jorg+cmr", warmup_ratio=0)
+    s = _sim((8, 16), 13)
+    r = s.sample(9, "metropolis", **kw)
+    prog = next(iter(s._programs.values()))
+    assert prog.event_kernel
+    spins = np.asarray(s.state["spins"])
+    assert set(np.unique(spins)) <= {-1, 1}
+    assert np.isfinite(r["energies"]).all()
+
+
+def test_engine_event_kernel_disabled_when_collecting(monkeypatch):
+    """Collecting cluster stats must route around the fused kernel (it
+    returns no labels); trajectories still valid."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="houdayer",
+              collect_cluster_stats=True, warmup_ratio=0)
+    s = _sim((8, 16), 17)
+    r = s.sample(6, "metropolis", **kw)
+    prog = next(iter(s._programs.values()))
+    assert not prog.event_kernel
+    assert "overlap_csd" in r
