@@ -1632,11 +1632,11 @@ class LoopProgram:
 
         rt = self.rt
         cfg = self.cfg
-        # SMEM budget: the kernel's per-sweep outputs are whole-array SMEM
-        # operands (every grid instance maps the full [n_d, n_inner, ...]
-        # arrays), so n_inner is capped to stay within the ~1 MB SMEM.
+        # SMEM budget: the kernel's per-sweep outputs are SMEM operands
+        # blocked per grid instance (singleton-middle-axis blocks), so
+        # n_inner is capped against ONE realization's [n_inner, ...] slab.
         pad = lambda n: -(-max(n, 1) // 128) * 128  # SMEM trailing pad
-        per_inner = rt.n_disorder * (2 * pad(rt.n_systems) + 8) * 4
+        per_inner = (2 * pad(rt.n_systems) + 8) * 4
         n_inner = min(chunk_len, 256, max(1, 500_000 // per_inner))
         while chunk_len % n_inner:
             n_inner -= 1
@@ -1805,14 +1805,14 @@ class LoopProgram:
     def _mp_inner_cap(self) -> int:
         """Max inner sweeps per megapair kernel call within the SMEM budget.
 
-        Per-sweep outputs (e, m, qs, ql) and the seed/PT words are
-        whole-array SMEM operands — every grid instance maps the full
-        ``[n_d, n_inner, ...]`` arrays, so the budget scales with the
-        disorder count too.
+        Per-sweep outputs (e, m, qs, ql) and the seed/PT words are SMEM
+        operands blocked per grid instance (singleton-middle-axis blocks),
+        so the budget covers ONE realization's ``[n_inner, ...]`` slab —
+        the disorder count no longer throttles n_inner.
         """
         rt = self.rt
         pad = lambda n: -(-max(n, 1) // 128) * 128  # SMEM trailing-dim pad
-        per_inner = rt.n_disorder * 4 * (
+        per_inner = 4 * (
             2 * pad(rt.n_systems)
             + 2 * pad((rt.n_replicas // 2) * rt.n_temps)
             + 8

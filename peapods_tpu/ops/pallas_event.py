@@ -248,11 +248,17 @@ def _event_kernel(
             inc = inc | shift_mask(bwd[d], bonds[d])
         return inc
 
-    a = a_ref[0]
-    b = b_ref[0]
+    # Mosaic rejects comparisons on packed-i8 vectors on hardware ("Target
+    # does not support this comparison"), and widening alone does not help:
+    # the canonicalizer folds ``extsi(a) != extsi(b)`` straight back to the
+    # i8 compare.  Spins are +-1, so express inequality as a product sign
+    # test in i32 — ``muli`` cannot be narrowed to i8 (overflow semantics
+    # differ), so the compare stays 32-bit.
+    a = a_ref[0].astype(jnp.int32)
+    b = b_ref[0].astype(jnp.int32)
 
     if kind in ("houdayer", "jorg"):
-        active = a != b
+        active = (a * b) < 0
         if kind == "houdayer":
             bonds = [active & shift_mask(fwd[d], active) for d in range(n_dims)]
         else:
@@ -274,8 +280,8 @@ def _event_kernel(
             labels = cc(bonds, None)
             coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
             flip = coin & nonsingleton(bonds)
-        a_out[0] = jnp.where(flip, -a, a)
-        b_out[0] = jnp.where(flip, -b, b)
+        a_out[0] = jnp.where(flip, -a, a).astype(jnp.int8)
+        b_out[0] = jnp.where(flip, -b, b).astype(jnp.int8)
         return
 
     # ---- cmr: blue phase -> joint flip -> red extension -> grey flips

@@ -94,17 +94,20 @@ def _scalar_randint(w0, w1, salt, n):
 
 
 def _mega_kernel(
-    # scalar-prefetch style SMEM operands
-    seeds_ref,      # i32 [1, 2*n_inner]   sweep PRNG words (per inner sweep)
-    ptw_ref,        # i32 [1, 2*n_inner]   PT mixer words (per inner sweep)
-    temps_ref,      # f32 [1, n_temps]
-    meta_ref,       # i32 [1, 2]           (sweep_base, n_active)
-    sid_in_ref,     # i32 [1, n_slots]     system at each slot
-    ea_in_ref,      # i32 [1, n_edges_pad] PT edge attempts
-    ec_in_ref,      # i32 [1, n_edges_pad] PT edge acceptances
-    rt_in_ref,      # i32 [1, n_slots]     round trips (by system index)
-    ts_in_ref,      # i32 [1, n_slots]     trip state (by system index)
-    par_in_ref,     # i32 [1, 1]           full-ladder parity
+    # SMEM operands (per-disorder arrays ride a singleton middle axis so the
+    # grid can block them: block (1, 1, X) has last-two dims equal to the
+    # reshaped array's (1, X), which Mosaic accepts — whole-array SMEM would
+    # multiply every instance's footprint by n_d and throttle n_inner)
+    seeds_ref,      # i32 [1, 1, 2*n_inner]   sweep PRNG words (per sweep)
+    ptw_ref,        # i32 [1, 1, 2*n_inner]   PT mixer words (per sweep)
+    temps_ref,      # f32 [1, n_temps]        (shared, whole-array)
+    meta_ref,       # i32 [1, 2]              (sweep_base, n_active; shared)
+    sid_in_ref,     # i32 [1, 1, n_slots]     system at each slot
+    ea_in_ref,      # i32 [1, 1, n_edges_pad] PT edge attempts
+    ec_in_ref,      # i32 [1, 1, n_edges_pad] PT edge acceptances
+    rt_in_ref,      # i32 [1, 1, n_slots]     round trips (by system index)
+    ts_in_ref,      # i32 [1, 1, n_slots]     trip state (by system index)
+    par_in_ref,     # i32 [1, 1, 1]           full-ladder parity
     # VMEM operands
     spins_ref,      # i8 [1, n_slots, H, W]  (by slot)
     jgrids_ref,     # f32 [1, 4, H, W]
@@ -125,19 +128,14 @@ def _mega_kernel(
     def slot_temp(slot):
         return temps_ref[0, jax.lax.rem(slot, np.int32(n_temps))]
 
-    d = pl.program_id(0)
-
     def body(es_ref, tmp_ref):
         # State flows by explicit copy-in (inputs are NOT aliased to
         # the outputs: alias + lax.scan iteration deadlocks on hardware,
-        # see the pallas_call note below).  Per-disorder SMEM operands
-        # are whole arrays indexed by the grid's disorder index — Mosaic
-        # rejects grid-blocked SMEM whose row block is neither the full
-        # extent nor 8-divisible.
+        # see the pallas_call note below).
 
         def _copy_smem(dst, src, n):
             def cp(i, _):
-                dst[d, i] = src[d, i]
+                dst[0, 0, i] = src[0, 0, i]
                 return 0
 
             jax.lax.fori_loop(0, n, cp, 0)
@@ -148,26 +146,26 @@ def _mega_kernel(
         _copy_smem(ec_out_ref, ec_in_ref, max(n_edges, 1))
         _copy_smem(rt_out_ref, rt_in_ref, n_slots)
         _copy_smem(ts_out_ref, ts_in_ref, n_slots)
-        par_out_ref[d, 0] = par_in_ref[d, 0]
+        par_out_ref[0, 0, 0] = par_in_ref[0, 0, 0]
         sweep_base = meta_ref[0, 0]
         n_active = meta_ref[0, 1]
 
         def record_arrival_hot(slot_sys):
             # system arriving at the hot slot: 2 -> round trip++, state -> 1
-            prev = ts_out_ref[d, slot_sys]
+            prev = ts_out_ref[0, 0, slot_sys]
 
             @pl.when(prev == 2)
             def _():
-                rt_out_ref[d, slot_sys] = rt_out_ref[d, slot_sys] + 1
+                rt_out_ref[0, 0, slot_sys] = rt_out_ref[0, 0, slot_sys] + 1
 
-            ts_out_ref[d, slot_sys] = 1
+            ts_out_ref[0, 0, slot_sys] = 1
 
         def record_arrival_cold(slot_sys):
-            prev = ts_out_ref[d, slot_sys]
+            prev = ts_out_ref[0, 0, slot_sys]
 
             @pl.when(prev == 1)
             def _():
-                ts_out_ref[d, slot_sys] = 2
+                ts_out_ref[0, 0, slot_sys] = 2
 
         def try_edge(e, w0, w1, salt):
             """Metropolis swap attempt on ladder edge e (tempering.rs:73-102);
@@ -180,12 +178,12 @@ def _mega_kernel(
                 * (es_ref[0, e + 1] - es_ref[0, e])
                 * (1.0 / t1 - 1.0 / t2)
             )
-            ea_out_ref[d, e] = ea_out_ref[d, e] + 1
+            ea_out_ref[0, 0, e] = ea_out_ref[0, 0, e] + 1
             accept = delta >= jnp.log(u)
 
             @pl.when(accept)
             def _():
-                ec_out_ref[d, e] = ec_out_ref[d, e] + 1
+                ec_out_ref[0, 0, e] = ec_out_ref[0, 0, e] + 1
                 # swap spin tiles of the two slots via scratch
                 tmp_ref[...] = spins_out_ref[0, e]
                 spins_out_ref[0, e] = spins_out_ref[0, e + 1]
@@ -193,22 +191,22 @@ def _mega_kernel(
                 el = es_ref[0, e]
                 es_ref[0, e] = es_ref[0, e + 1]
                 es_ref[0, e + 1] = el
-                sl = sid_out_ref[d, e]
-                sid_out_ref[d, e] = sid_out_ref[d, e + 1]
-                sid_out_ref[d, e + 1] = sl
+                sl = sid_out_ref[0, 0, e]
+                sid_out_ref[0, 0, e] = sid_out_ref[0, 0, e + 1]
+                sid_out_ref[0, 0, e + 1] = sl
                 # arrivals (tempering.py _record_arrivals): only the hot and
                 # cold slots matter; a swap touches them iff e borders them
 
                 @pl.when((e == hot_slot) | (e + 1 == hot_slot))
                 def _():
-                    record_arrival_hot(sid_out_ref[d, hot_slot])
+                    record_arrival_hot(sid_out_ref[0, 0, hot_slot])
 
                 @pl.when((e == cold_slot) | (e + 1 == cold_slot))
                 def _():
-                    record_arrival_cold(sid_out_ref[d, cold_slot])
+                    record_arrival_cold(sid_out_ref[0, 0, cold_slot])
 
         def sweep_t(t, _):
-            pltpu.prng_seed(seeds_ref[d, 2 * t], seeds_ref[d, 2 * t + 1])
+            pltpu.prng_seed(seeds_ref[0, 0, 2 * t], seeds_ref[0, 0, 2 * t + 1])
 
             def one_slot(slot, _):
                 inv_half_t = 1.0 / (0.5 * slot_temp(slot))
@@ -235,20 +233,20 @@ def _mega_kernel(
                     spins_out_ref[0, slot] = s.astype(jnp.int8)
                     m_sum = s.sum()
                 es_ref[0, slot] = e_tot / np.float32(n_spins)
-                e_out_ref[d, t, slot] = e_tot / np.float32(n_spins)
-                m_out_ref[d, t, slot] = m_sum.astype(jnp.int32)
+                e_out_ref[0, t, slot] = e_tot / np.float32(n_spins)
+                m_out_ref[0, t, slot] = m_sum.astype(jnp.int32)
                 return 0
 
             jax.lax.fori_loop(0, n_slots, one_slot, 0)
 
             if pt_interval is not None:
-                w0 = ptw_ref[d, 2 * t]
-                w1 = ptw_ref[d, 2 * t + 1]
+                w0 = ptw_ref[0, 0, 2 * t]
+                w1 = ptw_ref[0, 0, 2 * t + 1]
 
                 @pl.when(jax.lax.rem(sweep_base + t, np.int32(pt_interval)) == 0)
                 def _():
                     if pt_full:
-                        parity = par_out_ref[d, 0]
+                        parity = par_out_ref[0, 0, 0]
 
                         def one_pass(i, _):
                             p = jax.lax.select(
@@ -266,7 +264,7 @@ def _mega_kernel(
                             return 0
 
                         jax.lax.fori_loop(0, 2, one_pass, 0)
-                        par_out_ref[d, 0] = 1 - parity
+                        par_out_ref[0, 0, 0] = 1 - parity
                     else:
                         e = _scalar_randint(w0, w1, 0, n_edges)
                         try_edge(e, w0, w1, 1)
@@ -278,8 +276,8 @@ def _mega_kernel(
         # zero the e/m rows of inactive (sentinel-padded) sweeps
         def zero_t(t, _):
             def zero_slot(slot, _):
-                e_out_ref[d, t, slot] = 0.0
-                m_out_ref[d, t, slot] = 0
+                e_out_ref[0, t, slot] = 0.0
+                m_out_ref[0, t, slot] = 0
                 return 0
 
             jax.lax.fori_loop(0, n_slots, zero_slot, 0)
@@ -361,7 +359,18 @@ def mega_chunk(
         )
         spins_out_shape = jax.ShapeDtypeStruct((n_d, n_slots, h, w), jnp.int8)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    grid_smem = lambda row: smem()
+    # Per-disorder SMEM arrays are blocked with a singleton middle axis —
+    # block (1, 1, X) has last-two dims equal to the reshaped array's
+    # (1, X), which Mosaic accepts — so each grid instance maps only its own
+    # row instead of the whole [n_d, ...] array (which would multiply the
+    # footprint by n_d and throttle n_inner).
+    grid_smem = lambda n: pl.BlockSpec(
+        (1, 1, n), lambda d: (d, 0, 0), memory_space=pltpu.SMEM
+    )
+    sweep_smem = lambda n: pl.BlockSpec(
+        (1, n_inner, n), lambda d: (d, 0, 0), memory_space=pltpu.SMEM
+    )
+    mid = lambda x: x.reshape(x.shape[0], 1, -1)
     # NOTE: no input_output_aliases — an aliased whole-array-SMEM
     # kernel deadlocks on hardware when iterated inside lax.scan
     # (in-place reuse across iterations wedges the DMA pipeline;
@@ -373,8 +382,8 @@ def mega_chunk(
         in_specs=[
             grid_smem(2 * n_inner),             # seeds
             grid_smem(2 * n_inner),             # pt words
-            smem(),                             # temps
-            smem(),                             # meta
+            smem(),                             # temps (shared)
+            smem(),                             # meta (shared)
             grid_smem(n_slots),                 # sid
             grid_smem(max(n_edges, 1)),         # ea
             grid_smem(max(n_edges, 1)),         # ec
@@ -386,8 +395,8 @@ def mega_chunk(
         ],
         out_specs=(
             spins_spec,
-            smem(),
-            smem(),
+            sweep_smem(n_slots),
+            sweep_smem(n_slots),
             grid_smem(n_slots),
             grid_smem(max(n_edges, 1)),
             grid_smem(max(n_edges, 1)),
@@ -399,18 +408,21 @@ def mega_chunk(
             spins_out_shape,
             jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.float32),
             jax.ShapeDtypeStruct((n_d, n_inner, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, 1), jnp.int32),
         ),
         interpret=_interp(interpret),
     )(
-        seeds, pt_words, temps, meta, sid, ea, ec, rtrips, tstate, parity,
+        mid(seeds), mid(pt_words), temps, meta, mid(sid), mid(ea), mid(ec),
+        mid(rtrips), mid(tstate), mid(parity),
         spins_dev, jgrids_dev,
     )
     if two_sub:
         out = (unpack_two_sub(out[0]),) + out[1:]
-    return out
+    # squeeze the singleton middle axis back out of the grid-state outputs
+    sq = lambda x: x.reshape(x.shape[0], x.shape[2])
+    return out[:3] + tuple(sq(x) for x in out[3:])

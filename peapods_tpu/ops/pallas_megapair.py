@@ -274,20 +274,50 @@ def _region_index(row, col, l0, block, kp):
     return (row // l0) * kp + col // block
 
 
+def _region_sums(x, row, col, l0, block, kp, rp, want=None):
+    """Per-replica-region sums of a packed ``[rows, lanes]`` tile.
+
+    One masked lane reduction per needed lane group (to ``[rows, 1]``), then
+    cheap row-block masked sums of the partials — instead of ``kp*rp`` full-
+    tile masked reductions (the profiled per-temp measurement cost when
+    ``rp > 1``).  ``want`` restricts to a subset of replica indices (pair
+    sums only need even replicas).  Returns ``{r: scalar}``.
+    """
+    if want is None:
+        want = range(kp * rp)
+    want = list(want)
+    row1 = row[:, :1]
+    out = {}
+    for c in {r % kp for r in want}:
+        part = x if kp == 1 else jnp.where(col // block == c, x, 0.0)
+        part = part.sum(axis=1, keepdims=True)  # [rows, 1]
+        for r in want:
+            if r % kp != c:
+                continue
+            if rp == 1:
+                out[r] = part.sum()
+            else:
+                out[r] = jnp.where(row1 // l0 == (r // kp), part, 0.0).sum()
+    return out
+
+
 # ------------------------------------------------------------------ kernel
 
 def _mp_kernel(
-    # SMEM operands
-    seeds_ref,      # i32 [1, 2*n_inner]   sweep PRNG words
-    ptw_ref,        # i32 [1, 2*n_inner]   PT mixer words
-    temps_ref,      # f32 [1, n_temps]
-    meta_ref,       # i32 [1, 2]           (sweep_base, n_active)
-    sid_in_ref,     # i32 [1, n_slots]     system at slot r*n_temps + t
-    ea_in_ref,      # i32 [1, n_edges_pad]
-    ec_in_ref,      # i32 [1, n_edges_pad]
-    rt_in_ref,      # i32 [1, n_systems]   round trips (by system)
-    ts_in_ref,      # i32 [1, n_systems]   trip state (by system)
-    par_in_ref,     # i32 [1, 1]
+    # SMEM operands (per-disorder arrays ride a singleton middle axis so the
+    # grid can block them: block (1, 1, X) has last-two dims equal to the
+    # array's (1, X), which Mosaic accepts — whole-array SMEM would multiply
+    # every instance's SMEM footprint by n_d and throttle n_inner)
+    seeds_ref,      # i32 [1, 1, 2*n_inner]   sweep PRNG words
+    ptw_ref,        # i32 [1, 1, 2*n_inner]   PT mixer words
+    temps_ref,      # f32 [1, n_temps]        (shared, whole-array)
+    meta_ref,       # i32 [1, 1, 2]           (sweep_base, n_active)
+    sid_in_ref,     # i32 [1, 1, n_slots]     system at slot r*n_temps + t
+    ea_in_ref,      # i32 [1, 1, n_edges_pad]
+    ec_in_ref,      # i32 [1, 1, n_edges_pad]
+    rt_in_ref,      # i32 [1, 1, n_systems]   round trips (by system)
+    ts_in_ref,      # i32 [1, 1, n_systems]   trip state (by system)
+    par_in_ref,     # i32 [1, 1, 1]
     # VMEM
     spins_ref,      # i8 [1, n_temps, rows, lanes]
     jg_ref,         # f32 [1, n_grids, rows, lanes]
@@ -308,19 +338,15 @@ def _mp_kernel(
     n_spins = l0 * block
     two_dim = l2 == 1
 
-    d = pl.program_id(0)
-
     def body(es_ref):
         # State flows by explicit copy-in (inputs are NOT aliased to the
         # outputs: alias + lax.scan iteration deadlocks on hardware, see the
-        # pallas_call note below).  SMEM operands are whole arrays indexed
-        # by the grid's disorder index (Mosaic rejects grid-blocked SMEM
-        # whose row block is neither the full extent nor 8-divisible).
+        # pallas_call note below).
         spins_out_ref[...] = spins_ref[...]
 
         def _copy_smem(dst, src, n):
             def cp(i, _):
-                dst[d, i] = src[d, i]
+                dst[0, 0, i] = src[0, 0, i]
                 return 0
 
             jax.lax.fori_loop(0, n, cp, 0)
@@ -330,33 +356,34 @@ def _mp_kernel(
         _copy_smem(ec_out_ref, ec_in_ref, max(n_edges, 1))
         _copy_smem(rt_out_ref, rt_in_ref, n_systems)
         _copy_smem(ts_out_ref, ts_in_ref, n_systems)
-        par_out_ref[d, 0] = par_in_ref[d, 0]
-        sweep_base = meta_ref[d, 0]
-        n_active = meta_ref[d, 1]
+        par_out_ref[0, 0, 0] = par_in_ref[0, 0, 0]
+        sweep_base = meta_ref[0, 0, 0]
+        n_active = meta_ref[0, 0, 1]
 
         shifts, parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
         sub = _region_index(row, col, l0, block, kp)
         region_masks = [sub == r for r in range(n_replicas)]
 
         def record_arrival_hot(sys):
-            prev = ts_out_ref[d, sys]
+            prev = ts_out_ref[0, 0, sys]
 
             @pl.when(prev == 2)
             def _():
-                rt_out_ref[d, sys] = rt_out_ref[d, sys] + 1
+                rt_out_ref[0, 0, sys] = rt_out_ref[0, 0, sys] + 1
 
-            ts_out_ref[d, sys] = 1
+            ts_out_ref[0, 0, sys] = 1
 
         def record_arrival_cold(sys):
-            prev = ts_out_ref[d, sys]
+            prev = ts_out_ref[0, 0, sys]
 
             @pl.when(prev == 1)
             def _():
-                ts_out_ref[d, sys] = 2
+                ts_out_ref[0, 0, sys] = 2
 
-        def try_edge(r, e, w0, w1, salt):
-            """PT Metropolis attempt on replica r's ladder edge e
-            (tempering.rs:73-102): swap region r of tiles e and e+1."""
+        def _edge_scalars(r, e, w0, w1, salt):
+            """Scalar half of a PT attempt on replica r's ladder edge e
+            (tempering.rs:73-102): counters, es/sid swaps, arrivals.
+            Returns the accept scalar; the caller swaps spin regions."""
             u = _scalar_uniform(w0, w1, salt)
             t1 = temps_ref[0, e]
             t2 = temps_ref[0, e + 1]
@@ -366,36 +393,72 @@ def _mp_kernel(
                 * (es_ref[0, sl + 1] - es_ref[0, sl])
                 * (1.0 / t1 - 1.0 / t2)
             )
-            ea_out_ref[d, e] = ea_out_ref[d, e] + 1
+            ea_out_ref[0, 0, e] = ea_out_ref[0, 0, e] + 1
             accept = delta >= jnp.log(u)
 
             @pl.when(accept)
             def _():
-                ec_out_ref[d, e] = ec_out_ref[d, e] + 1
+                ec_out_ref[0, 0, e] = ec_out_ref[0, 0, e] + 1
+                el = es_ref[0, sl]
+                es_ref[0, sl] = es_ref[0, sl + 1]
+                es_ref[0, sl + 1] = el
+                sv = sid_out_ref[0, 0, sl]
+                sid_out_ref[0, 0, sl] = sid_out_ref[0, 0, sl + 1]
+                sid_out_ref[0, 0, sl + 1] = sv
+
+                @pl.when((e == hot_slot) | (e + 1 == hot_slot))
+                def _():
+                    record_arrival_hot(
+                        sid_out_ref[0, 0, r * n_temps + hot_slot]
+                    )
+
+                @pl.when((e == cold_slot) | (e + 1 == cold_slot))
+                def _():
+                    record_arrival_cold(
+                        sid_out_ref[0, 0, r * n_temps + cold_slot]
+                    )
+
+            return accept
+
+        def try_edge_all_r(e, w0, w1, salt_of_r):
+            """All replicas' PT attempts on edge e, then ONE masked region
+            exchange of tiles e / e+1 (regions are disjoint, so deferring
+            the spin swap past the scalar loop is exact) — R tile-pair
+            writes per accepted edge become one."""
+            # accumulate in i32 — Mosaic has no select on i1 vectors
+            mask = jnp.zeros((rows, lanes), jnp.int32)
+            any_acc = jnp.bool_(False)
+            for r in range(n_replicas):
+                accept = _edge_scalars(r, e, w0, w1, salt_of_r(r))
+                mask = mask | (
+                    region_masks[r].astype(jnp.int32) * accept.astype(jnp.int32)
+                )
+                any_acc = any_acc | accept
+
+            @pl.when(any_acc)
+            def _():
+                swap = mask != 0
+                tl = spins_out_ref[0, e]
+                tr = spins_out_ref[0, e + 1]
+                spins_out_ref[0, e] = jnp.where(swap, tr, tl)
+                spins_out_ref[0, e + 1] = jnp.where(swap, tl, tr)
+
+        def try_edge(r, e, w0, w1, salt):
+            """Single replica PT attempt + its own region swap (the
+            random-edge schedule: replicas may draw the SAME edge, so the
+            swap cannot be deferred across replicas)."""
+            accept = _edge_scalars(r, e, w0, w1, salt)
+
+            @pl.when(accept)
+            def _():
                 mask = region_masks[r]
                 tl = spins_out_ref[0, e]
                 tr = spins_out_ref[0, e + 1]
                 spins_out_ref[0, e] = jnp.where(mask, tr, tl)
                 spins_out_ref[0, e + 1] = jnp.where(mask, tl, tr)
-                el = es_ref[0, sl]
-                es_ref[0, sl] = es_ref[0, sl + 1]
-                es_ref[0, sl + 1] = el
-                sv = sid_out_ref[d, sl]
-                sid_out_ref[d, sl] = sid_out_ref[d, sl + 1]
-                sid_out_ref[d, sl + 1] = sv
-
-                @pl.when((e == hot_slot) | (e + 1 == hot_slot))
-                def _():
-                    record_arrival_hot(sid_out_ref[d, r * n_temps + hot_slot])
-
-                @pl.when((e == cold_slot) | (e + 1 == cold_slot))
-                def _():
-                    record_arrival_cold(
-                        sid_out_ref[d, r * n_temps + cold_slot]
-                    )
 
         def sweep_t(t, _):
-            pltpu.prng_seed(seeds_ref[d, 2 * t], seeds_ref[d, 2 * t + 1])
+            pltpu.prng_seed(seeds_ref[0, 0, 2 * t], seeds_ref[0, 0, 2 * t + 1])
 
             def one_temp(ti, _):
                 inv_half_t = 1.0 / (0.5 * temps_ref[0, ti])
@@ -407,14 +470,16 @@ def _mp_kernel(
                     with_energy=True,
                 )
                 spins_out_ref[0, ti] = s.astype(jnp.int8)
+                rsum = lambda x, want=None: _region_sums(
+                    x, row, col, l0, block, kp, rp, want
+                )
+                e_sums = rsum(e_site)
+                m_sums = rsum(s)
                 for r in range(n_replicas):
-                    mask = region_masks[r]
-                    e_r = jnp.where(mask, e_site, 0.0).sum()
-                    m_r = jnp.where(mask, s, 0.0).sum()
                     slot = r * n_temps + ti
-                    es_ref[0, slot] = e_r / np.float32(n_spins)
-                    e_out_ref[d, t, slot] = e_r / np.float32(n_spins)
-                    m_out_ref[d, t, slot] = m_r.astype(jnp.int32)
+                    es_ref[0, slot] = e_sums[r] / np.float32(n_spins)
+                    e_out_ref[0, t, slot] = e_sums[r] / np.float32(n_spins)
+                    m_out_ref[0, t, slot] = m_sums[r].astype(jnp.int32)
 
                 # pair measurement (overlap.rs:251-333): q and q_l between
                 # resident partner regions; q_site is symmetric within a
@@ -427,26 +492,30 @@ def _mp_kernel(
                 if not two_dim:
                     nbr_q = nbr_q + kp_(q_site)
                 l_site = q_site * nbr_q
+                evens = [2 * p for p in range(n_pairs)]
+                q_sums = rsum(q_site, evens)
+                l_sums = rsum(l_site, evens)
                 for p in range(n_pairs):
-                    mask = region_masks[2 * p]
-                    qs = jnp.where(mask, q_site, 0.0).sum()
-                    ql = jnp.where(mask, l_site, 0.0).sum()
-                    qs_out_ref[d, t, p * n_temps + ti] = qs.astype(jnp.int32)
-                    ql_out_ref[d, t, p * n_temps + ti] = ql.astype(jnp.int32)
+                    qs_out_ref[0, t, p * n_temps + ti] = q_sums[
+                        2 * p
+                    ].astype(jnp.int32)
+                    ql_out_ref[0, t, p * n_temps + ti] = l_sums[
+                        2 * p
+                    ].astype(jnp.int32)
                 return 0
 
             jax.lax.fori_loop(0, n_temps, one_temp, 0)
 
             if pt_interval is not None:
-                w0 = ptw_ref[d, 2 * t]
-                w1 = ptw_ref[d, 2 * t + 1]
+                w0 = ptw_ref[0, 0, 2 * t]
+                w1 = ptw_ref[0, 0, 2 * t + 1]
 
                 @pl.when(
                     jax.lax.rem(sweep_base + t, np.int32(pt_interval)) == 0
                 )
                 def _():
                     if pt_full:
-                        parity_pt = par_out_ref[d, 0]
+                        parity_pt = par_out_ref[0, 0, 0]
 
                         def one_pass(i, _):
                             p = jax.lax.select(i == 0, parity_pt,
@@ -455,12 +524,12 @@ def _mp_kernel(
                             def one_edge(e, _):
                                 @pl.when(jax.lax.rem(e, 2) == p)
                                 def _():
-                                    for r in range(n_replicas):
-                                        try_edge(
-                                            r, e, w0, w1,
-                                            (i * n_edges + e) * n_replicas
-                                            + r,
-                                        )
+                                    try_edge_all_r(
+                                        e, w0, w1,
+                                        lambda r: (
+                                            i * n_edges + e
+                                        ) * n_replicas + r,
+                                    )
 
                                 return 0
 
@@ -468,7 +537,7 @@ def _mp_kernel(
                             return 0
 
                         jax.lax.fori_loop(0, 2, one_pass, 0)
-                        par_out_ref[d, 0] = 1 - parity_pt
+                        par_out_ref[0, 0, 0] = 1 - parity_pt
                     else:
                         for r in range(n_replicas):
                             e = _scalar_randint(w0, w1, r, n_edges)
@@ -481,13 +550,13 @@ def _mp_kernel(
         # zero the output rows of inactive (sentinel-padded) sweeps
         def zero_t(t, _):
             def zero_slot(i, _):
-                e_out_ref[d, t, i] = 0.0
-                m_out_ref[d, t, i] = 0
+                e_out_ref[0, t, i] = 0.0
+                m_out_ref[0, t, i] = 0
                 return 0
 
             def zero_pair(i, _):
-                qs_out_ref[d, t, i] = 0
-                ql_out_ref[d, t, i] = 0
+                qs_out_ref[0, t, i] = 0
+                ql_out_ref[0, t, i] = 0
                 return 0
 
             jax.lax.fori_loop(0, n_slots, zero_slot, 0)
@@ -559,8 +628,18 @@ def megapair_chunk(
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    grid_smem = lambda n: smem()
-    sweep_smem = lambda n: smem()
+    # Per-disorder SMEM arrays are blocked with a singleton middle axis —
+    # block (1, 1, X) has last-two dims equal to the reshaped array's
+    # (1, X), which Mosaic accepts — so each grid instance maps only its own
+    # row.  Whole-array SMEM operands would be mapped per instance,
+    # multiplying the footprint by n_d (the old _mp_inner_cap throttle).
+    grid_smem = lambda n: pl.BlockSpec(
+        (1, 1, n), lambda d: (d, 0, 0), memory_space=pltpu.SMEM
+    )
+    sweep_smem = lambda n: pl.BlockSpec(
+        (1, n_inner, n), lambda d: (d, 0, 0), memory_space=pltpu.SMEM
+    )
+    mid = lambda x: x.reshape(x.shape[0], 1, -1)
     # NOTE: no input_output_aliases — an aliased whole-array-SMEM
     # kernel deadlocks on hardware when iterated inside lax.scan
     # (in-place reuse across iterations wedges the DMA pipeline;
@@ -569,7 +648,20 @@ def megapair_chunk(
     out = pl.pallas_call(
         kernel,
         grid=(n_d,),
-        in_specs=[smem()] * 10 + [spins_spec, jg_spec],
+        in_specs=[
+            grid_smem(2 * n_inner),             # seeds
+            grid_smem(2 * n_inner),             # pt words
+            smem(),                             # temps (shared)
+            grid_smem(2),                       # meta
+            grid_smem(n_slots),                 # sid
+            grid_smem(max(n_edges, 1)),         # ea
+            grid_smem(max(n_edges, 1)),         # ec
+            grid_smem(n_slots),                 # rtrips
+            grid_smem(n_slots),                 # tstate
+            grid_smem(1),                       # parity
+            spins_spec,
+            jg_spec,
+        ],
         out_specs=(
             spins_spec,
             sweep_smem(n_slots),
@@ -593,19 +685,22 @@ def megapair_chunk(
             jax.ShapeDtypeStruct(
                 (n_d, n_inner, max(n_pairs, 1) * n_temps), jnp.int32
             ),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, max(n_edges, 1)), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, n_slots), jnp.int32),
-            jax.ShapeDtypeStruct((n_d, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, max(n_edges, 1)), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, n_slots), jnp.int32),
+            jax.ShapeDtypeStruct((n_d, 1, 1), jnp.int32),
         ),
         interpret=_interp(interpret),
     )(
-        seeds, pt_words, temps, meta, sid, ea, ec, rtrips, tstate, parity,
+        mid(seeds), mid(pt_words), temps, mid(meta), mid(sid), mid(ea),
+        mid(ec), mid(rtrips), mid(tstate), mid(parity),
         spins_tiles, jgrids,
     )
-    return out
+    # squeeze the singleton middle axis back out of the grid-state outputs
+    sq = lambda x: x.reshape(x.shape[0], x.shape[2])
+    return out[:5] + tuple(sq(x) for x in out[5:])
 
 
 # -------------------------------------------------------------- jnp mirror
