@@ -475,17 +475,23 @@ class LoopProgram:
         # packed per VMEM tile with per-tile convergence exit — the TPU
         # answer to the reference's per-graph union-find over rayon
         # (clusters/fk.rs:28-171).  Covers the many-graph regime the
-        # single-graph kernel (cc_pallas) is gated away from.
-        # Single-device only: the cluster phases run under lax.cond event
-        # gates, and a shard_map-wrapped pallas_call inside a cond deadlocks
-        # the interpret-mode mesh (and is untestable on this one-chip host);
-        # multi-device meshes keep the XLA-partitioned jnp CC.
+        # single-graph kernel (cc_pallas) is gated away from.  Under a
+        # disorder-sharded mesh the call shard_maps over the (disorder-
+        # major) flat graph batch — scaling out must not cost per-unit
+        # throughput (simulation/mod.rs:887-903); meshes that shard
+        # systems/space would split graphs across devices and keep the
+        # XLA-partitioned jnp CC.
+        mesh_ok = (
+            rt.mesh is None
+            or rt.mesh.devices.size == 1
+            or tuple(rt.mesh.axis_names) == ("disorder",)
+        )
         self.cc_batch = (
             rt.pallas_ok
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and not self.cc_pallas
             and _os.environ.get("PEAPODS_DISABLE_CCBATCH") != "1"
-            and (rt.mesh is None or rt.mesh.devices.size == 1)
+            and mesh_ok
         )
         if (
             rt.pallas_ok
@@ -497,12 +503,14 @@ class LoopProgram:
             from ..utils.log import log_once as _log_once
 
             _log_once(
-                "multi-device mesh: cluster labeling uses the jnp CC path "
-                "(batched CC kernel is single-device)"
+                "systems/space-sharded mesh: cluster labeling uses the jnp "
+                "CC path (the batched CC kernel shards over disorder only)"
             )
+        n_mesh = 1 if rt.mesh is None else rt.mesh.devices.size
         self._ccb = (
             pallas_cc_batch.cc_batch_factors(
-                rt.lattice, rt.n_disorder * rt.n_systems
+                # per-shard graph count: each device packs its own shard
+                rt.lattice, max(1, rt.n_disorder // n_mesh) * rt.n_systems
             )
             if self.cc_batch
             else None
@@ -512,8 +520,7 @@ class LoopProgram:
         # event, for pair tasks when nothing collects labels/stats (the
         # perf-config case).  Per-graph scalar draws are bitwise the staged
         # path's; houdayer (deterministic bonds) is bitwise identical
-        # end-to-end.  Single-device for the same lax.cond/shard_map reason
-        # as cc_batch above.
+        # end-to-end.  Shard_maps over disorder-only meshes like cc_batch.
         self.event_kernel = (
             rt.pallas_ok
             and h is not None
@@ -522,29 +529,42 @@ class LoopProgram:
             and pallas_event.supports_event(rt.lattice, 2)
             and any(m.group_size == 2 for m in h.modes)
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
-            and (rt.mesh is None or rt.mesh.devices.size == 1)
+            and mesh_ok
         )
         self._evb = (
             pallas_cc_batch.cc_batch_factors(
-                rt.lattice, rt.n_disorder * rt.n_temps * (rt.n_replicas // 2)
+                rt.lattice,
+                max(1, rt.n_disorder // n_mesh)
+                * rt.n_temps
+                * (rt.n_replicas // 2),
             )
             if self.event_kernel
             else None
         )
         # Packed per-task J/T grids (mode-shared: jorg and cmr both consume
         # J/T).  Built EAGERLY — _event_fused runs inside a jit trace, where
-        # building would leak a tracer into the cache.
-        self._event_jt = (
-            pallas_event.pack_event_jt(
-                rt.couplings, rt.temps, rt.n_replicas // 2,
+        # building would leak a tracer into the cache.  Under a sharded mesh
+        # the tile packing (and its padding) is per disorder shard, matching
+        # the shard_map in _event_fused, so each shard's tile count is equal
+        # and the concatenated array shards evenly along axis 0.
+        if self.event_kernel and any(m.kind != "houdayer" for m in h.modes):
+            pack = lambda c: pallas_event.pack_event_jt(
+                c, rt.temps, rt.n_replicas // 2,
                 tuple(rt.lattice.shape), *self._evb,
             )
-            if (
-                self.event_kernel
-                and any(m.kind != "houdayer" for m in h.modes)
-            )
-            else None
-        )
+            if n_mesh > 1:
+                dl = rt.n_disorder // n_mesh
+                self._event_jt = jnp.concatenate(
+                    [
+                        pack(rt.couplings[i * dl:(i + 1) * dl])
+                        for i in range(n_mesh)
+                    ],
+                    axis=0,
+                )
+            else:
+                self._event_jt = pack(rt.couplings)
+        else:
+            self._event_jt = None
         self._chunk_cache = {}
         self._snap_fn = None
         from ..utils.log import log_once
@@ -903,6 +923,18 @@ class LoopProgram:
                 )
                 return lab[:nloc]
 
+            mesh = rt.mesh
+            if mesh is not None and mesh.devices.size > 1:
+                from jax.sharding import PartitionSpec as P
+
+                # Graph batches are disorder-major (every caller flattens
+                # [d, k, ...] -> [d*k, ...]) and labels are graph-local, so
+                # each device labels its own disorder shard at full kernel
+                # speed; tile padding happens per shard inside the map.
+                call = jax.shard_map(
+                    call, mesh=mesh, in_specs=P("disorder"),
+                    out_specs=P("disorder"), check_vma=False,
+                )
             return call(active_flat)
         return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(
             active_flat
@@ -1180,27 +1212,53 @@ class LoopProgram:
         words = jax.lax.bitcast_convert_type(
             key_words.astype(jnp.uint32), jnp.int32
         )  # [b0, 2]
-        pad = (-b0) % tile
-        if pad:
-            zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
-            a = jnp.concatenate([a, zrow(a)], 0)
-            b = jnp.concatenate([b, zrow(b)], 0)
-            pad_scal = jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)
-            gscal = jnp.concatenate([gscal, pad_scal], 0)
-            words = jnp.concatenate([words, zrow(words)], 0)
-        g_tiles = (b0 + pad) // tile
-        a_p = pallas_cc_batch._pack(a, l0, block, kp, ks)
-        b_p = pallas_cc_batch._pack(b, l0, block, kp, ks)
-        gscal_t = gscal.reshape(g_tiles, tile, 6)
-        words_t = words.reshape(g_tiles, tile, 2)[:, :1, :]
         jt = self._event_jt if mode.kind != "houdayer" else None
-        a2, b2 = pallas_event.overlap_event_batch(
-            a_p, b_p, gscal_t, words_t, jt,
-            kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
-            interpret=interp,
+
+        def run_local(a, b, gscal, words, *jt_arg):
+            """Pad/pack/kernel/unpack over one (possibly shard-local)
+            disorder-major task batch."""
+            nloc = a.shape[0]
+            pad = (-nloc) % tile
+            if pad:
+                zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+                a = jnp.concatenate([a, zrow(a)], 0)
+                b = jnp.concatenate([b, zrow(b)], 0)
+                pad_scal = jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)
+                gscal = jnp.concatenate([gscal, pad_scal], 0)
+                words = jnp.concatenate([words, zrow(words)], 0)
+            g_tiles = (nloc + pad) // tile
+            a_p = pallas_cc_batch._pack(a, l0, block, kp, ks)
+            b_p = pallas_cc_batch._pack(b, l0, block, kp, ks)
+            gscal_t = gscal.reshape(g_tiles, tile, 6)
+            words_t = words.reshape(g_tiles, tile, 2)[:, :1, :]
+            a2, b2 = pallas_event.overlap_event_batch(
+                a_p, b_p, gscal_t, words_t,
+                jt_arg[0] if jt_arg else None,
+                kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
+                interpret=interp,
+            )
+            a2 = pallas_cc_batch._unpack(a2, l0, block, kp, ks)[:nloc]
+            b2 = pallas_cc_batch._unpack(b2, l0, block, kp, ks)[:nloc]
+            return a2, b2
+
+        mesh = rt.mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            # Task batches are disorder-major; each device runs the fused
+            # event on its own shard (jt was packed per shard to match).
+            nj = 1 if jt is None else 0
+            run_local = jax.shard_map(
+                run_local, mesh=mesh,
+                in_specs=(P("disorder"),) * (5 - nj),
+                out_specs=(P("disorder"), P("disorder")),
+                check_vma=False,
+            )
+        a2, b2 = (
+            run_local(a, b, gscal, words)
+            if jt is None
+            else run_local(a, b, gscal, words, jt)
         )
-        a2 = pallas_cc_batch._unpack(a2, l0, block, kp, ks)[:b0]
-        b2 = pallas_cc_batch._unpack(b2, l0, block, kp, ks)[:b0]
         return jnp.stack([a2, b2], axis=1).reshape(d, n_tasks, 2, n)
 
     def _task_stats(self, out, n_groups):

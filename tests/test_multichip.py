@@ -206,3 +206,73 @@ def test_multidevice_binder_physics_oracle():
                  warmup_ratio=0.25)
     binder = float(model.binder_cumulant[0])
     assert abs(binder - 0.6107) < 0.06, binder
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cc_batch_kernel_under_disorder_mesh(monkeypatch):
+    """The batched CC kernel shard_maps over a disorder-only mesh (each
+    device labels its own shard's FK graphs); trajectory and cluster-size
+    statistics must stay bitwise identical to the unsharded kernel run."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.0, 2.6], dtype=np.float32)
+    rng = np.random.default_rng(9)
+    coup = (2 * rng.integers(0, 2, size=(8, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(cluster_update_interval=2, cluster_mode="sw",
+                  collect_cluster_stats=True, warmup_ratio=0)
+
+    sharded = IsingSimulation([8, 8], coup, temps, 1, None, 13,
+                              mesh=make_mesh(8))
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.cc_batch, prog.describe_plan()
+    plain = IsingSimulation([8, 8], coup, temps, 1, None, 13, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+    assert next(iter(plain._programs.values())).cc_batch
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_sh["fk_csd"]), np.asarray(r_pl["fk_csd"])
+    )
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("build_mode", ["houdayer", "jorg"])
+def test_event_kernel_under_disorder_mesh(monkeypatch, build_mode):
+    """The fused overlap-event kernel shard_maps over a disorder-only mesh
+    (per-shard tile packing, incl. the packed J/T grids); houdayer draws are
+    threefry (bitwise on any backend) and the interpreter's per-bond
+    uniforms are zeros in both arms, so sharded == unsharded bitwise."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([1.0, 1.8], dtype=np.float32)
+    rng = np.random.default_rng(11)
+    coup = (2 * rng.integers(0, 2, size=(8, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(
+        pt_interval=2,
+        overlap_cluster_update_interval=2,
+        overlap_cluster_build_mode=build_mode,
+        overlap_cluster_mode="sw",
+        warmup_ratio=0,
+    )
+
+    sharded = IsingSimulation([8, 8], coup, temps, 2, None, 17,
+                              mesh=make_mesh(8))
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.event_kernel, prog.describe_plan()
+    plain = IsingSimulation([8, 8], coup, temps, 2, None, 17, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+    assert next(iter(plain._programs.values())).event_kernel
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["overlap2"], r_pl["overlap2"])
