@@ -21,11 +21,43 @@ alongside every per-rep number.
 
 import hashlib
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FLIPS_PER_SEC = 1.0e10
+
+
+def wait_for_backend(max_tries=5, probe_timeout_s=600, delay_s=120):
+    """Block until the TPU backend answers (the tunneled chip goes through
+    'Unavailable' phases, and a failed in-process init is sticky in JAX) —
+    each probe is a fresh subprocess with a hang bound, so the main process
+    only ever initializes a backend that is known to be up."""
+    probe = "import jax; jax.devices()"
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = f"probe hung > {probe_timeout_s}s"
+        if i == max_tries - 1:
+            print(f"# TPU backend unavailable: {err}", file=sys.stderr)
+            return  # let the real run surface the error
+        print(
+            f"# TPU backend not ready ({err}); retry {i + 2}/{max_tries} "
+            f"in {delay_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(delay_s)
 
 
 def state_checksum(sim, result):
@@ -40,6 +72,7 @@ def state_checksum(sim, result):
 
 
 def main():
+    wait_for_backend()
     from peapods_tpu.engine.simulation import IsingSimulation
 
     L = 256
