@@ -110,7 +110,8 @@ def supports_megapair(lattice, n_replicas, n_temps):
     if rows % 8:
         return None
     n_grids = 2 * (2 if l2 == 1 else 3)
-    vmem = n_temps * rows * lanes * 2 + n_grids * rows * lanes * 4
+    tg = _temp_group(n_temps, rows)
+    vmem = n_temps * rows * lanes * 2 + n_grids * tg * rows * lanes * 4
     if vmem > _VMEM_BUDGET:
         return None
     return kp, rp
@@ -254,51 +255,26 @@ def _mp_body(s, jg, inv_half_t, uniform_for_color, shifts, parity, *,
     return s
 
 
-def _pair_partner(s, l0, block, kp, rows, lanes, row, col):
-    """Tile holding each site's pair-partner value: replica ``2p`` reads
-    ``2p+1`` and vice versa.  kp >= 2: partners are adjacent lane groups;
-    kp == 1: adjacent row blocks."""
-    if kp >= 2:
-        c_even = ((col // block) & 1) == 0
-        fwd = pltpu.roll(s, lanes - block, 1)  # group c reads c+1
-        bwd = pltpu.roll(s, block, 1)          # group c reads c-1
-        return jnp.where(c_even, fwd, bwd)
-    b_even = ((row // l0) & 1) == 0
-    fwd = pltpu.roll(s, rows - l0, 0)
-    bwd = pltpu.roll(s, l0, 0)
-    return jnp.where(b_even, fwd, bwd)
-
-
 def _region_index(row, col, l0, block, kp):
     """Replica index ``b*kp + c`` per site of a packed tile."""
     return (row // l0) * kp + col // block
 
 
-def _region_sums(x, row, col, l0, block, kp, rp, want=None):
-    """Per-replica-region sums of a packed ``[rows, lanes]`` tile.
+def _temp_group(n_temps, rows):
+    """Static count of temperature slabs flattened into one sweep tile.
 
-    One masked lane reduction per needed lane group (to ``[rows, 1]``), then
-    cheap row-block masked sums of the partials — instead of ``kp*rp`` full-
-    tile masked reductions (the profiled per-temp measurement cost when
-    ``rp > 1``).  ``want`` restricts to a subset of replica indices (pair
-    sums only need even replicas).  Returns ``{r: scalar}``.
+    Per-temperature [rows, lanes] tiles are tiny for small lattices (8^3:
+    4 vregs) and their serial roll->mul->add chains leave the VPU latency-
+    bound — measured 0.67 ms/sweep at 8^3 vs 0.73 at 16^3 despite 8x fewer
+    sites.  Flattening ``tg`` slabs into one [tg*rows, lanes] tile amortizes
+    the chain latency; the cap bounds live f32 temporaries (and the tiled
+    coupling grids) to a few MB of VMEM.
     """
-    if want is None:
-        want = range(kp * rp)
-    want = list(want)
-    row1 = row[:, :1]
-    out = {}
-    for c in {r % kp for r in want}:
-        part = x if kp == 1 else jnp.where(col // block == c, x, 0.0)
-        part = part.sum(axis=1, keepdims=True)  # [rows, 1]
-        for r in want:
-            if r % kp != c:
-                continue
-            if rp == 1:
-                out[r] = part.sum()
-            else:
-                out[r] = jnp.where(row1 // l0 == (r // kp), part, 0.0).sum()
-    return out
+    tg = 1
+    for cand in range(1, n_temps + 1):
+        if n_temps % cand == 0 and cand * rows <= 512:
+            tg = cand
+    return tg
 
 
 # ------------------------------------------------------------------ kernel
@@ -330,7 +306,7 @@ def _mp_kernel(
     sid_out_ref, ea_out_ref, ec_out_ref, rt_out_ref, ts_out_ref, par_out_ref,
     *,
     gibbs, n_inner, n_temps, n_replicas, n_pairs, n_edges, l0, l1, l2,
-    kp, rp, pt_interval, pt_full, hot_slot, cold_slot, n_systems,
+    kp, rp, tg, pt_interval, pt_full, hot_slot, cold_slot, n_systems,
 ):
     block = l1 * l2
     rows, lanes = rp * l0, kp * block
@@ -457,54 +433,122 @@ def _mp_kernel(
                 spins_out_ref[0, e] = jnp.where(mask, tr, tl)
                 spins_out_ref[0, e + 1] = jnp.where(mask, tl, tr)
 
+        # --- temp-batched sweep geometry: tg temperature slabs flattened
+        # into ONE [tg*rows, lanes] tile per color pass.  Per-temperature
+        # tiles are latency-bound for small lattices (see _temp_group); the
+        # i-shift seam helpers already handle arbitrary stacked l0-blocks,
+        # so the flattened view reuses them unchanged.  Everything here is
+        # static: group offsets, slot indices, and the per-slot row windows.
+        gN = tg * rows
+        n_tgroups = n_temps // tg
+        shifts_g, parity_g, row_g, col_g = _mp_geometry(gN, lanes, l0, l1, l2)
+        lane_group_g = col_g // np.int32(block)
+        slab_g1 = row_g[:, :1] // np.int32(rows)
+
+        def inv_tile(g0):
+            """[gN, 1] per-row 1/(T/2) for slabs g0..g0+tg-1 (hoisted)."""
+            inv = jnp.zeros((gN, 1), jnp.float32)
+            for tl in range(tg):
+                inv = jnp.where(
+                    slab_g1 == tl, 1.0 / (0.5 * temps_ref[0, g0 + tl]), inv
+                )
+            return inv
+
+        inv_tiles = [inv_tile(g * tg) for g in range(n_tgroups)]
+
+        def partner_flat(s):
+            """Pair-partner values on the flattened tile: replica 2p reads
+            2p+1 and vice versa.  Partner regions are adjacent lane groups
+            (kp >= 2) or adjacent l0-row blocks within a slab (kp == 1) —
+            the selected global rolls never cross slab boundaries because
+            even b reads b+1 and odd b reads b-1."""
+            if kp >= 2:
+                c_even = (lane_group_g & 1) == 0
+                return jnp.where(
+                    c_even,
+                    pltpu.roll(s, lanes - block, 1),
+                    pltpu.roll(s, block, 1),
+                )
+            b_local = jax.lax.rem(row_g, np.int32(rows)) // np.int32(l0)
+            return jnp.where(
+                (b_local & 1) == 0,
+                pltpu.roll(s, gN - l0, 0),
+                pltpu.roll(s, l0, 0),
+            )
+
+        def slot_sums_g(x, even_only=False):
+            """{(t_local, r): scalar sum} over replica regions of a
+            flattened group tile: kp masked lane reductions to [gN, 1],
+            then static [l0, 1] row-window sums per slot."""
+            out = {}
+            for c in range(kp):
+                if even_only and kp > 1 and all(
+                    (b * kp + c) % 2 for b in range(rp)
+                ):
+                    continue
+                part = x if kp == 1 else jnp.where(lane_group_g == c, x, 0.0)
+                part = part.sum(axis=1, keepdims=True)  # [gN, 1]
+                for tl in range(tg):
+                    for b in range(rp):
+                        r = b * kp + c
+                        if even_only and r % 2:
+                            continue
+                        s0 = tl * rows + b * l0
+                        out[(tl, r)] = part[s0:s0 + l0].sum()
+            return out
+
         def sweep_t(t, _):
             pltpu.prng_seed(seeds_ref[0, 0, 2 * t], seeds_ref[0, 0, 2 * t + 1])
 
-            def one_temp(ti, _):
-                inv_half_t = 1.0 / (0.5 * temps_ref[0, ti])
-                s = spins_out_ref[0, ti].astype(jnp.float32)
+            for g in range(n_tgroups):
+                g0 = g * tg
+                s = (
+                    spins_out_ref[0, g0:g0 + tg]
+                    .reshape(gN, lanes)
+                    .astype(jnp.float32)
+                )
                 s, e_site = _mp_body(
-                    s, jg_ref[0], inv_half_t,
-                    lambda c: _hw_uniform((rows, lanes)),
-                    shifts, parity, gibbs=gibbs, two_dim=two_dim,
+                    s, jg_ref[0], inv_tiles[g],
+                    lambda c: _hw_uniform((gN, lanes)),
+                    shifts_g, parity_g, gibbs=gibbs, two_dim=two_dim,
                     with_energy=True,
                 )
-                spins_out_ref[0, ti] = s.astype(jnp.int8)
-                rsum = lambda x, want=None: _region_sums(
-                    x, row, col, l0, block, kp, rp, want
+                spins_out_ref[0, g0:g0 + tg] = s.astype(jnp.int8).reshape(
+                    tg, rows, lanes
                 )
-                e_sums = rsum(e_site)
-                m_sums = rsum(s)
-                for r in range(n_replicas):
-                    slot = r * n_temps + ti
-                    es_ref[0, slot] = e_sums[r] / np.float32(n_spins)
-                    e_out_ref[0, t, slot] = e_sums[r] / np.float32(n_spins)
-                    m_out_ref[0, t, slot] = m_sums[r].astype(jnp.int32)
+                e_sums = slot_sums_g(e_site)
+                m_sums = slot_sums_g(s)
+                for tl in range(tg):
+                    for r in range(n_replicas):
+                        slot = r * n_temps + g0 + tl
+                        ev = e_sums[(tl, r)] / np.float32(n_spins)
+                        es_ref[0, slot] = ev
+                        e_out_ref[0, t, slot] = ev
+                        m_out_ref[0, t, slot] = m_sums[(tl, r)].astype(
+                            jnp.int32
+                        )
 
                 # pair measurement (overlap.rs:251-333): q and q_l between
                 # resident partner regions; q_site is symmetric within a
                 # pair, so only the even replica's region is summed.
-                partner = _pair_partner(s, l0, block, kp, rows, lanes, row,
-                                        col)
+                partner = partner_flat(s)
                 q_site = s * partner
-                im, ip, jm, jp, km, kp_ = shifts
+                im, ip, jm, jp, km, kp_ = shifts_g
                 nbr_q = ip(q_site) + jp(q_site)
                 if not two_dim:
                     nbr_q = nbr_q + kp_(q_site)
                 l_site = q_site * nbr_q
-                evens = [2 * p for p in range(n_pairs)]
-                q_sums = rsum(q_site, evens)
-                l_sums = rsum(l_site, evens)
-                for p in range(n_pairs):
-                    qs_out_ref[0, t, p * n_temps + ti] = q_sums[
-                        2 * p
-                    ].astype(jnp.int32)
-                    ql_out_ref[0, t, p * n_temps + ti] = l_sums[
-                        2 * p
-                    ].astype(jnp.int32)
-                return 0
-
-            jax.lax.fori_loop(0, n_temps, one_temp, 0)
+                q_sums = slot_sums_g(q_site, even_only=True)
+                l_sums = slot_sums_g(l_site, even_only=True)
+                for tl in range(tg):
+                    for p in range(n_pairs):
+                        col_i = p * n_temps + g0 + tl
+                        qs_out_ref[0, t, col_i] = q_sums[(tl, 2 * p)].astype(
+                            jnp.int32
+                        )
+                        ql_out_ref[0, t, col_i] = l_sums[(tl, 2 * p)].astype(
+                            jnp.int32
+                        )
 
             if pt_interval is not None:
                 w0 = ptw_ref[0, 0, 2 * t]
@@ -572,7 +616,7 @@ def _mp_kernel(
     jax.jit,
     static_argnames=(
         "shape", "gibbs", "n_inner", "n_temps", "n_replicas", "kp", "rp",
-        "pt_interval", "pt_full", "hot_slot", "cold_slot", "interpret",
+        "pt_interval", "pt_full", "hot_slot", "cold_slot", "interpret", "tg",
     ),
 )
 def megapair_chunk(
@@ -580,7 +624,7 @@ def megapair_chunk(
     sid, ea, ec, rtrips, tstate, parity,
     *,
     shape, gibbs, n_inner, n_temps, n_replicas, kp, rp, pt_interval,
-    pt_full, hot_slot, cold_slot, interpret=False,
+    pt_full, hot_slot, cold_slot, interpret=False, tg=None,
 ):
     """Run ``n_inner`` sweeps (+ fused pair measurement + PT) per realization.
 
@@ -604,6 +648,21 @@ def megapair_chunk(
     n_pairs = n_replicas // 2
     n_edges = n_temps - 1
     n_grids = 4 if l2 == 1 else 6
+    # coupling grids ride pre-tiled across the temp-group rows (the sweep
+    # operates on [tg*rows, lanes] flattened slabs; couplings repeat per
+    # slab).  Interpret mode pins tg=1 (overridable for tests): the Mosaic
+    # interpreter's per-element emulation makes the flattened tiles and their
+    # per-slot reduction loops minutes-slow (CLAUDE.md), and CPU runs
+    # validate mechanics only.  PEAPODS_MP_TG1=1 forces per-temperature
+    # tiles on hardware (A/B kill switch).
+    if tg is None:
+        import os as _os
+
+        if interpret or _os.environ.get("PEAPODS_MP_TG1") == "1":
+            tg = 1
+        else:
+            tg = _temp_group(n_temps, rows)
+    jgrids = jnp.tile(jgrids, (1, 1, tg, 1))
     kernel = functools.partial(
         _mp_kernel,
         gibbs=gibbs,
@@ -612,7 +671,7 @@ def megapair_chunk(
         n_replicas=n_replicas,
         n_pairs=n_pairs,
         n_edges=n_edges,
-        l0=l0, l1=l1, l2=l2, kp=kp, rp=rp,
+        l0=l0, l1=l1, l2=l2, kp=kp, rp=rp, tg=tg,
         pt_interval=pt_interval,
         pt_full=pt_full,
         hot_slot=hot_slot,
@@ -624,7 +683,7 @@ def megapair_chunk(
         memory_space=pltpu.VMEM,
     )
     jg_spec = pl.BlockSpec(
-        (1, n_grids, rows, lanes), lambda d: (d, 0, 0, 0),
+        (1, n_grids, tg * rows, lanes), lambda d: (d, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -309,3 +309,73 @@ def test_megapair_under_disorder_mesh_matches_unsharded():
         r_sh["per_disorder"]["parallel_tempering"]["edge_attempts"],
         r_pl["per_disorder"]["parallel_tempering"]["edge_attempts"],
     )
+
+
+@pytest.mark.parametrize(
+    "shape,n_replicas,pt_full",
+    [((8, 64), 2, True), ((8, 128), 2, False)],
+)
+def test_temp_group_trajectory_invariance(shape, n_replicas, pt_full):
+    """tg=2 (two temperature slabs flattened per sweep tile) must be bitwise
+    identical to tg=1: under the interpreter the sweep uniforms are zeros
+    (every active-color site flips deterministically) and the PT draws are
+    in-kernel arithmetic, so any difference is a flattened-geometry bug
+    (seam rolls, partner mapping, per-slot reduction windows, inv-T rows).
+    Covers both partner layouts: kp=2 lane groups and kp=1 row blocks.
+    ``e`` is compared with tolerance: the per-slot f32 energy reduction
+    reassociates with the tile shape (last-ulp), while the int-exact
+    m/q/q_l sums and the spin trajectory must match bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from peapods_tpu.ops import pallas_megapair as mp
+    from peapods_tpu.ops.lattice import Lattice
+
+    rng = np.random.default_rng(3)
+    n_temps, n_inner, n_d = 4, 4, 2
+    l0, block = shape[0], int(np.prod(shape[1:]))
+    kp, rp = mp.supports_megapair(Lattice(list(shape)), n_replicas, n_temps)
+    rows, lanes = rp * l0, kp * block
+    n_spins = l0 * block
+    n_slots = n_replicas * n_temps
+    n_edges = n_temps - 1
+    coup = rng.normal(size=(n_d, n_spins, len(shape))).astype(np.float32)
+    jg = jnp.stack([
+        mp.pack_coupling_grids_mp(jnp.asarray(coup[d]), shape, kp, rp)
+        for d in range(n_d)
+    ])
+    args = (
+        jnp.asarray(rng.choice(
+            np.array([-1, 1], np.int8), size=(n_d, n_temps, rows, lanes)
+        )),
+        jg,
+        jnp.asarray(np.geomspace(0.9, 2.2, n_temps, dtype=np.float32)
+                    ).reshape(1, n_temps),
+        jnp.asarray(rng.integers(0, 2**31 - 1, size=(n_d, 2 * n_inner),
+                                 dtype=np.int32)),
+        jnp.asarray(rng.integers(0, 2**31 - 1, size=(n_d, 2 * n_inner),
+                                 dtype=np.int32)),
+        jnp.tile(jnp.array([[0, 3]], jnp.int32), (n_d, 1)),  # 1 padded sweep
+        jnp.tile(jnp.arange(n_slots, dtype=jnp.int32)[None], (n_d, 1)),
+        jnp.zeros((n_d, n_edges), jnp.int32),
+        jnp.zeros((n_d, n_edges), jnp.int32),
+        jnp.zeros((n_d, n_slots), jnp.int32),
+        jnp.zeros((n_d, n_slots), jnp.int32),
+        jnp.zeros((n_d, 1), jnp.int32),
+    )
+    kw = dict(
+        shape=tuple(shape), gibbs=False, n_inner=n_inner, n_temps=n_temps,
+        n_replicas=n_replicas, kp=kp, rp=rp, pt_interval=1, pt_full=pt_full,
+        hot_slot=n_temps - 1, cold_slot=0, interpret=True,
+    )
+    out1 = jax.block_until_ready(mp.megapair_chunk(*args, **kw, tg=1))
+    out2 = jax.block_until_ready(mp.megapair_chunk(*args, **kw, tg=2))
+    names = ("spins", "e", "m", "qs", "ql", "sid", "ea", "ec", "rtrips",
+             "tstate", "parity")
+    for nm, a, b in zip(names, out1, out2):
+        if nm == "e":
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=nm,
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), nm)
