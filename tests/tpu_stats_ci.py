@@ -30,6 +30,13 @@ def main():
         print("PEAPODS_TPU_STATS != 1 — skipping the on-TPU statistics job")
         return 0
 
+    # the tunneled chip goes through 'Unavailable' phases; wait them out in
+    # bounded subprocesses before initializing this process's backend
+    sys.path.insert(0, str(REPO))
+    from bench import wait_for_backend
+
+    wait_for_backend()
+
     import jax
 
     platforms = {d.platform for d in jax.devices()}
