@@ -565,6 +565,50 @@ class LoopProgram:
                 self._event_jt = pack(rt.couplings)
         else:
             self._event_jt = None
+        # Fused FK kernel (ops/pallas_event.py fk_update_batch): the whole
+        # SW/Wolff cluster update — bond draws, CC fixed point, cluster
+        # flips — in ONE pallas_call per sweep when nothing collects
+        # labels/CSD/observations (the perf-config case: the 5-mode
+        # harness's SW/Wolff rows).  Per-graph flip draws (coin salts /
+        # Wolff seed) are bitwise the staged path's; per-bond uniforms ride
+        # the hardware PRNG (statistical, like the sweep kernels), with the
+        # injected-uniform entry pinning the decision logic bitwise
+        # (tests/test_pallas_event.py).  Reference anchor: fk.rs:28-171,
+        # which touches each graph once per update.
+        cu = cfg.cluster_update
+        self.fk_kernel = (
+            rt.pallas_ok
+            and cu is not None
+            and cu.action == "update"
+            and not (self.collect_fk or self.observe_fk)
+            and pallas_cc_batch.supports_cc_batch(rt.lattice)
+            and _os.environ.get("PEAPODS_DISABLE_FKKERNEL") != "1"
+            and mesh_ok
+        )
+        self._fkb = (
+            pallas_cc_batch.cc_batch_factors(
+                rt.lattice, max(1, rt.n_disorder // n_mesh) * rt.n_systems
+            )
+            if self.fk_kernel
+            else None
+        )
+        if self.fk_kernel:
+            packj = lambda c: pallas_event.pack_fk_j(
+                c, rt.n_systems, tuple(rt.lattice.shape), *self._fkb
+            )
+            if n_mesh > 1:
+                dl = rt.n_disorder // n_mesh
+                self._fk_j = jnp.concatenate(
+                    [
+                        packj(rt.couplings[i * dl:(i + 1) * dl])
+                        for i in range(n_mesh)
+                    ],
+                    axis=0,
+                )
+            else:
+                self._fk_j = packj(rt.couplings)
+        else:
+            self._fk_j = None
         self._chunk_cache = {}
         self._snap_fn = None
         from ..utils.log import log_once
@@ -602,6 +646,8 @@ class LoopProgram:
                 )
             )
             parts.append(f"cc={cc}")
+        if getattr(self, "fk_kernel", False):
+            parts.append(f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]})")
         if getattr(self, "event_kernel", False):
             parts.append(f"event=fused(kp={self._evb[0]},ks={self._evb[1]})")
         if self.fuse_measure:
@@ -1010,6 +1056,9 @@ class LoopProgram:
         update = cfgc.action == "update"
         d = spins.shape[0]
 
+        if self.fk_kernel:
+            return self._fk_fused(spins, sid, keys), None, None
+
         def bonds_per_disorder(spins_d, sid_d, key_d, coup_d):
             sys_temps = slot_temps_for_systems(sid_d, rt.temps)
             ks2 = jax.random.split(
@@ -1080,6 +1129,88 @@ class LoopProgram:
 
         return jax.vmap(finish_per_disorder)(
             spins, active, labels, keys_flip, sid
+        )
+
+    def _fk_fused(self, spins, sid, keys):
+        """FK update through the fused kernel: one ``pallas_call`` over the
+        packed ``[n_disorder * n_systems]`` graph batch (pad/pack/kernel/
+        unpack per disorder shard under a mesh, like ``_event_fused``).
+
+        Key discipline matches the staged path exactly: per system
+        ``kb, kf = split(split(fold_in(key_d, _PH_FK), S)[s])`` — ``kf``
+        feeds the bitwise flip scalars; ``kb`` (the staged path's bond-draw
+        key) seeds the hardware PRNG stream per tile.
+        """
+        import os
+
+        rt = self.rt
+        wolff = self.cfg.cluster_update.mode == "wolff"
+        interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        kp, ks = self._fkb
+        tile = kp * ks
+        d, S = spins.shape[:2]
+        n = rt.n_spins
+        shape = tuple(rt.lattice.shape)
+        l0, block = shape[0], n // shape[0]
+
+        def keys_per_d(key_d):
+            ks2 = jax.random.split(jax.random.fold_in(key_d, _PH_FK), S)
+            pair = jax.vmap(jax.random.split)(ks2)
+            return pair[:, 0], pair[:, 1]
+
+        kb, kf = jax.vmap(keys_per_d)(keys)
+        sys_temps = jax.vmap(
+            lambda si: slot_temps_for_systems(si, rt.temps)
+        )(sid)  # [d, S]
+        b0 = d * S
+        if jnp.issubdtype(kf.dtype, jax.dtypes.prng_key):
+            kf_flat = kf.reshape(b0)
+            kb_words = jax.random.key_data(kb.reshape(b0))
+        else:  # legacy uint32 [..., 2] key arrays
+            kf_flat = kf.reshape(b0, -1)
+            kb_words = kb.reshape(b0, -1)
+        gscal = pallas_event.fk_scalars(wolff, kf_flat, n)
+        words = jax.lax.bitcast_convert_type(
+            kb_words.astype(jnp.uint32), jnp.int32
+        )  # [b0, 2]
+        gtemp = sys_temps.reshape(b0, 1).astype(jnp.float32)
+        s_flat = spins.reshape(b0, n)
+
+        def run_local(sp, gscal, gtemp, words, j):
+            nloc = sp.shape[0]
+            pad = (-nloc) % tile
+            if pad:
+                zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+                sp = jnp.concatenate([sp, zrow(sp)], 0)
+                gscal = jnp.concatenate([gscal, zrow(gscal)], 0)
+                # padded graphs get T=1 so the bond probability stays finite
+                # (their couplings are 0, so no bond ever activates)
+                gtemp = jnp.concatenate(
+                    [gtemp, jnp.ones((pad, 1), jnp.float32)], 0
+                )
+                words = jnp.concatenate([words, zrow(words)], 0)
+            g_tiles = (nloc + pad) // tile
+            s_p = pallas_cc_batch._pack(sp, l0, block, kp, ks)
+            out = pallas_event.fk_update_batch(
+                s_p,
+                gscal.reshape(g_tiles, tile, 3),
+                gtemp.reshape(g_tiles, tile, 1),
+                words.reshape(g_tiles, tile, 2)[:, :1, :],
+                j,
+                wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
+            )
+            return pallas_cc_batch._unpack(out, l0, block, kp, ks)[:nloc]
+
+        mesh = rt.mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            run_local = jax.shard_map(
+                run_local, mesh=mesh, in_specs=(P("disorder"),) * 5,
+                out_specs=P("disorder"), check_vma=False,
+            )
+        return run_local(s_flat, gscal, gtemp, words, self._fk_j).reshape(
+            d, S, n
         )
 
     def _run_tasks_batched(self, mode, tspins, tkeys, with_snapshot):

@@ -56,6 +56,9 @@ __all__ = [
     "event_scalars",
     "pack_event_jt",
     "overlap_event_batch",
+    "fk_scalars",
+    "pack_fk_j",
+    "fk_update_batch",
 ]
 
 _ROUNDS_PER_CHECK = 16
@@ -402,3 +405,220 @@ def overlap_event_batch(
         interpret=_interp(interpret),
     )(*operands)
     return out
+
+
+# ---------------------------------------------------------------- FK update
+
+def fk_scalars(wolff: bool, keys, n_spins: int):
+    """Per-graph FK flip scalars, bitwise the staged path's draws.
+
+    The staged FK phase splits each system's phase key into ``(kb, kf)``
+    and draws the flip decision inputs from ``kf`` (engine
+    ``_fk_phase_batched``): the SW coin salts via :func:`cluster.coin_salt`,
+    or the Wolff seed via a plain ``randint`` (fk.rs:153-162 flips
+    singletons too, so there is no eligibility probe).  ``keys``: the
+    ``kf`` keys, ``[B]``.  Returns ``int32 [B, 3]`` rows
+    ``(salt0, salt1, seed)``.
+    """
+    z = jnp.int32(0)
+
+    def one(key):
+        if wolff:
+            seed = jax.random.randint(key, (), 0, n_spins, dtype=jnp.int32)
+            return jnp.stack([z, z, seed])
+        s = cl.coin_salt(key)
+        return jnp.stack([s[0], s[1], z])
+
+    return jax.vmap(one)(keys)
+
+
+def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int):
+    """Packed per-graph forward couplings ``f32 [G, n_dims, rows, lanes]``.
+
+    Graph order is the engine's flat (disorder-major, system) FK batch:
+    every disorder's coupling grid repeats for its ``n_rep`` systems (the
+    temperature enters separately as a per-graph scalar — unlike the
+    overlap events' J/T grids, the FK system->temperature map changes with
+    every PT swap).  Padding graphs get ``J = 0`` (no bond ever activates,
+    and the all-false graph's flip mask never reaches real spins).
+    """
+    shape = tuple(shape)
+    d, n, nd = couplings.shape
+    l0 = shape[0]
+    block = int(np.prod(shape[1:]))
+    j = jnp.repeat(couplings, n_rep, axis=0)  # [d*n_rep, n, nd]
+    pad = (-j.shape[0]) % (kp * ks)
+    if pad:
+        j = jnp.concatenate([j, jnp.zeros((pad, n, nd), j.dtype)], axis=0)
+    return jnp.stack(
+        [_pack(j[..., dd], l0, block, kp, ks) for dd in range(nd)], axis=1
+    )
+
+
+def _fk_kernel(
+    gscal_ref, gtemp_ref, s_ref, *rest,
+    wolff, injected, l0, l1, l2, kp, ks, n_dims,
+):
+    """Fused FK update: bond draws + CC fixed point + cluster flips on one
+    resident tile (fk.rs:28-171 in one pass).  Mirrors ``_event_kernel``'s
+    tile machinery for the single-system case (the small geometry/CC
+    closures are intentionally repeated rather than threaded through the
+    validated event kernel)."""
+    block = l1 * l2
+    rows, lanes = ks * l0, kp * block
+    n_spins = l0 * block
+    n_g = kp * ks
+    big = jnp.int32(n_spins)
+    refs = list(rest)
+    words_ref = refs.pop(0) if not injected else None
+    j_ref = refs.pop(0)
+    u_ref = refs.pop(0) if injected else None
+    (s_out,) = refs
+
+    shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
+    im, ip, jm, jp, km, kp_ = shifts
+    fwd = [ip, jp, kp_][:n_dims]
+    bwd = [im, jm, km][:n_dims]
+    local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
+        col, np.int32(block)
+    )
+    gi_tile = (row // np.int32(l0)) * np.int32(kp) + col // np.int32(block)
+
+    def gval(j):
+        v = jnp.zeros((rows, lanes), jnp.int32)
+        for gi in range(n_g):
+            v = jnp.where(gi_tile == gi, gscal_ref[0, gi, j], v)
+        return v
+
+    def gtemp():
+        v = jnp.zeros((rows, lanes), jnp.float32)
+        for gi in range(n_g):
+            v = jnp.where(gi_tile == gi, gtemp_ref[0, gi, 0], v)
+        return v
+
+    if words_ref is not None:
+        pltpu.prng_seed(words_ref[0, 0, 0], words_ref[0, 0, 1])
+
+    u_slot = [0]
+
+    def uniform():
+        if injected:
+            u = u_ref[0, u_slot[0]]
+            u_slot[0] += 1
+            return u
+        return _hw_uniform((rows, lanes))
+
+    def shift_mask(f, m):
+        return f(m.astype(jnp.int32)) != 0
+
+    def cc(bonds, seed_tile):
+        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+        if seed_tile is None:
+            init = local_idx
+        else:
+            init = jnp.where(local_idx == seed_tile, jnp.int32(-1), local_idx)
+
+        def propagate(lab):
+            new = lab
+            for d in range(n_dims):
+                lf = jnp.where(bonds[d], fwd[d](lab), big)
+                lb = jnp.where(ab[d], bwd[d](lab), big)
+                new = jnp.minimum(new, jnp.minimum(lf, lb))
+            return new
+
+        def body(carry):
+            lab, _ = carry
+            new = lab
+            for _ in range(_ROUNDS_PER_CHECK):
+                new = propagate(new)
+            return new, jnp.any(new != lab)
+
+        labels, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (init, jnp.bool_(True))
+        )
+        return labels
+
+    sf = s_ref[0].astype(jnp.float32)
+    temp = gtemp()
+    bonds = []
+    for d in range(n_dims):
+        inter = sf * fwd[d](sf) * j_ref[0, d]
+        # expression form mirrors cluster.fk_bond_activation exactly so the
+        # injected-uniform comparison is bitwise (-2*inter then /T)
+        p = 1.0 - jnp.exp(-2.0 * inter / temp)
+        bonds.append((inter > 0.0) & (uniform() < p))
+
+    if wolff:
+        labels = cc(bonds, gval(2))
+        flip = labels == -1
+    else:
+        labels = cc(bonds, None)
+        # FK/SW flips singletons too (fk.rs:153-162) — no incident-bond gate
+        flip = _salted_uniform_i32(labels, gval(0), gval(1)) < 0.5
+    s_out[0] = jnp.where(flip, -sf, sf).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wolff", "shape", "kp", "ks", "interpret"),
+)
+def fk_update_batch(
+    s_pack, gscal, gtemp, words, j, u=None, *,
+    wolff, shape, kp, ks, interpret=False,
+):
+    """One fused FK cluster update over a packed system batch.
+
+    Args:
+        s_pack: ``int8 [G, rows, lanes]`` packed spins
+            (:func:`peapods_tpu.ops.pallas_cc_batch._pack` layout).
+        gscal: ``int32 [G, kp*ks, 3]`` per-graph ``(salt0, salt1, seed)``
+            (:func:`fk_scalars`, reshaped to tiles).
+        gtemp: ``f32 [G, kp*ks, 1]`` per-graph temperature.
+        words: ``int32 [G, 1, 2]`` per-tile hardware-PRNG seed words
+            (ignored in injected mode).
+        j: ``f32 [G, n_dims, rows, lanes]`` packed couplings
+            (:func:`pack_fk_j`).
+        u: injected per-bond uniforms ``f32 [G, n_dims, rows, lanes]``.
+
+    Returns post-update ``s_pack``.
+    """
+    shape = tuple(shape)
+    n_dims = len(shape)
+    l0 = shape[0]
+    block = int(np.prod(shape[1:]))
+    l1 = shape[1]
+    l2 = shape[2] if n_dims == 3 else 1
+    rows, lanes = ks * l0, kp * block
+    g = s_pack.shape[0]
+    injected = u is not None
+    kernel = functools.partial(
+        _fk_kernel,
+        wolff=wolff, injected=injected,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+    )
+    tile = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (0,) * len(dims),
+        memory_space=pltpu.SMEM,
+    )
+    in_specs = [smem(kp * ks, 3), smem(kp * ks, 1), tile(rows, lanes)]
+    operands = [gscal, gtemp, s_pack]
+    if not injected:
+        in_specs.append(smem(1, 2))
+        operands.append(words)
+    in_specs.append(tile(n_dims, rows, lanes))
+    operands.append(j)
+    if injected:
+        in_specs.append(tile(n_dims, rows, lanes))
+        operands.append(u)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=tile(rows, lanes),
+        out_shape=jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(*operands)

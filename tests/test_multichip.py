@@ -276,3 +276,33 @@ def test_event_kernel_under_disorder_mesh(monkeypatch, build_mode):
         np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
     )
     np.testing.assert_array_equal(r_sh["overlap2"], r_pl["overlap2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fk_kernel_under_disorder_mesh(monkeypatch):
+    """The fused FK kernel shard_maps over a disorder-only mesh (per-shard
+    packing incl. the packed coupling grids); the interpreter's per-bond
+    uniforms are zeros in both arms, so sharded == unsharded bitwise."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.2, 2.8], dtype=np.float32)
+    rng = np.random.default_rng(23)
+    coup = (2 * rng.integers(0, 2, size=(8, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(cluster_update_interval=2, cluster_mode="wolff",
+                  pt_interval=2, warmup_ratio=0)
+
+    sharded = IsingSimulation([8, 8], coup, temps, 1, None, 29,
+                              mesh=make_mesh(8))
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.fk_kernel, prog.describe_plan()
+    plain = IsingSimulation([8, 8], coup, temps, 1, None, 29, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+    assert next(iter(plain._programs.values())).fk_kernel
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])

@@ -257,3 +257,117 @@ def test_engine_event_kernel_disabled_when_collecting(monkeypatch):
     prog = next(iter(s._programs.values()))
     assert not prog.event_kernel
     assert "overlap_csd" in r
+
+
+def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff):
+    """Pack a flat FK system batch and run the fused FK kernel on it."""
+    shape = tuple(lat.shape)
+    n, nd = lat.n_spins, lat.n_dims
+    B = spins.shape[0]
+    kp, ks = ccb.cc_batch_factors(lat, B)
+    tile = kp * ks
+    l0, block = shape[0], n // shape[0]
+    gscal = pe.fk_scalars(wolff, kf_keys, n)
+    gtemp = temps[:, None].astype(jnp.float32)
+    pad = (-B) % tile
+    if pad:
+        zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        spins = jnp.concatenate([spins, zrow(spins)], 0)
+        gscal = jnp.concatenate([gscal, jnp.zeros((pad, 3), jnp.int32)], 0)
+        gtemp = jnp.concatenate([gtemp, jnp.ones((pad, 1), jnp.float32)], 0)
+        u = jnp.concatenate([u, zrow(u)], 0)
+    g = (B + pad) // tile
+    s_p = ccb._pack(spins, l0, block, kp, ks)
+    u_p = jnp.stack(
+        [ccb._pack(u[..., d], l0, block, kp, ks) for d in range(nd)], axis=1
+    )
+    j = pe.pack_fk_j(coup[None], B, shape, kp, ks)
+    words = jnp.zeros((g, 1, 2), jnp.int32)
+    out = pe.fk_update_batch(
+        s_p, gscal.reshape(g, tile, 3), gtemp.reshape(g, tile, 1),
+        words, j, u_p,
+        wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
+    )
+    return ccb._unpack(out, l0, block, kp, ks)[:B]
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_fk_fused_injected_bitwise(shape, wolff):
+    """Same per-bond uniforms into the staged FK stages (bond activation ->
+    jnp CC -> coin/Wolff flips) and the fused kernel => bitwise-equal spins,
+    including the per-graph key-split discipline (kb for bonds, kf for the
+    flip draws) the engine uses."""
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n, nd = lat.n_spins, lat.n_dims
+    B = 6
+    rng = np.random.default_rng(30 + len(shape))
+    spins = jnp.asarray(
+        rng.choice(np.array([-1, 1], np.int8), size=(B, n))
+    )
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.9, 2.4, B).astype(np.float32))
+    u = jnp.asarray(rng.random((B, n, nd)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(7), B)
+    kb_kf = jax.vmap(jax.random.split)(keys)
+    kf = kb_kf[:, 1]
+
+    def staged_one(s, t, k, uu):
+        kbv, kfv = jax.random.split(k)
+        active = cl.fk_bond_activation(s, coup, geom, t, kbv, u=uu)
+        labels = cl.connected_components(active, geom)
+        if wolff:
+            seed = jax.random.randint(kfv, (), 0, n)
+            flip = cl.wolff_flip_mask(labels, seed)
+        else:
+            flip = cl.cluster_coin_flip_mask(kfv, labels)
+        return jnp.where(flip, -s, s)
+
+    staged = jax.vmap(staged_one)(spins, temps, keys, u)
+    fused = _fk_fused(lat, spins, kf, temps, coup, u, wolff)
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+
+def test_engine_fk_fused_runs(monkeypatch):
+    """SW/Wolff updates through the fused FK kernel: integrates, spins stay
+    valid, kill switch routes back to the staged path.  (Interpret-mode
+    hardware PRNG is degenerate, so mechanics only; the injected test above
+    pins the decision logic and the on-TPU suite the statistics.)"""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    coup = np.ones((2, 8, 8, 2), np.float32)
+    temps = np.array([2.269185, 2.6], np.float32)
+    for mode in ("sw", "wolff"):
+        s = IsingSimulation([8, 8], coup, temps, 1, None, 3, default_chunk=8)
+        r = s.sample(8, "metropolis", cluster_update_interval=2,
+                     cluster_mode=mode, warmup_ratio=0)
+        prog = next(iter(s._programs.values()))
+        assert prog.fk_kernel, prog.describe_plan()
+        spins = np.asarray(s.state["spins"])
+        assert set(np.unique(spins)) <= {-1, 1}
+        assert np.isfinite(r["energies"]).all()
+
+    monkeypatch.setenv("PEAPODS_DISABLE_FKKERNEL", "1")
+    s = IsingSimulation([8, 8], coup, temps, 1, None, 3, default_chunk=8)
+    s.sample(4, "metropolis", cluster_update_interval=2, cluster_mode="sw",
+             warmup_ratio=0)
+    assert not next(iter(s._programs.values())).fk_kernel
+
+
+def test_engine_fk_kernel_disabled_when_collecting(monkeypatch):
+    """CSD collection / observe mode must route around the fused FK kernel
+    (it returns no labels)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    coup = np.ones((2, 8, 8, 2), np.float32)
+    temps = np.array([2.269185], np.float32)
+    s = IsingSimulation([8, 8], coup, temps, 1, None, 5, default_chunk=8)
+    r = s.sample(6, "metropolis", cluster_update_interval=2,
+                 cluster_mode="sw", collect_cluster_stats=True,
+                 warmup_ratio=0)
+    prog = next(iter(s._programs.values()))
+    assert not prog.fk_kernel
+    assert "fk_csd" in r
