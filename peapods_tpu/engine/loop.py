@@ -1040,15 +1040,16 @@ class LoopProgram:
         )
         return call(spins, rt.jgrids, sys_temps, seeds)
 
-    def _fk_phase_batched(self, spins, sid, keys):
+    def _fk_phase_batched(self, spins, sid, keys, want_em=False):
         """FK update over the full ``[n_disorder, n_systems]`` batch.
 
         Bond activation and the post-CC work stay vmapped per disorder; the
         CC fixed point runs ONCE over the flattened graph batch through
         :meth:`_cc_many` (the reference runs per-graph union-find inside its
         rayon fan-out, clusters/fk.rs:28-171 — here the batch is the
-        parallelism axis).  Returns ``(spins, csd_t, obs_delta)`` with
-        leading disorder axes.
+        parallelism axis).  Returns ``(spins, csd_t, obs_delta, em)`` with
+        leading disorder axes; ``em`` is the fused-kernel post-update
+        ``(e, m)`` pair when ``want_em`` (fk_kernel path only), else None.
         """
         rt = self.rt
         cfgc = self.cfg.cluster_update
@@ -1057,7 +1058,10 @@ class LoopProgram:
         d = spins.shape[0]
 
         if self.fk_kernel:
-            return self._fk_fused(spins, sid, keys), None, None
+            new_spins, em = self._fk_fused(
+                spins, sid, keys, with_measure=want_em
+            )
+            return new_spins, None, None, em
 
         def bonds_per_disorder(spins_d, sid_d, key_d, coup_d):
             sys_temps = slot_temps_for_systems(sid_d, rt.temps)
@@ -1127,11 +1131,12 @@ class LoopProgram:
                 )
             return new_spins, csd_t, obs_delta
 
-        return jax.vmap(finish_per_disorder)(
+        out = jax.vmap(finish_per_disorder)(
             spins, active, labels, keys_flip, sid
         )
+        return out + (None,)
 
-    def _fk_fused(self, spins, sid, keys):
+    def _fk_fused(self, spins, sid, keys, with_measure=False):
         """FK update through the fused kernel: one ``pallas_call`` over the
         packed ``[n_disorder * n_systems]`` graph batch (pad/pack/kernel/
         unpack per disorder shard under a mesh, like ``_event_fused``).
@@ -1198,8 +1203,16 @@ class LoopProgram:
                 words.reshape(g_tiles, tile, 2)[:, :1, :],
                 j,
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
+                with_measure=with_measure,
             )
-            return pallas_cc_batch._unpack(out, l0, block, kp, ks)[:nloc]
+            if with_measure:
+                s2, e, m = out
+                return (
+                    pallas_cc_batch._unpack(s2, l0, block, kp, ks)[:nloc],
+                    e.reshape(-1)[:nloc],
+                    m.reshape(-1)[:nloc],
+                )
+            return (pallas_cc_batch._unpack(out, l0, block, kp, ks)[:nloc],)
 
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
@@ -1207,11 +1220,14 @@ class LoopProgram:
 
             run_local = jax.shard_map(
                 run_local, mesh=mesh, in_specs=(P("disorder"),) * 5,
-                out_specs=P("disorder"), check_vma=False,
+                out_specs=(P("disorder"),) * (3 if with_measure else 1),
+                check_vma=False,
             )
-        return run_local(s_flat, gscal, gtemp, words, self._fk_j).reshape(
-            d, S, n
-        )
+        out = run_local(s_flat, gscal, gtemp, words, self._fk_j)
+        new_spins = out[0].reshape(d, S, n)
+        if with_measure:
+            return new_spins, (out[1].reshape(d, S), out[2].reshape(d, S))
+        return new_spins, None
 
     def _run_tasks_batched(self, mode, tspins, tkeys, with_snapshot):
         """Run one overlap mode over the FULL task batch, with the CC fixed
@@ -1624,13 +1640,18 @@ class LoopProgram:
             sweep_scope.__exit__(None, None, None)
 
             # 2. FK cluster update
+            # On the fused-FK path the kernel also emits post-update (e, m)
+            # (the reference order is sweep -> FK -> measure), so FK sweeps
+            # skip the jnp recompute below; the skip branch recomputes for
+            # non-FK sweeps — with interval=1 the recompute vanishes.
+            fk_em = c is not None and self.fk_kernel
             if c is not None:
                 do_cluster = (sweep_local % c.interval) == 0
 
                 def run_fk(args):
                     spins, acc = args
-                    new_spins, csd_t, obs_delta = self._fk_phase_batched(
-                        spins, sid, keys
+                    new_spins, csd_t, obs_delta, em = self._fk_phase_batched(
+                        spins, sid, keys, want_em=fk_em
                     )
                     acc = dict(acc)
                     if self.collect_fk:
@@ -1639,11 +1660,24 @@ class LoopProgram:
                         acc["fk_obs"] = jax.vmap(
                             lambda a, d: _obs_add(a, d, rec_i32)
                         )(acc["fk_obs"], obs_delta)
+                    if fk_em:
+                        return new_spins, acc, em
                     return new_spins, acc
 
-                spins, acc = jax.lax.cond(
-                    do_cluster, run_fk, lambda args: args, (spins, acc)
-                )
+                def skip_fk(args):
+                    spins, acc = args
+                    if fk_em:
+                        em = jax.vmap(
+                            lambda s, cp: energies_and_mags(s, cp, rt.geom)
+                        )(spins, rt.couplings)
+                        return spins, acc, em
+                    return spins, acc
+
+                out = jax.lax.cond(do_cluster, run_fk, skip_fk, (spins, acc))
+                if fk_em:
+                    spins, acc, fused_em = out
+                else:
+                    spins, acc = out
 
             # 3+4. measurement (energies/mags recomputed from spins)
             with phase_scope("measure"):

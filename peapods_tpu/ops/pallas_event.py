@@ -457,7 +457,7 @@ def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int):
 
 def _fk_kernel(
     gscal_ref, gtemp_ref, s_ref, *rest,
-    wolff, injected, l0, l1, l2, kp, ks, n_dims,
+    wolff, injected, with_measure, l0, l1, l2, kp, ks, n_dims,
 ):
     """Fused FK update: bond draws + CC fixed point + cluster flips on one
     resident tile (fk.rs:28-171 in one pass).  Mirrors ``_event_kernel``'s
@@ -473,7 +473,10 @@ def _fk_kernel(
     words_ref = refs.pop(0) if not injected else None
     j_ref = refs.pop(0)
     u_ref = refs.pop(0) if injected else None
-    (s_out,) = refs
+    if with_measure:
+        s_out, e_out, m_out = refs
+    else:
+        (s_out,) = refs
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
     im, ip, jm, jp, km, kp_ = shifts
@@ -555,16 +558,40 @@ def _fk_kernel(
         labels = cc(bonds, None)
         # FK/SW flips singletons too (fk.rs:153-162) — no incident-bond gate
         flip = _salted_uniform_i32(labels, gval(0), gval(1)) < 0.5
-    s_out[0] = jnp.where(flip, -sf, sf).astype(jnp.int8)
+    sf = jnp.where(flip, -sf, sf)
+    s_out[0] = sf.astype(jnp.int8)
+
+    if with_measure:
+        # fused post-update measurement (positive-sum convention,
+        # energy.rs:92-109): reference order is sweep -> FK -> measure, so
+        # the engine can skip its jnp recompute on FK sweeps.
+        e_site = sf * fwd[0](sf) * j_ref[0, 0]
+        for d in range(1, n_dims):
+            e_site = e_site + sf * fwd[d](sf) * j_ref[0, d]
+        lane_group = col // np.int32(block)
+        for c in range(kp):
+            pe_ = e_site if kp == 1 else jnp.where(
+                lane_group == c, e_site, 0.0
+            )
+            pm_ = sf if kp == 1 else jnp.where(lane_group == c, sf, 0.0)
+            pe_ = pe_.sum(axis=1, keepdims=True)  # [rows, 1]
+            pm_ = pm_.sum(axis=1, keepdims=True)
+            for b in range(ks):
+                gi = b * kp + c
+                win = slice(b * l0, (b + 1) * l0)
+                e_out[0, 0, gi] = pe_[win].sum() / np.float32(n_spins)
+                m_out[0, 0, gi] = pm_[win].sum().astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wolff", "shape", "kp", "ks", "interpret"),
+    static_argnames=(
+        "wolff", "shape", "kp", "ks", "interpret", "with_measure",
+    ),
 )
 def fk_update_batch(
     s_pack, gscal, gtemp, words, j, u=None, *,
-    wolff, shape, kp, ks, interpret=False,
+    wolff, shape, kp, ks, interpret=False, with_measure=False,
 ):
     """One fused FK cluster update over a packed system batch.
 
@@ -593,7 +620,7 @@ def fk_update_batch(
     injected = u is not None
     kernel = functools.partial(
         _fk_kernel,
-        wolff=wolff, injected=injected,
+        wolff=wolff, injected=injected, with_measure=with_measure,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
     )
     tile = lambda *dims: pl.BlockSpec(
@@ -614,11 +641,28 @@ def fk_update_batch(
     if injected:
         in_specs.append(tile(n_dims, rows, lanes))
         operands.append(u)
-    return pl.pallas_call(
+    out_specs = tile(rows, lanes)
+    out_shape = jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8)
+    if with_measure:
+        # singleton middle axis so the grid-blocked SMEM outputs' last-two
+        # dims equal the array's (the Mosaic blocking rule — CLAUDE.md)
+        out_specs = (
+            out_specs, smem(1, kp * ks), smem(1, kp * ks),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.int32),
+        )
+    out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=in_specs,
-        out_specs=tile(rows, lanes),
-        out_shape=jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(*operands)
+    if with_measure:
+        s2, e, m = out
+        return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks)
+    return out

@@ -371,3 +371,94 @@ def test_engine_fk_kernel_disabled_when_collecting(monkeypatch):
     prog = next(iter(s._programs.values()))
     assert not prog.fk_kernel
     assert "fk_csd" in r
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+def test_fk_fused_measurement_identities(shape):
+    """with_measure outputs must equal a direct recompute from the kernel's
+    own post-update spins (positive-sum convention; m exactly, e to f32
+    reduction-order tolerance)."""
+    from peapods_tpu.ops.energy import energies_and_mags
+
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n, nd = lat.n_spins, lat.n_dims
+    B = 6
+    rng = np.random.default_rng(41)
+    spins = jnp.asarray(rng.choice(np.array([-1, 1], np.int8), size=(B, n)))
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.9, 2.4, B).astype(np.float32))
+    u = jnp.asarray(rng.random((B, n, nd)).astype(np.float32))
+    kf = jax.random.split(jax.random.key(3), B)
+
+    kp, ks = ccb.cc_batch_factors(lat, B)
+    tile = kp * ks
+    l0, block = shape[0], n // shape[0]
+    gscal = pe.fk_scalars(False, kf, n)
+    gtemp = temps[:, None].astype(jnp.float32)
+    pad = (-B) % tile
+    if pad:
+        zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        spins_p = jnp.concatenate([spins, zrow(spins)], 0)
+        gscal = jnp.concatenate([gscal, jnp.zeros((pad, 3), jnp.int32)], 0)
+        gtemp = jnp.concatenate([gtemp, jnp.ones((pad, 1), jnp.float32)], 0)
+        u_p = jnp.concatenate([u, zrow(u)], 0)
+    else:
+        spins_p, u_p = spins, u
+    g = (B + pad) // tile
+    out, e, m = pe.fk_update_batch(
+        ccb._pack(spins_p, l0, block, kp, ks),
+        gscal.reshape(g, tile, 3), gtemp.reshape(g, tile, 1),
+        jnp.zeros((g, 1, 2), jnp.int32),
+        pe.pack_fk_j(coup[None], B, shape, kp, ks),
+        jnp.stack([ccb._pack(u_p[..., d], l0, block, kp, ks)
+                   for d in range(nd)], axis=1),
+        wolff=False, shape=tuple(shape), kp=kp, ks=ks, interpret=True,
+        with_measure=True,
+    )
+    new_spins = ccb._unpack(out, l0, block, kp, ks)[:B]
+    e_ref, m_ref = energies_and_mags(new_spins, coup, geom)
+    np.testing.assert_array_equal(
+        np.asarray(m).reshape(-1)[:B], np.asarray(m_ref)
+    )
+    np.testing.assert_allclose(
+        np.asarray(e).reshape(-1)[:B], np.asarray(e_ref), rtol=2e-5,
+        atol=1e-6,
+    )
+
+
+def test_engine_fk_fused_measurement_identity(monkeypatch):
+    """One recorded sweep with FK every sweep: the records built from the
+    FK kernel's fused (e, m) must match a direct recompute from the final
+    spins (the staged path's single source of truth)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.ops.energy import energies_and_mags
+
+    rng = np.random.default_rng(51)
+    coup = rng.choice(np.float32([-1, 1]), size=(2, 8, 8, 2))
+    temps = np.geomspace(1.2, 2.6, 3).astype(np.float32)
+    sim = IsingSimulation([8, 8], coup, temps, 2, None, 7, default_chunk=4)
+    r = sim.sample(1, "metropolis", cluster_update_interval=1,
+                   cluster_mode="sw", warmup_ratio=0)
+    prog = next(iter(sim._programs.values()))
+    assert prog.fk_kernel
+    rt = prog.rt
+    spins = np.asarray(sim.state["spins"])
+    sid = np.asarray(sim.state["system_ids"])
+    e_all, m_all = [], []
+    for d in range(2):
+        e_d, m_d = energies_and_mags(
+            jnp.asarray(spins[d]), rt.couplings[d], rt.geom
+        )
+        e_all.append(np.asarray(e_d)[sid[d]])
+        m_all.append(np.asarray(m_d)[sid[d]].astype(np.float64) / rt.n_spins)
+    e_rt = np.stack(e_all)  # [d, R, T]
+    m_rt = np.stack(m_all)
+    # engine reports plain means over replicas, averaged over disorder
+    np.testing.assert_allclose(
+        np.asarray(r["energies"]), e_rt.mean(1).mean(0), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r["mags"]), m_rt.mean(1).mean(0), rtol=1e-5, atol=1e-7
+    )
