@@ -65,7 +65,8 @@ def make_args(shape, n_temps, n_replicas, n_d, pt_full, seed):
         pt_full=pt_full, hot_slot=n_temps - 1, cold_slot=0,
     )
     args = (spins, jg, temps, seeds, ptw, meta, sid, ea, ec, rt, ts, par)
-    tg_auto = mp._temp_group(n_temps, rows)
+    n_grids = 4 if len(shape) == 2 else 6
+    tg_auto = mp._temp_group(n_temps, rows, lanes, n_grids)
     return args, kw, tg_auto
 
 

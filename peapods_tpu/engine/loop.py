@@ -306,6 +306,20 @@ def _zero_obs(n_disorder, n_temps, n_bins):
     }
 
 
+def _per_shard_pack(pack, couplings, n_mesh):
+    """Eagerly build a packed per-graph array whose shard layout matches the
+    fused kernels' shard_map: each disorder shard packs (and tile-pads)
+    independently, so per-shard tile counts are equal and the concatenation
+    shards evenly along axis 0.  ``pack`` maps a couplings slice to packed
+    tiles; the disorder axis is pre-padded to the mesh extent upstream."""
+    if n_mesh <= 1:
+        return pack(couplings)
+    dl = couplings.shape[0] // n_mesh
+    return jnp.concatenate(
+        [pack(couplings[i * dl:(i + 1) * dl]) for i in range(n_mesh)], axis=0
+    )
+
+
 def _sum_slots_obs(obs, csd_t, n_slots, n_spins, n_neighbors):
     """Reduce per-slot GraphObservations [n_temps, n_slots] to per-temp sums.
 
@@ -498,6 +512,7 @@ class LoopProgram:
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and not self.cc_batch
             and not self.cc_pallas
+            and not mesh_ok
             and (cfg.cluster_update is not None or h is not None)
         ):
             from ..utils.log import log_once as _log_once
@@ -543,28 +558,21 @@ class LoopProgram:
         )
         # Packed per-task J/T grids (mode-shared: jorg and cmr both consume
         # J/T).  Built EAGERLY — _event_fused runs inside a jit trace, where
-        # building would leak a tracer into the cache.  Under a sharded mesh
-        # the tile packing (and its padding) is per disorder shard, matching
-        # the shard_map in _event_fused, so each shard's tile count is equal
-        # and the concatenated array shards evenly along axis 0.
-        if self.event_kernel and any(m.kind != "houdayer" for m in h.modes):
-            pack = lambda c: pallas_event.pack_event_jt(
-                c, rt.temps, rt.n_replicas // 2,
-                tuple(rt.lattice.shape), *self._evb,
+        # building would leak a tracer into the cache.
+        self._event_jt = (
+            _per_shard_pack(
+                lambda c: pallas_event.pack_event_jt(
+                    c, rt.temps, rt.n_replicas // 2,
+                    tuple(rt.lattice.shape), *self._evb,
+                ),
+                rt.couplings, n_mesh,
             )
-            if n_mesh > 1:
-                dl = rt.n_disorder // n_mesh
-                self._event_jt = jnp.concatenate(
-                    [
-                        pack(rt.couplings[i * dl:(i + 1) * dl])
-                        for i in range(n_mesh)
-                    ],
-                    axis=0,
-                )
-            else:
-                self._event_jt = pack(rt.couplings)
-        else:
-            self._event_jt = None
+            if (
+                self.event_kernel
+                and any(m.kind != "houdayer" for m in h.modes)
+            )
+            else None
+        )
         # Fused FK kernel (ops/pallas_event.py fk_update_batch): the whole
         # SW/Wolff cluster update — bond draws, CC fixed point, cluster
         # flips — in ONE pallas_call per sweep when nothing collects
@@ -592,23 +600,16 @@ class LoopProgram:
             if self.fk_kernel
             else None
         )
-        if self.fk_kernel:
-            packj = lambda c: pallas_event.pack_fk_j(
-                c, rt.n_systems, tuple(rt.lattice.shape), *self._fkb
+        self._fk_j = (
+            _per_shard_pack(
+                lambda c: pallas_event.pack_fk_j(
+                    c, rt.n_systems, tuple(rt.lattice.shape), *self._fkb
+                ),
+                rt.couplings, n_mesh,
             )
-            if n_mesh > 1:
-                dl = rt.n_disorder // n_mesh
-                self._fk_j = jnp.concatenate(
-                    [
-                        packj(rt.couplings[i * dl:(i + 1) * dl])
-                        for i in range(n_mesh)
-                    ],
-                    axis=0,
-                )
-            else:
-                self._fk_j = packj(rt.couplings)
-        else:
-            self._fk_j = None
+            if self.fk_kernel
+            else None
+        )
         self._chunk_cache = {}
         self._snap_fn = None
         from ..utils.log import log_once

@@ -110,8 +110,10 @@ def supports_megapair(lattice, n_replicas, n_temps):
     if rows % 8:
         return None
     n_grids = 2 * (2 if l2 == 1 else 3)
-    tg = _temp_group(n_temps, rows)
-    vmem = n_temps * rows * lanes * 2 + n_grids * tg * rows * lanes * 4
+    # _temp_group only ever picks a tg whose tiled grids fit the budget
+    # (tg=1 included), so eligibility reduces to the base tg=1 footprint —
+    # grouping must never shrink the supported config set.
+    vmem = n_temps * rows * lanes * 2 + n_grids * rows * lanes * 4
     if vmem > _VMEM_BUDGET:
         return None
     return kp, rp
@@ -260,19 +262,26 @@ def _region_index(row, col, l0, block, kp):
     return (row // l0) * kp + col // block
 
 
-def _temp_group(n_temps, rows):
+def _temp_group(n_temps, rows, lanes, n_grids):
     """Static count of temperature slabs flattened into one sweep tile.
 
     Per-temperature [rows, lanes] tiles are tiny for small lattices (8^3:
     4 vregs) and their serial roll->mul->add chains leave the VPU latency-
     bound — measured 0.67 ms/sweep at 8^3 vs 0.73 at 16^3 despite 8x fewer
     sites.  Flattening ``tg`` slabs into one [tg*rows, lanes] tile amortizes
-    the chain latency; the cap bounds live f32 temporaries (and the tiled
-    coupling grids) to a few MB of VMEM.
+    the chain latency; the row cap bounds live f32 temporaries, and the
+    VMEM-budget cap keeps the tg-tiled coupling grids from pricing large
+    lattices out of megapair eligibility (tg=1 must stay exactly as
+    eligible as before grouping existed).
     """
+    spins_vmem = n_temps * rows * lanes * 2
     tg = 1
     for cand in range(1, n_temps + 1):
-        if n_temps % cand == 0 and cand * rows <= 512:
+        if (
+            n_temps % cand == 0
+            and cand * rows <= 512
+            and spins_vmem + n_grids * cand * rows * lanes * 4 <= _VMEM_BUDGET
+        ):
             tg = cand
     return tg
 
@@ -661,7 +670,7 @@ def megapair_chunk(
         if interpret or _os.environ.get("PEAPODS_MP_TG1") == "1":
             tg = 1
         else:
-            tg = _temp_group(n_temps, rows)
+            tg = _temp_group(n_temps, rows, lanes, n_grids)
     jgrids = jnp.tile(jgrids, (1, 1, tg, 1))
     kernel = functools.partial(
         _mp_kernel,

@@ -379,3 +379,20 @@ def test_temp_group_trajectory_invariance(shape, n_replicas, pt_full):
             )
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), nm)
+
+
+def test_eligibility_not_shrunk_by_temp_grouping():
+    """Temperature grouping must never price a config out of the megapair
+    path: eligibility is judged at the base tg=1 footprint, and _temp_group
+    caps tg against the VMEM budget (a 32^3 24T 2R config was eligible
+    before grouping existed and must stay so)."""
+    from peapods_tpu.ops.pallas_megapair import (
+        _VMEM_BUDGET, _temp_group, supports_megapair,
+    )
+    from peapods_tpu.ops.lattice import Lattice
+
+    assert supports_megapair(Lattice([32, 32, 32]), 2, 24) is not None
+    # and the tg it would pick keeps the tiled grids inside the budget
+    rows, lanes = 2 * 32, 32 * 32
+    tg = _temp_group(24, rows, lanes, 6)
+    assert 24 * rows * lanes * 2 + 6 * tg * rows * lanes * 4 <= _VMEM_BUDGET
