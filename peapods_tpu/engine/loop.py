@@ -541,10 +541,21 @@ class LoopProgram:
             and h is not None
             and h.action == "update"
             and not (self.collect_overlap or self.observe_overlap)
-            and pallas_event.supports_event(rt.lattice, 2)
-            and any(m.group_size == 2 for m in h.modes)
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
             and mesh_ok
+            and any(
+                (
+                    m.group_size == 2
+                    and pallas_event.supports_event(rt.lattice, 2)
+                )
+                or (
+                    m.kind == "houdayer"
+                    and pallas_event.supports_event_houdn(
+                        rt.lattice, m.group_size
+                    )
+                )
+                for m in h.modes
+            )
         )
         self._evb = (
             pallas_cc_batch.cc_batch_factors(
@@ -1255,15 +1266,19 @@ class LoopProgram:
         flat = lambda x: x.reshape((d * n_tasks,) + x.shape[2:])
         unflat = lambda x: x.reshape((d, n_tasks) + x.shape[1:])
 
-        if (
-            self.event_kernel
-            and g == 2
-            and not (with_stats or with_snapshot)
-        ):
-            new_tspins = self._event_fused(mode, tspins, tkeys)
-            return ov.OverlapMoveOut(
-                new_tspins, None, None, None, None, None
-            )
+        if self.event_kernel and not (with_stats or with_snapshot):
+            if g == 2 and pallas_event.supports_event(rt.lattice, 2):
+                new_tspins = self._event_fused(mode, tspins, tkeys)
+                return ov.OverlapMoveOut(
+                    new_tspins, None, None, None, None, None
+                )
+            if mode.kind == "houdayer" and pallas_event.supports_event_houdn(
+                rt.lattice, g
+            ):
+                new_tspins = self._event_fused_houd(mode, tspins, tkeys)
+                return ov.OverlapMoveOut(
+                    new_tspins, None, None, None, None, None
+                )
 
         if mode.kind == "houdayer":
             bonds, aux = jax.vmap(jax.vmap(
@@ -1408,6 +1423,70 @@ class LoopProgram:
             else run_local(a, b, gscal, words, jt)
         )
         return jnp.stack([a2, b2], axis=1).reshape(d, n_tasks, 2, n)
+
+    def _event_fused_houd(self, mode, tspins, tkeys):
+        """Houdayer(N) event (even group sizes > 2) through the fused
+        kernel: balanced-site bonds are deterministic, so this path is
+        bitwise the staged path end-to-end.  ``tspins``: int8
+        ``[d, n_tasks, g, n_spins]``."""
+        import os
+
+        rt = self.rt
+        wolff = self.cfg.overlap_cluster.cluster_mode == "wolff"
+        interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        g_size = mode.group_size
+        d, n_tasks = tspins.shape[:2]
+        n = rt.n_spins
+        shape = tuple(rt.lattice.shape)
+        l0, block = shape[0], n // shape[0]
+        mesh = rt.mesh
+        n_mesh = 1 if mesh is None else mesh.devices.size
+        kp, ks = pallas_cc_batch.cc_batch_factors(
+            rt.lattice, max(1, rt.n_disorder // n_mesh) * n_tasks
+        )
+        tile = kp * ks
+        b0 = d * n_tasks
+        slots = [tspins[:, :, i].reshape(b0, n) for i in range(g_size)]
+        if jnp.issubdtype(tkeys.dtype, jax.dtypes.prng_key):
+            keys_flat = tkeys.reshape(b0)
+        else:  # legacy uint32 [..., 2] key arrays
+            keys_flat = tkeys.reshape(b0, -1)
+        gscal = pallas_event.houdn_scalars(
+            wolff, tspins.reshape(b0, g_size, n), keys_flat, n
+        )
+
+        def run_local(gscal, *slots):
+            nloc = slots[0].shape[0]
+            pad = (-nloc) % tile
+            if pad:
+                zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+                slots = [jnp.concatenate([s, zrow(s)], 0) for s in slots]
+                pad_scal = jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)
+                gscal = jnp.concatenate([gscal, pad_scal], 0)
+            g_tiles = (nloc + pad) // tile
+            packs = tuple(
+                pallas_cc_batch._pack(s, l0, block, kp, ks) for s in slots
+            )
+            outs = pallas_event.houdn_event_batch(
+                packs, gscal.reshape(g_tiles, tile, 6),
+                wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
+            )
+            return tuple(
+                pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]
+                for o in outs
+            )
+
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            run_local = jax.shard_map(
+                run_local, mesh=mesh,
+                in_specs=(P("disorder"),) * (1 + g_size),
+                out_specs=(P("disorder"),) * g_size,
+                check_vma=False,
+            )
+        outs = run_local(gscal, *slots)
+        return jnp.stack(outs, axis=1).reshape(d, n_tasks, g_size, n)
 
     def _task_stats(self, out, n_groups):
         """Per-temperature stats reduction of a task batch (temps-major

@@ -53,9 +53,12 @@ from .pallas_megapair import _mp_geometry
 
 __all__ = [
     "supports_event",
+    "supports_event_houdn",
     "event_scalars",
+    "houdn_scalars",
     "pack_event_jt",
     "overlap_event_batch",
+    "houdn_event_batch",
     "fk_scalars",
     "pack_fk_j",
     "fk_update_batch",
@@ -666,3 +669,163 @@ def fk_update_batch(
         s2, e, m = out
         return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks)
     return out
+
+
+# ------------------------------------------------------- Houdayer-N events
+
+def supports_event_houdn(lattice, group_size: int) -> bool:
+    """Fused Houdayer(N) applicability: even groups (balanced sites need
+    them) on cc_batch-packable lattices; pair tasks ride the pair kernel."""
+    return (
+        group_size >= 2
+        and group_size % 2 == 0
+        and supports_cc_batch(lattice)
+    )
+
+
+def houdn_scalars(wolff: bool, tspins, tkeys, n_spins: int):
+    """Per-task scalars for Houdayer(N), bitwise the staged path's draws.
+
+    ``tspins``: ``int8 [B, g, n_spins]``.  Same key-split order as
+    :func:`peapods_tpu.ops.overlap.houdayer_bonds` (k_seed, k_coin); for
+    g=2 this reproduces :func:`event_scalars`'s houdayer rows exactly
+    (``a != b`` == balanced for two replicas).
+    """
+    z = jnp.int32(0)
+    none = jnp.int32(n_spins)
+
+    def one(ts, key):
+        k_seed, k_coin = jax.random.split(key)
+        if wolff:
+            active = ts.astype(jnp.int32).sum(0) == 0
+            seed, found = cl.find_seed(k_seed, active)
+            seed = jnp.where(found, seed, none).astype(jnp.int32)
+            return jnp.stack([z, z, z, z, seed, z])
+        s = cl.coin_salt(k_coin)
+        return jnp.stack([s[0], s[1], z, z, none, z])
+
+    return jax.vmap(one)(tspins, tkeys)
+
+
+def _houdn_kernel(
+    gscal_ref, *rest, wolff, g_size, l0, l1, l2, kp, ks, n_dims,
+):
+    """Fused Houdayer(N) move: balanced-site mask -> deterministic bonds ->
+    CC -> flip ALL group members on the chosen clusters.  Bonds carry no
+    randomness, so this kernel is bitwise the staged path end-to-end."""
+    block = l1 * l2
+    rows, lanes = ks * l0, kp * block
+    n_spins = l0 * block
+    n_g = kp * ks
+    big = jnp.int32(n_spins)
+    s_refs = rest[:g_size]
+    outs = rest[g_size:]
+
+    shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
+    im, ip, jm, jp, km, kp_ = shifts
+    fwd = [ip, jp, kp_][:n_dims]
+    bwd = [im, jm, km][:n_dims]
+    local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
+        col, np.int32(block)
+    )
+    gi_tile = (row // np.int32(l0)) * np.int32(kp) + col // np.int32(block)
+
+    def gval(j):
+        v = jnp.zeros((rows, lanes), jnp.int32)
+        for gi in range(n_g):
+            v = jnp.where(gi_tile == gi, gscal_ref[0, gi, j], v)
+        return v
+
+    def shift_mask(f, m):
+        return f(m.astype(jnp.int32)) != 0
+
+    s = [r[0].astype(jnp.int32) for r in s_refs]
+    tot = s[0]
+    for x in s[1:]:
+        tot = tot + x
+    active = tot == 0
+    bonds = [active & shift_mask(fwd[d], active) for d in range(n_dims)]
+    ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+
+    if wolff:
+        seed_tile = gval(_SEED)
+        init = jnp.where(local_idx == seed_tile, jnp.int32(-1), local_idx)
+    else:
+        init = local_idx
+
+    def propagate(lab):
+        new = lab
+        for d in range(n_dims):
+            lf = jnp.where(bonds[d], fwd[d](lab), big)
+            lb = jnp.where(ab[d], bwd[d](lab), big)
+            new = jnp.minimum(new, jnp.minimum(lf, lb))
+        return new
+
+    def body(carry):
+        lab, _ = carry
+        new = lab
+        for _ in range(_ROUNDS_PER_CHECK):
+            new = propagate(new)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (init, jnp.bool_(True))
+    )
+
+    if wolff:
+        flip = labels == -1
+    else:
+        inc = bonds[0]
+        for d in range(1, n_dims):
+            inc = inc | bonds[d]
+        for d in range(n_dims):
+            inc = inc | ab[d]
+        coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
+        flip = coin & inc
+    for i in range(g_size):
+        outs[i][0] = jnp.where(flip, -s[i], s[i]).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wolff", "shape", "kp", "ks", "interpret"),
+)
+def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
+                      interpret=False):
+    """One fused Houdayer(N) event over a packed task batch.
+
+    ``s_packs``: tuple of g ``int8 [G, rows, lanes]`` packed replica slots;
+    ``gscal``: ``int32 [G, kp*ks, 6]`` (:func:`houdn_scalars` rows).
+    Returns the g post-move packs.
+    """
+    shape = tuple(shape)
+    n_dims = len(shape)
+    l0 = shape[0]
+    l1 = shape[1]
+    l2 = shape[2] if n_dims == 3 else 1
+    block = l1 * l2
+    rows, lanes = ks * l0, kp * block
+    g = s_packs[0].shape[0]
+    g_size = len(s_packs)
+    kernel = functools.partial(
+        _houdn_kernel,
+        wolff=wolff, g_size=g_size,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+    )
+    tile = pl.BlockSpec(
+        (1, rows, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(
+        (1, kp * ks, 6), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[smem] + [tile] * g_size,
+        out_specs=(tile,) * g_size,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8)
+            for _ in range(g_size)
+        ),
+        interpret=_interp(interpret),
+    )(gscal, *s_packs)

@@ -462,3 +462,70 @@ def test_engine_fk_fused_measurement_identity(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(r["mags"]), m_rt.mean(1).mean(0), rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_houd4_fused_bitwise(shape, wolff):
+    """Houdayer(4): deterministic balanced-site bonds, so the fused N-group
+    kernel must equal the staged task bitwise (all four replicas flip on
+    the chosen clusters)."""
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n = lat.n_spins
+    B, g = 5, 4
+    rng = np.random.default_rng(60 + len(shape))
+    tspins = jnp.asarray(
+        rng.choice(np.array([-1, 1], np.int8), size=(B, g, n))
+    )
+    tkeys = jax.random.split(jax.random.key(8), B)
+    staged = jax.vmap(
+        lambda ts, k: ov.houdayer_task(
+            ts, k, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+    )(tspins, tkeys)
+
+    kp, ks = ccb.cc_batch_factors(lat, B)
+    tile = kp * ks
+    l0, block = shape[0], n // shape[0]
+    gscal = pe.houdn_scalars(wolff, tspins, tkeys, n)
+    pad = (-B) % tile
+    slots = [tspins[:, i] for i in range(g)]
+    if pad:
+        zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        slots = [jnp.concatenate([s, zrow(s)], 0) for s in slots]
+        gscal = jnp.concatenate(
+            [gscal, jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)], 0
+        )
+    gt = (B + pad) // tile
+    packs = tuple(ccb._pack(s, l0, block, kp, ks) for s in slots)
+    outs = pe.houdn_event_batch(
+        packs, gscal.reshape(gt, tile, 6),
+        wolff=wolff, shape=tuple(shape), kp=kp, ks=ks, interpret=True,
+    )
+    fused = jnp.stack(
+        [ccb._unpack(o, l0, block, kp, ks)[:B] for o in outs], axis=1
+    )
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+
+def test_engine_houd4_event_bitwise(monkeypatch):
+    """Engine trajectories identical with the fused Houdayer(4) kernel on
+    and off (deterministic bonds)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="houd4", warmup_ratio=0)
+    a = _sim((8, 8, 8), 31, n_replicas=4)
+    ra = a.sample(9, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel, prog.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    b = _sim((8, 8, 8), 31, n_replicas=4)
+    rb = b.sample(9, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).event_kernel
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
