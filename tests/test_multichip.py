@@ -242,7 +242,7 @@ def test_cc_batch_kernel_under_disorder_mesh(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-@pytest.mark.parametrize("build_mode", ["houdayer", "jorg"])
+@pytest.mark.parametrize("build_mode", ["houdayer", "jorg", "houd4"])
 def test_event_kernel_under_disorder_mesh(monkeypatch, build_mode):
     """The fused overlap-event kernel shard_maps over a disorder-only mesh
     (per-shard tile packing, incl. the packed J/T grids); houdayer draws are
@@ -263,12 +263,13 @@ def test_event_kernel_under_disorder_mesh(monkeypatch, build_mode):
         warmup_ratio=0,
     )
 
-    sharded = IsingSimulation([8, 8], coup, temps, 2, None, 17,
+    n_rep = 4 if build_mode == "houd4" else 2
+    sharded = IsingSimulation([8, 8], coup, temps, n_rep, None, 17,
                               mesh=make_mesh(8))
     r_sh = sharded.sample(6, "metropolis", **kwargs)
     prog = next(iter(sharded._programs.values()))
     assert prog.event_kernel, prog.describe_plan()
-    plain = IsingSimulation([8, 8], coup, temps, 2, None, 17, mesh=None)
+    plain = IsingSimulation([8, 8], coup, temps, n_rep, None, 17, mesh=None)
     r_pl = plain.sample(6, "metropolis", **kwargs)
     assert next(iter(plain._programs.values())).event_kernel
 
