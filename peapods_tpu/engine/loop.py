@@ -500,32 +500,41 @@ class LoopProgram:
             or rt.mesh.devices.size == 1
             or tuple(rt.mesh.axis_names) == ("disorder",)
         )
+        # CC labels are graph-local and the flat batch is embarrassingly
+        # parallel, so ANY even contiguous split serves — systems-sharded
+        # meshes qualify too (a 'space' axis splits graphs themselves and
+        # stays on the XLA-partitioned jnp path).  Calls whose batch does
+        # not divide over the mesh fall back per-call in _cc_many.
+        cc_mesh_ok = mesh_ok or set(rt.mesh.axis_names) <= {
+            "disorder", "systems"
+        }
         self.cc_batch = (
             rt.pallas_ok
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and not self.cc_pallas
             and _os.environ.get("PEAPODS_DISABLE_CCBATCH") != "1"
-            and mesh_ok
+            and cc_mesh_ok
         )
         if (
             rt.pallas_ok
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and not self.cc_batch
             and not self.cc_pallas
-            and not mesh_ok
+            and not cc_mesh_ok
             and (cfg.cluster_update is not None or h is not None)
         ):
             from ..utils.log import log_once as _log_once
 
             _log_once(
-                "systems/space-sharded mesh: cluster labeling uses the jnp "
-                "CC path (the batched CC kernel shards over disorder only)"
+                "space-sharded mesh: cluster labeling uses the jnp CC path "
+                "(the batched CC kernel needs whole graphs per shard)"
             )
         n_mesh = 1 if rt.mesh is None else rt.mesh.devices.size
         self._ccb = (
             pallas_cc_batch.cc_batch_factors(
                 # per-shard graph count: each device packs its own shard
-                rt.lattice, max(1, rt.n_disorder // n_mesh) * rt.n_systems
+                rt.lattice,
+                max(1, rt.n_disorder * rt.n_systems // n_mesh),
             )
             if self.cc_batch
             else None
@@ -987,11 +996,22 @@ class LoopProgram:
 
                 # Graph batches are disorder-major (every caller flattens
                 # [d, k, ...] -> [d*k, ...]) and labels are graph-local, so
-                # each device labels its own disorder shard at full kernel
-                # speed; tile padding happens per shard inside the map.
+                # any even contiguous split over the combined mesh axes
+                # keeps whole graphs per device at full kernel speed; tile
+                # padding happens per shard inside the map.  Batches that
+                # do not divide over the mesh (some overlap-task counts
+                # under a systems axis) keep the XLA-partitioned jnp path.
+                if active_flat.shape[0] % mesh.devices.size:
+                    return jax.vmap(
+                        lambda a: cl.connected_components(a, rt.geom)
+                    )(active_flat)
+                axes = tuple(
+                    a for a in ("disorder", "systems") if a in mesh.axis_names
+                )
+                spec = P(axes)
                 call = jax.shard_map(
-                    call, mesh=mesh, in_specs=P("disorder"),
-                    out_specs=P("disorder"), check_vma=False,
+                    call, mesh=mesh, in_specs=spec,
+                    out_specs=spec, check_vma=False,
                 )
             return call(active_flat)
         return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(

@@ -307,3 +307,35 @@ def test_fk_kernel_under_disorder_mesh(monkeypatch):
         np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
     )
     np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cc_batch_kernel_under_disorder_systems_mesh(monkeypatch):
+    """The batched CC kernel also serves disorder x systems meshes (the
+    flat graph batch splits evenly over the combined axes; labels are
+    graph-local), bitwise vs the unsharded run."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.0, 2.6], dtype=np.float32)
+    rng = np.random.default_rng(33)
+    coup = (2 * rng.integers(0, 2, size=(2, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(cluster_update_interval=2, cluster_mode="sw",
+                  collect_cluster_stats=True, warmup_ratio=0)
+    mesh = make_mesh(8, ("disorder", "systems"))
+    assert dict(mesh.shape) == {"disorder": 2, "systems": 4}
+
+    sharded = IsingSimulation([8, 8], coup, temps, 2, None, 37, mesh=mesh)
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.cc_batch, prog.describe_plan()
+    plain = IsingSimulation([8, 8], coup, temps, 2, None, 37, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_sh["fk_csd"]), np.asarray(r_pl["fk_csd"])
+    )
