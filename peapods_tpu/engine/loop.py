@@ -85,7 +85,7 @@ OBS_KINDS = ("houdayer", "jorg", "cmr")  # overlap observation accumulator kinds
 SERIES = {"m2_ac": 0, "q2_ac": 1, "diag_e": 2, "diag_ql": 3}
 N_SERIES = len(SERIES)
 
-_PH_SWEEP, _PH_FK, _PH_OVERLAP, _PH_PT = range(1, 5)
+_PH_SWEEP, _PH_FK, _PH_OVERLAP, _PH_PT, _PH_EVT = range(1, 6)
 
 # Device-side equilibration checkpoint slots: sweeps 128*2^k
 # (equilibration.rs:17-59); 24 slots reach ~1e9 sweeps.  The final
@@ -593,6 +593,20 @@ class LoopProgram:
             )
             else None
         )
+        # In-kernel megapair overlap event (ops/pallas_megapair.py ev_*):
+        # the whole per-interval block — event sweep, pair move, PT,
+        # remaining sweeps — in ONE pallas_call on the megapair path.  Same
+        # no-stats/update/pairs gate as the interleaved fused event, plus R
+        # even for the static partner layout.  PEAPODS_MP_EVENT=0 reverts.
+        self.mp_event = (
+            self.megapair
+            and h is not None
+            and h.action == "update"
+            and all(m.group_size == 2 for m in h.modes)
+            and rt.n_replicas % 2 == 0
+            and not (self.collect_overlap or self.observe_overlap)
+            and _os.environ.get("PEAPODS_MP_EVENT") != "0"
+        )
         # Fused FK kernel (ops/pallas_event.py fk_update_batch): the whole
         # SW/Wolff cluster update — bond draws, CC fixed point, cluster
         # flips — in ONE pallas_call per sweep when nothing collects
@@ -645,6 +659,8 @@ class LoopProgram:
         elif self.megapair:
             kp, rp = self._mp
             sweep = f"megapair(kp={kp},rp={rp})"
+            if getattr(self, "mp_event", False):
+                sweep += "+event"
         elif rt.use_pallas:
             sweep = "pallas-2d"
         elif rt.pack_k:
@@ -2251,8 +2267,20 @@ class LoopProgram:
             if h
             else None
         )
+        # In-kernel overlap event (self.mp_event): the whole block — event
+        # sweep, pair move, PT, remaining sweeps — becomes ONE pallas_call
+        # (no tiles<->slots repacking, no jnp PT mirror, no jnp energy
+        # re-derivation).  PEAPODS_MP_EVENT=0 reverts to the interleaved
+        # path.
+        fuse_evt = self.mp_event
+        ev_kinds = tuple(m.kind for m in h.modes) if fuse_evt else None
+        ev_wolff = h.cluster_mode == "wolff" if fuse_evt else False
+        ev_probes_on = fuse_evt and ev_wolff and any(
+            k in ("houdayer", "jorg") for k in ev_kinds
+        )
         slot_branches = [
-            self._overlap_branch_slots(m) for m in (h.modes if h else [])
+            self._overlap_branch_slots(m)
+            for m in (h.modes if h and not fuse_evt else [])
         ]
 
         def words(keys, ctr, phase, n):
@@ -2271,7 +2299,7 @@ class LoopProgram:
 
             return jax.vmap(per_key)(keys).reshape(d, 2 * n)
 
-        def make_call(n_in, with_pt):
+        def make_call(n_in, with_pt, with_event=False):
             call = functools.partial(
                 pallas_megapair.megapair_chunk,
                 shape=shape,
@@ -2286,28 +2314,35 @@ class LoopProgram:
                 hot_slot=rt.hot_slot,
                 cold_slot=rt.cold_slot,
                 interpret=interpret,
+                ev_kinds=ev_kinds if with_event else None,
+                ev_wolff=ev_wolff if with_event else False,
             )
             if rt.mesh is not None and rt.mesh.devices.size > 1:
                 from jax.sharding import PartitionSpec as P
 
                 dspec = P("disorder")
+                # engine always passes (mode, perm, iperm, scal, words);
+                # probes + rank tiles ride only Wolff houdayer/jorg kinds
+                n_ev = (5 + (2 if ev_probes_on else 0)) if with_event else 0
                 call = jax.shard_map(
                     call,
                     mesh=rt.mesh,
                     in_specs=(dspec, dspec, P(), dspec, dspec, dspec, dspec,
-                              dspec, dspec, dspec, dspec, dspec),
+                              dspec, dspec, dspec, dspec, dspec)
+                    + (dspec,) * n_ev,
                     out_specs=(dspec,) * 11,
                     check_vma=False,
                 )
             return call
 
-        call_a = make_call(1, False) if h is not None else None
+        call_a = make_call(1, False) if (h is not None and not fuse_evt) else None
         call_b = (
             make_call(n_inner - 1, True)
-            if (h is not None and n_inner > 1)
+            if (h is not None and not fuse_evt and n_inner > 1)
             else None
         )
         call_full = make_call(n_inner, True) if h is None else None
+        call_evt = make_call(n_inner, True, True) if fuse_evt else None
 
         def apply_records(acc, e_sw, m_sw, qs_sw, ql_sw, gate_f, gate_i,
                           xs_part, warm):
@@ -2405,7 +2440,92 @@ class LoopProgram:
             x0 = xs_blk[0]
             series_parts = []
 
-            if h is not None:
+            if fuse_evt:
+                # --- one kernel call per block: sweep 0 -> in-kernel
+                # overlap event -> PT -> remaining sweeps (reference order
+                # mod.rs:405-796).  Pairing permutation, task scalars, and
+                # find_seed probes are drawn here bitwise like the
+                # interleaved path (_overlap_branch_slots); the kernel
+                # canonicalizes regions and applies only the selected
+                # mode's flips.
+                seeds = words(state["base_keys"], ctr, _PH_SWEEP, n_inner)
+                ptw = words(state["base_keys"], ctr, _PH_PT, n_inner)
+                eww = words(state["base_keys"], ctr, _PH_EVT, 1)
+                keys_evt = jax.vmap(
+                    lambda k: jax.random.fold_in(k, ctr)
+                )(state["base_keys"])
+                mode_idx = (
+                    (jnp.maximum(x0, 0) // h.interval) % self.n_modes
+                ).astype(jnp.int32)
+                n_groups_ov = R // 2
+
+                def draws_d(key_d):
+                    k_shuffle, k_tasks = jax.random.split(
+                        jax.random.fold_in(key_d, _PH_OVERLAP)
+                    )
+                    keys_t = jax.random.split(k_shuffle, T)
+                    perm_d = jax.vmap(
+                        lambda k: jax.random.permutation(k, R)
+                    )(keys_t)  # [T, R]
+                    tkeys_d = jax.random.split(k_tasks, T * n_groups_ov)
+                    return perm_d, tkeys_d
+
+                perm, tkeys = jax.vmap(draws_d)(keys_evt)
+                iperm = jnp.argsort(perm, axis=-1)
+
+                def scal_branch(kind):
+                    def f(tk):
+                        return jax.vmap(
+                            lambda tkd: pallas_event.mp_event_scalars(
+                                kind, ev_wolff, tkd, n_spins
+                            )
+                        )(tk)
+
+                    return f
+
+                branches_sc = [scal_branch(m.kind) for m in h.modes]
+                if self.n_modes == 1:
+                    scal, probes = branches_sc[0](tkeys)
+                else:
+                    scal, probes = jax.lax.switch(
+                        mode_idx, branches_sc, tkeys
+                    )
+                ev_extra = []
+                if ev_probes_on:
+                    ev_extra = [
+                        probes.reshape(d, T * n_groups_ov * 64),
+                        pallas_event.mp_event_rank_tiles(
+                            probes, R, T, shape, kp, rp
+                        ),
+                    ]
+                meta = jnp.broadcast_to(
+                    jnp.stack([jnp.maximum(x0, 0), total_active])[None, :],
+                    (d, 2),
+                )
+                out = call_evt(
+                    tiles, jg, rt.temps[None, :], seeds, ptw, meta,
+                    sid_flat, ea, ec, rtr, ts, par,
+                    jnp.broadcast_to(
+                        mode_idx[None, None], (d, 1)
+                    ).astype(jnp.int32),
+                    perm.reshape(d, T * R).astype(jnp.int32),
+                    iperm.reshape(d, T * R).astype(jnp.int32),
+                    scal.reshape(d, T * n_groups_ov * 6),
+                    eww,
+                    *ev_extra,
+                )
+                (tiles, e_f, m_f, qs_f, ql_f,
+                 sid_flat, ea, ec, rtr, ts, par) = out
+                gate_f = ((xs_blk >= 0) & (xs_blk >= warm)).astype(
+                    jnp.float32
+                )
+                acc, ser = apply_records(
+                    acc, e_f, m_f, qs_f, ql_f, gate_f,
+                    gate_f.astype(jnp.int32), xs_blk, warm,
+                )
+                if ser is not None:
+                    series_parts.append(ser)
+            elif h is not None:
                 # --- call A: the event sweep (sweep + measure, no PT)
                 seeds_a = words(state["base_keys"], ctr, _PH_SWEEP, 1)
                 ptw_a = words(state["base_keys"], ctr, _PH_PT, 1)

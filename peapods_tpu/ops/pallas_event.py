@@ -55,6 +55,8 @@ __all__ = [
     "supports_event",
     "supports_event_houdn",
     "event_scalars",
+    "mp_event_scalars",
+    "mp_event_rank_tiles",
     "houdn_scalars",
     "pack_event_jt",
     "overlap_event_batch",
@@ -125,6 +127,86 @@ def event_scalars(kind: str, wolff: bool, a, b, tkeys, n_spins: int):
         return jnp.stack([bs[0], bs[1], gs[0], gs[1], seed, z])
 
     return jax.vmap(one)(a, b, tkeys)
+
+
+def mp_event_scalars(kind: str, wolff: bool, tkeys, n_spins: int):
+    """Spins-free per-task draws for the in-megapair event
+    (:func:`peapods_tpu.ops.pallas_megapair.megapair_chunk` ``ev_*``
+    operands): same key-split order as :func:`event_scalars`, but the Wolff
+    houdayer/jorg seed SELECTION moves in-kernel — only the 64 ``find_seed``
+    probe indices (which are spin-independent, clusters/utils.rs:107-119)
+    are drawn here, bitwise the staged path's.
+
+    Returns ``(scal int32 [B, 6], probes int32 [B, 64])`` (probes zero for
+    kinds/modes that need none).
+    """
+    z = jnp.int32(0)
+    zp = jnp.zeros((64,), jnp.int32)
+    none = jnp.int32(n_spins)
+
+    def one(key):
+        if kind == "houdayer":
+            k_seed, k_coin = jax.random.split(key)
+            if wolff:
+                probes = jax.random.randint(k_seed, (64,), 0, n_spins)
+                return (
+                    jnp.stack([z, z, z, z, none, z]),
+                    probes.astype(jnp.int32),
+                )
+            s = cl.coin_salt(k_coin)
+            return jnp.stack([s[0], s[1], z, z, none, z]), zp
+        if kind == "jorg":
+            _k_bond, k_seed, k_coin = jax.random.split(key, 3)
+            if wolff:
+                probes = jax.random.randint(k_seed, (64,), 0, n_spins)
+                return (
+                    jnp.stack([z, z, z, z, none, z]),
+                    probes.astype(jnp.int32),
+                )
+            s = cl.coin_salt(k_coin)
+            return jnp.stack([s[0], s[1], z, z, none, z]), zp
+        _k_blue, _k_red, k_seed, k_bcoin, k_gcoin = jax.random.split(key, 5)
+        seed = jax.random.randint(k_seed, (), 0, n_spins, dtype=jnp.int32)
+        if wolff:
+            kq = jax.random.randint(k_gcoin, (), 1, 4, dtype=jnp.int32)
+            return jnp.stack([z, z, z, z, seed, kq]), zp
+        bs = cl.coin_salt(k_bcoin)
+        gs = cl.coin_salt(k_gcoin)
+        return jnp.stack([bs[0], bs[1], gs[0], gs[1], seed, z]), zp
+
+    return jax.vmap(one)(tkeys)
+
+
+def mp_event_rank_tiles(probes, n_replicas, n_temps, shape, kp, rp):
+    """Per-site first-probe ranks in megapair tile layout.
+
+    ``probes``: int32 ``[d, T*(R//2), 64]`` (temp-major tasks).  Each task's
+    64 probe indices become a per-site rank ``min{p: probes[p] == site}``
+    (127 = never probed), placed at the task's EVEN canonical position
+    ``2p`` so the kernel's per-pair min over active sites recovers the
+    staged ``find_seed`` selection bitwise.  Returns int8
+    ``[d, n_temps, rp*L0, kp*block]``.
+    """
+    from .pallas_megapair import slots_to_tiles
+
+    d = probes.shape[0]
+    shape = tuple(shape)
+    l0 = shape[0]
+    n_spins = int(np.prod(shape))
+    block = n_spins // l0
+    n_pairs = n_replicas // 2
+
+    def rank_of(pr):
+        return jnp.full((n_spins,), 127, jnp.int8).at[pr].min(
+            jnp.arange(64, dtype=jnp.int8)
+        )
+
+    ranks = jax.vmap(jax.vmap(rank_of))(probes)  # [d, T*P, n]
+    rs = ranks.reshape(d, n_temps, n_pairs, n_spins).transpose(0, 2, 1, 3)
+    rank_slot = jnp.zeros(
+        (d, n_replicas, n_temps, n_spins), jnp.int8
+    ).at[:, ::2].set(rs)
+    return slots_to_tiles(rank_slot, l0, block, kp, rp)
 
 
 def pack_event_jt(couplings, temps, n_groups: int, shape, kp: int, ks: int):

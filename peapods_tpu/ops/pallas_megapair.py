@@ -70,6 +70,30 @@ __all__ = [
     "pt_event_jnp",
 ]
 
+
+def _i32c(c):
+    return np.uint32(c).astype(np.int32)
+
+
+def _salted_uniform_i32(labels, s0, s1):
+    """int32 re-expression of :func:`peapods_tpu.ops.cluster.salted_uniform`
+    (bitwise identical; two's-complement mul/xor match uint32)."""
+    srl = jax.lax.shift_right_logical
+    x = labels ^ s0
+    x = (x ^ srl(x, 16)) * _i32c(0x85EBCA6B)
+    x = (x ^ srl(x, 13)) * _i32c(0xC2B2AE35)
+    x = x ^ srl(x, 16) ^ s1
+    x = (x ^ srl(x, 16)) * _i32c(0x7FEB352D)
+    x = (x ^ srl(x, 15)) * _i32c(0x846CA68B)
+    x = x ^ srl(x, 16)
+    return srl(x, 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+_EV_ROUNDS_PER_CHECK = 16
+
+# event scalar columns (shared with ops.pallas_event)
+_EV_S0, _EV_S1, _EV_S2, _EV_S3, _EV_SEED, _EV_K = range(6)
+
 _HYPERCUBIC_2D = np.array([[1, 0], [0, 1]])
 _HYPERCUBIC_3D = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
 
@@ -306,22 +330,41 @@ def _mp_kernel(
     # VMEM
     spins_ref,      # i8 [1, n_temps, rows, lanes]
     jg_ref,         # f32 [1, n_grids, rows, lanes]
-    # outputs
-    spins_out_ref,
-    e_out_ref,      # f32 [1, n_inner, n_slots]  SMEM
-    m_out_ref,      # i32 [1, n_inner, n_slots]  SMEM
-    qs_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
-    ql_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
-    sid_out_ref, ea_out_ref, ec_out_ref, rt_out_ref, ts_out_ref, par_out_ref,
-    *,
+    # event operands (present iff ev_kinds), then outputs — see below
+    *rest,
     gibbs, n_inner, n_temps, n_replicas, n_pairs, n_edges, l0, l1, l2,
     kp, rp, tg, pt_interval, pt_full, hot_slot, cold_slot, n_systems,
+    ev_kinds=None, ev_wolff=False,
 ):
     block = l1 * l2
     rows, lanes = rp * l0, kp * block
     n_slots = n_replicas * n_temps
     n_spins = l0 * block
     two_dim = l2 == 1
+
+    refs = list(rest)
+    ev_needs_words = bool(ev_kinds) and any(k != "houdayer" for k in ev_kinds)
+    ev_probes_on = (
+        bool(ev_kinds)
+        and ev_wolff
+        and any(k in ("houdayer", "jorg") for k in ev_kinds)
+    )
+    if ev_kinds:
+        ev_mode_ref = refs.pop(0)    # i32 [1, 1, 1]
+        ev_perm_ref = refs.pop(0)    # i32 [1, 1, T*R]   canonical pos -> replica
+        ev_iperm_ref = refs.pop(0)   # i32 [1, 1, T*R]   replica -> canonical pos
+        ev_scal_ref = refs.pop(0)    # i32 [1, 1, T*n_pairs*6]
+        ev_words_ref = refs.pop(0) if ev_needs_words else None
+        if ev_probes_on:
+            ev_probes_ref = refs.pop(0)  # i32 [1, 1, T*n_pairs*64]
+            ev_rank_ref = refs.pop(0)    # i8  [1, n_temps, rows, lanes]
+    (spins_out_ref,
+     e_out_ref,      # f32 [1, n_inner, n_slots]  SMEM
+     m_out_ref,      # i32 [1, n_inner, n_slots]  SMEM
+     qs_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
+     ql_out_ref,     # i32 [1, n_inner, n_pairs*n_temps]  SMEM
+     sid_out_ref, ea_out_ref, ec_out_ref, rt_out_ref, ts_out_ref,
+     par_out_ref) = refs
 
     def body(es_ref):
         # State flows by explicit copy-in (inputs are NOT aliased to the
@@ -506,7 +549,7 @@ def _mp_kernel(
                         out[(tl, r)] = part[s0:s0 + l0].sum()
             return out
 
-        def sweep_t(t, _):
+        def sweep_and_measure(t):
             pltpu.prng_seed(seeds_ref[0, 0, 2 * t], seeds_ref[0, 0, 2 * t + 1])
 
             for g in range(n_tgroups):
@@ -559,6 +602,7 @@ def _mp_kernel(
                             jnp.int32
                         )
 
+        def pt_at(t):
             if pt_interval is not None:
                 w0 = ptw_ref[0, 0, 2 * t]
                 w1 = ptw_ref[0, 0, 2 * t + 1]
@@ -596,9 +640,371 @@ def _mp_kernel(
                             e = _scalar_randint(w0, w1, r, n_edges)
                             try_edge(r, e, w0, w1, n_replicas + r)
 
+        def sweep_t(t, _):
+            sweep_and_measure(t)
+            pt_at(t)
             return 0
 
-        jax.lax.fori_loop(0, n_active, sweep_t, 0)
+        # ---------------------------------------------- in-kernel overlap
+        # event (ev_kinds set): the whole per-interval block — sweep 0 ->
+        # pair overlap move -> PT -> remaining sweeps — runs in ONE kernel,
+        # the TPU counterpart of the reference sweep order
+        # (simulation/mod.rs:405-796 with the overlap move at
+        # sweep % interval == 0, clusters/overlap.rs:64-144).  The random
+        # per-temperature pairing is canonicalized by a masked region
+        # permutation (positions (2p, 2p+1) are the static partner layout),
+        # the move runs on resident tiles, and the inverse permutation
+        # restores replica order.  Mode selection is maskless control flow:
+        # every mode body always runs (uniform draw streams) and only the
+        # selected mode's flips apply — no lax.cond around the CC
+        # while_loops.
+        if ev_kinds:
+            b_local_g = (
+                jax.lax.rem(row_g, np.int32(rows)) // np.int32(l0)
+            )
+            pos_tile = b_local_g * np.int32(kp) + lane_group_g
+            pair_tile = pos_tile // 2
+            if kp >= 2:
+                even_mask = (lane_group_g & 1) == 0
+            else:
+                even_mask = (b_local_g & 1) == 0
+            local_site = jax.lax.rem(row_g, np.int32(l0)) * np.int32(
+                block
+            ) + jax.lax.rem(col_g, np.int32(block))
+            im_g, ip_g, jm_g, jp_g, km_g, kpf_g = shifts_g
+            n_dims = 2 if two_dim else 3
+            ev_fwd = [ip_g, jp_g, kpf_g][:n_dims]
+            ev_bwd = [im_g, jm_g, km_g][:n_dims]
+            big = jnp.int32(n_spins)
+
+            def shift_mask(f, m):
+                return f(m.astype(jnp.int32)) != 0
+
+            def pmate(m):
+                """Partner-region copy of a (bool) mask tile."""
+                return partner_flat(m.astype(jnp.int32)) != 0
+
+            def ev_apply(s, flip, gate):
+                """Masked flip: ``gate`` is a scalar bool (mode select +
+                sentinel-block guard) — scalar*vector i32, the kernel's
+                select-free masking pattern (Mosaic has no scalar-bool
+                select on vectors)."""
+                m = flip.astype(jnp.int32) * gate.astype(jnp.int32)
+                return jnp.where(m != 0, -s, s)
+
+            def pbcast(g0, col_i):
+                """Per-pair event scalar broadcast to a group tile."""
+                v = jnp.zeros((gN, lanes), jnp.int32)
+                for tl in range(tg):
+                    for p in range(n_pairs):
+                        off = ((g0 + tl) * n_pairs + p) * 6 + col_i
+                        v = jnp.where(
+                            (slab_g1 == tl) & (pair_tile == p),
+                            ev_scal_ref[0, 0, off], v,
+                        )
+                return v
+
+            def pair_mins(g0, x):
+                """{(tl, p): scalar} min over pair p's even region."""
+                out = {}
+                for p in range(n_pairs):
+                    je = 2 * p
+                    be, ce = je // kp, je % kp
+                    part = x if kp == 1 else jnp.where(
+                        lane_group_g == ce, x, jnp.int32(127)
+                    )
+                    part = part.min(axis=1, keepdims=True)
+                    for tl in range(tg):
+                        s0_ = tl * rows + be * l0
+                        out[(tl, p)] = part[s0_:s0_ + l0].min()
+                return out
+
+            def wolff_seed_tile(g0, active_even):
+                """First-active-probe Wolff seed per pair, bitwise the staged
+                find_seed (clusters/utils.rs:107-119): the 64 probe indices
+                were drawn outside from the task key; the rank tile holds
+                min{p: probes[p] == site}, so the per-pair min of ranks over
+                active sites IS the first hitting probe."""
+                rank = ev_rank_ref[0, g0:g0 + tg].reshape(gN, lanes).astype(
+                    jnp.int32
+                )
+                prio = jnp.where(active_even, rank, jnp.int32(127))
+                mins = pair_mins(g0, prio)
+                st = jnp.full((gN, lanes), big, jnp.int32)
+                for tl in range(tg):
+                    for p in range(n_pairs):
+                        toff = ((g0 + tl) * n_pairs + p) * 64
+                        pstar = mins[(tl, p)]
+                        idx = toff + jnp.minimum(pstar, jnp.int32(63))
+                        sd = jnp.where(
+                            pstar < 127, ev_probes_ref[0, 0, idx], big
+                        )
+                        st = jnp.where(
+                            (slab_g1 == tl) & (pair_tile == p), sd, st
+                        )
+                return st
+
+            def ev_cc(bonds, seed_tile):
+                """Min-label fixed point over the even pair regions (rolls
+                are region-confined by the seam-corrected shift helpers)."""
+                ab = [shift_mask(ev_bwd[d], bonds[d]) for d in range(n_dims)]
+                if seed_tile is None:
+                    init = local_site
+                else:
+                    init = jnp.where(
+                        even_mask & (local_site == seed_tile),
+                        jnp.int32(-1), local_site,
+                    )
+
+                def propagate(lab):
+                    new = lab
+                    for d in range(n_dims):
+                        lf = jnp.where(bonds[d], ev_fwd[d](lab), big)
+                        lb = jnp.where(ab[d], ev_bwd[d](lab), big)
+                        new = jnp.minimum(new, jnp.minimum(lf, lb))
+                    return new
+
+                def cc_body(carry):
+                    lab, _ = carry
+                    new = lab
+                    for _ in range(_EV_ROUNDS_PER_CHECK):
+                        new = propagate(new)
+                    return new, jnp.any(new != lab)
+
+                labels, _ = jax.lax.while_loop(
+                    lambda c: c[1], cc_body, (init, jnp.bool_(True))
+                )
+                return labels
+
+            def ev_nonsingleton(bonds):
+                inc = bonds[0]
+                for d in range(1, n_dims):
+                    inc = inc | bonds[d]
+                for d in range(n_dims):
+                    inc = inc | shift_mask(ev_bwd[d], bonds[d])
+                return inc
+
+            def ev_uniform():
+                return _hw_uniform((gN, lanes))
+
+            def ev_jt(g0):
+                """Per-site J/T grids (forward bonds) of a group tile."""
+                return [
+                    jg_ref[0, 2 * d + 1] * (0.5 * inv_tiles[g0 // tg])
+                    for d in range(n_dims)
+                ]
+
+            def ev_permute(s, table_ref, g0):
+                """Masked region permutation: target position j reads the
+                region ``table[t, j]`` of its own temperature slab."""
+                out = jnp.zeros_like(s)
+                rolled = {}
+                for j in range(n_replicas):
+                    bj, cj = j // kp, j % kp
+                    for src in range(n_replicas):
+                        bs, cs = src // kp, src % kp
+                        sr = ((bj - bs) * l0) % gN
+                        sl = ((cj - cs) * block) % lanes
+                        if (sr, sl) not in rolled:
+                            v = s
+                            if sr:
+                                v = pltpu.roll(v, sr, 0)
+                            if sl:
+                                v = pltpu.roll(v, sl, 1)
+                            rolled[(sr, sl)] = v
+                        cond_col = jnp.zeros((gN, 1), jnp.int32)
+                        for tl in range(tg):
+                            cnd = (
+                                table_ref[0, 0, (g0 + tl) * n_replicas + j]
+                                == src
+                            )
+                            cond_col = jnp.where(
+                                slab_g1 == tl, cnd.astype(jnp.int32),
+                                cond_col,
+                            )
+                        m = (pos_tile == j) & (cond_col != 0)
+                        out = jnp.where(m, rolled[(sr, sl)], out)
+                return out
+
+            def ev_houdayer(s, g0, gate):
+                """Houdayer pair move (overlap.rs:146-339, g=2): active
+                sites sigma != tau, deterministic bonds — bitwise the
+                staged path end-to-end."""
+                b_vals = partner_flat(s)
+                active = ((s * b_vals) < 0) & even_mask
+                bonds = [
+                    active & shift_mask(ev_fwd[d], active)
+                    for d in range(n_dims)
+                ]
+                if ev_wolff:
+                    labels = ev_cc(bonds, wolff_seed_tile(g0, active))
+                    flip = labels == -1
+                else:
+                    labels = ev_cc(bonds, None)
+                    coin = _salted_uniform_i32(
+                        labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
+                    ) < 0.5
+                    flip = coin & ev_nonsingleton(bonds) & even_mask
+                return ev_apply(s, flip | pmate(flip), gate)
+
+            def ev_jorg(s, g0, gate):
+                """Joerg pair move (overlap.rs:341-553): stochastic bonds
+                p = 1 - exp(-4 J sigma_i sigma_j / T) on satisfied active
+                bonds (hardware-PRNG uniforms, like ops.pallas_event)."""
+                b_vals = partner_flat(s)
+                active = ((s * b_vals) < 0) & even_mask
+                jt = ev_jt(g0)
+                sf = s.astype(jnp.float32)
+                bonds = []
+                for d in range(n_dims):
+                    inter = sf * ev_fwd[d](sf) * jt[d]
+                    p = 1.0 - jnp.exp(-4.0 * inter)
+                    bonds.append(
+                        (inter > 0.0)
+                        & (ev_uniform() < p)
+                        & active
+                        & shift_mask(ev_fwd[d], active)
+                    )
+                if ev_wolff:
+                    labels = ev_cc(bonds, wolff_seed_tile(g0, active))
+                    flip = labels == -1
+                else:
+                    labels = ev_cc(bonds, None)
+                    coin = _salted_uniform_i32(
+                        labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
+                    ) < 0.5
+                    flip = coin & ev_nonsingleton(bonds) & even_mask
+                return ev_apply(s, flip | pmate(flip), gate)
+
+            def ev_cmr(s, g0, gate):
+                """CMR two-phase move (overlap.rs:555-963): blue bonds on
+                doubly-satisfied edges w.p. 1-r^2, joint blue flip, red
+                extension w.p. 1-r post-flip, grey k-flips."""
+                jt = ev_jt(g0)
+                r_d = [jnp.exp(-2.0 * jnp.abs(jt[d])) for d in range(n_dims)]
+
+                def sats(av, bv):
+                    a_s, b_s = [], []
+                    for d in range(n_dims):
+                        a_s.append(av * ev_fwd[d](av) * jt[d] > 0.0)
+                        b_s.append(bv * ev_fwd[d](bv) * jt[d] > 0.0)
+                    return a_s, b_s
+
+                af = s.astype(jnp.float32)
+                bf = partner_flat(s).astype(jnp.float32)
+                a_sat, b_sat = sats(af, bf)
+                blue = [
+                    a_sat[d] & b_sat[d]
+                    & (ev_uniform() < 1.0 - r_d[d] * r_d[d])
+                    & even_mask
+                    for d in range(n_dims)
+                ]
+                seed_tile = pbcast(g0, _EV_SEED) if ev_wolff else None
+                if ev_wolff:
+                    blue_labels = ev_cc(blue, seed_tile)
+                    bflip = (blue_labels == -1) & even_mask
+                else:
+                    blue_labels = ev_cc(blue, None)
+                    coin = _salted_uniform_i32(
+                        blue_labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
+                    ) < 0.5
+                    bflip = coin & ev_nonsingleton(blue) & even_mask
+                s = ev_apply(s, bflip | pmate(bflip), gate)
+
+                af = s.astype(jnp.float32)
+                bf = partner_flat(s).astype(jnp.float32)
+                a_sat, b_sat = sats(af, bf)
+                grey = [
+                    blue[d]
+                    | (
+                        (a_sat[d] != b_sat[d])
+                        & (ev_uniform() < 1.0 - r_d[d])
+                        & even_mask
+                    )
+                    for d in range(n_dims)
+                ]
+                if ev_wolff:
+                    grey_labels = ev_cc(grey, seed_tile)
+                    in_grey = (grey_labels == -1) & even_mask
+                    kq = pbcast(g0, _EV_K)
+                    flip_a = in_grey & ((kq & 1) != 0)
+                    flip_b = in_grey & ((kq & 2) != 0)
+                else:
+                    grey_labels = ev_cc(grey, None)
+                    u = _salted_uniform_i32(
+                        grey_labels, pbcast(g0, _EV_S2), pbcast(g0, _EV_S3)
+                    )
+                    kq = (u * 4.0).astype(jnp.int32)
+                    ns = ev_nonsingleton(grey) & even_mask
+                    flip_a = ns & ((kq & 1) != 0)
+                    flip_b = ns & ((kq & 2) != 0)
+                return ev_apply(s, flip_a | pmate(flip_b), gate)
+
+            ev_bodies = {
+                "houdayer": ev_houdayer, "jorg": ev_jorg, "cmr": ev_cmr,
+            }
+
+            def run_overlap_event():
+                if ev_needs_words:
+                    pltpu.prng_seed(
+                        ev_words_ref[0, 0, 0], ev_words_ref[0, 0, 1]
+                    )
+                mode_scal = ev_mode_ref[0, 0, 0]
+                ev_on = n_active > 0
+                for g in range(n_tgroups):
+                    g0 = g * tg
+                    s = (
+                        spins_out_ref[0, g0:g0 + tg]
+                        .reshape(gN, lanes)
+                        .astype(jnp.int32)
+                    )
+                    s = ev_permute(s, ev_perm_ref, g0)
+                    for ki, kind in enumerate(ev_kinds):
+                        gate = ev_on & (mode_scal == ki)
+                        s = ev_bodies[kind](s, g0, gate)
+                    s = ev_permute(s, ev_iperm_ref, g0)
+                    spins_out_ref[0, g0:g0 + tg] = s.astype(
+                        jnp.int8
+                    ).reshape(tg, rows, lanes)
+
+            def recompute_es():
+                """Post-event per-slot energies (the move mutated spins, so
+                PT must re-derive them — mod.rs:748-754)."""
+                for g in range(n_tgroups):
+                    g0 = g * tg
+                    s = (
+                        spins_out_ref[0, g0:g0 + tg]
+                        .reshape(gN, lanes)
+                        .astype(jnp.float32)
+                    )
+                    e_site = s * ev_fwd[0](s) * jg_ref[0, 1]
+                    for d in range(1, n_dims):
+                        e_site = e_site + s * ev_fwd[d](s) * jg_ref[
+                            0, 2 * d + 1
+                        ]
+                    e_sums = slot_sums_g(e_site)
+                    for tl in range(tg):
+                        for r in range(n_replicas):
+                            slot = r * n_temps + g0 + tl
+                            es_ref[0, slot] = e_sums[(tl, r)] / np.float32(
+                                n_spins
+                            )
+
+        if ev_kinds:
+            @pl.when(n_active > 0)
+            def _():
+                sweep_and_measure(0)
+
+            run_overlap_event()
+            recompute_es()
+
+            @pl.when(n_active > 0)
+            def _():
+                pt_at(0)
+
+            jax.lax.fori_loop(1, n_active, sweep_t, 0)
+        else:
+            jax.lax.fori_loop(0, n_active, sweep_t, 0)
 
         # zero the output rows of inactive (sentinel-padded) sweeps
         def zero_t(t, _):
@@ -626,14 +1032,18 @@ def _mp_kernel(
     static_argnames=(
         "shape", "gibbs", "n_inner", "n_temps", "n_replicas", "kp", "rp",
         "pt_interval", "pt_full", "hot_slot", "cold_slot", "interpret", "tg",
+        "ev_kinds", "ev_wolff",
     ),
 )
 def megapair_chunk(
     spins_tiles, jgrids, temps, seeds, pt_words, meta,
     sid, ea, ec, rtrips, tstate, parity,
+    ev_mode=None, ev_perm=None, ev_iperm=None, ev_scal=None, ev_words=None,
+    ev_probes=None, ev_rank=None,
     *,
     shape, gibbs, n_inner, n_temps, n_replicas, kp, rp, pt_interval,
     pt_full, hot_slot, cold_slot, interpret=False, tg=None,
+    ev_kinds=None, ev_wolff=False,
 ):
     """Run ``n_inner`` sweeps (+ fused pair measurement + PT) per realization.
 
@@ -642,6 +1052,17 @@ def megapair_chunk(
     (:func:`pack_slots`); ``sid``: int32 ``[n_d, n_slots]`` flattened r-major.
     ``pt_interval=None`` disables in-kernel PT entirely (the engine's
     pre-overlap-event call runs PT outside via :func:`pt_event_jnp`).
+
+    With ``ev_kinds`` (tuple of overlap build-mode kinds, e.g.
+    ``("jorg", "cmr")``), the block's overlap event runs IN-KERNEL after the
+    first sweep: ``ev_mode`` ``i32 [n_d, 1]`` selects the round-robin kind,
+    ``ev_perm``/``ev_iperm`` ``i32 [n_d, T*R]`` hold the per-temperature
+    pairing permutation and its inverse, ``ev_scal`` ``i32
+    [n_d, T*(R//2)*6]`` the per-task scalars (:func:`ops.pallas_event`
+    column layout), ``ev_words`` ``i32 [n_d, 2]`` the hardware-PRNG bond
+    seed, and (Wolff houdayer/jorg) ``ev_probes`` ``i32 [n_d, T*(R//2)*64]``
+    + ``ev_rank`` ``i8 [n_d, n_temps, rows, lanes]`` the find_seed probe
+    data.
 
     Returns ``(spins_tiles, e [n_d, n_inner, n_slots], m [.., i32],
     qs [n_d, n_inner, n_pairs*n_temps], ql [..], sid, ea, ec, rtrips,
@@ -686,6 +1107,8 @@ def megapair_chunk(
         hot_slot=hot_slot,
         cold_slot=cold_slot,
         n_systems=n_slots,
+        ev_kinds=ev_kinds,
+        ev_wolff=ev_wolff,
     )
     spins_spec = pl.BlockSpec(
         (1, n_temps, rows, lanes), lambda d: (d, 0, 0, 0),
@@ -713,23 +1136,49 @@ def megapair_chunk(
     # (in-place reuse across iterations wedges the DMA pipeline;
     # reproduced on v5e).  The kernel copies state in explicitly, so
     # aliasing was only an allocation optimization.
+    in_specs = [
+        grid_smem(2 * n_inner),             # seeds
+        grid_smem(2 * n_inner),             # pt words
+        smem(),                             # temps (shared)
+        grid_smem(2),                       # meta
+        grid_smem(n_slots),                 # sid
+        grid_smem(max(n_edges, 1)),         # ea
+        grid_smem(max(n_edges, 1)),         # ec
+        grid_smem(n_slots),                 # rtrips
+        grid_smem(n_slots),                 # tstate
+        grid_smem(1),                       # parity
+        spins_spec,
+        jg_spec,
+    ]
+    operands = [
+        mid(seeds), mid(pt_words), temps, mid(meta), mid(sid), mid(ea),
+        mid(ec), mid(rtrips), mid(tstate), mid(parity),
+        spins_tiles, jgrids,
+    ]
+    if ev_kinds:
+        ev_needs_words = any(k != "houdayer" for k in ev_kinds)
+        ev_probes_on = ev_wolff and any(
+            k in ("houdayer", "jorg") for k in ev_kinds
+        )
+        in_specs += [
+            grid_smem(1),                         # ev_mode
+            grid_smem(n_temps * n_replicas),      # ev_perm
+            grid_smem(n_temps * n_replicas),      # ev_iperm
+            grid_smem(n_temps * n_pairs * 6),     # ev_scal
+        ]
+        operands += [mid(ev_mode), mid(ev_perm), mid(ev_iperm), mid(ev_scal)]
+        if ev_needs_words:
+            in_specs.append(grid_smem(2))         # ev_words
+            operands.append(mid(ev_words))
+        if ev_probes_on:
+            in_specs.append(grid_smem(n_temps * n_pairs * 64))  # ev_probes
+            operands.append(mid(ev_probes))
+            in_specs.append(spins_spec)           # ev_rank (i8, spins layout)
+            operands.append(ev_rank)
     out = pl.pallas_call(
         kernel,
         grid=(n_d,),
-        in_specs=[
-            grid_smem(2 * n_inner),             # seeds
-            grid_smem(2 * n_inner),             # pt words
-            smem(),                             # temps (shared)
-            grid_smem(2),                       # meta
-            grid_smem(n_slots),                 # sid
-            grid_smem(max(n_edges, 1)),         # ea
-            grid_smem(max(n_edges, 1)),         # ec
-            grid_smem(n_slots),                 # rtrips
-            grid_smem(n_slots),                 # tstate
-            grid_smem(1),                       # parity
-            spins_spec,
-            jg_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             spins_spec,
             sweep_smem(n_slots),
@@ -761,11 +1210,7 @@ def megapair_chunk(
             jax.ShapeDtypeStruct((n_d, 1, 1), jnp.int32),
         ),
         interpret=_interp(interpret),
-    )(
-        mid(seeds), mid(pt_words), temps, mid(meta), mid(sid), mid(ea),
-        mid(ec), mid(rtrips), mid(tstate), mid(parity),
-        spins_tiles, jgrids,
-    )
+    )(*operands)
     # squeeze the singleton middle axis back out of the grid-state outputs
     sq = lambda x: x.reshape(x.shape[0], x.shape[2])
     return out[:5] + tuple(sq(x) for x in out[5:])
