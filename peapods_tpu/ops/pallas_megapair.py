@@ -334,7 +334,7 @@ def _mp_kernel(
     *rest,
     gibbs, n_inner, n_temps, n_replicas, n_pairs, n_edges, l0, l1, l2,
     kp, rp, tg, pt_interval, pt_full, hot_slot, cold_slot, n_systems,
-    ev_kinds=None, ev_wolff=False,
+    ev_kinds=None, ev_wolff=False, ev_inject=False,
 ):
     block = l1 * l2
     rows, lanes = rp * l0, kp * block
@@ -343,7 +343,11 @@ def _mp_kernel(
     two_dim = l2 == 1
 
     refs = list(rest)
-    ev_needs_words = bool(ev_kinds) and any(k != "houdayer" for k in ev_kinds)
+    ev_needs_words = (
+        bool(ev_kinds)
+        and not ev_inject
+        and any(k != "houdayer" for k in ev_kinds)
+    )
     ev_probes_on = (
         bool(ev_kinds)
         and ev_wolff
@@ -358,6 +362,8 @@ def _mp_kernel(
         if ev_probes_on:
             ev_probes_ref = refs.pop(0)  # i32 [1, 1, T*n_pairs*64]
             ev_rank_ref = refs.pop(0)    # i8  [1, n_temps, rows, lanes]
+        if ev_inject:
+            ev_u_ref = refs.pop(0)   # f32 [1, n_u, n_temps, rows, lanes]
     (spins_out_ref,
      e_out_ref,      # f32 [1, n_inner, n_slots]  SMEM
      m_out_ref,      # i32 [1, n_inner, n_slots]  SMEM
@@ -784,8 +790,21 @@ def _mp_kernel(
                     inc = inc | shift_mask(ev_bwd[d], bonds[d])
                 return inc
 
-            def ev_uniform():
-                return _hw_uniform((gN, lanes))
+            def make_ev_uniform(g0):
+                """Per-group draw stream: hardware PRNG, or (tests) injected
+                uniforms in spins-tile layout — slot i, slabs g0..g0+tg-1.
+                Injected counters reset per group (the same logical per-task
+                fields serve every temperature group)."""
+                if not ev_inject:
+                    return lambda: _hw_uniform((gN, lanes))
+                ctr = [0]
+
+                def u():
+                    i = ctr[0]
+                    ctr[0] += 1
+                    return ev_u_ref[0, i, g0:g0 + tg].reshape(gN, lanes)
+
+                return u
 
             def ev_jt(g0):
                 """Per-site J/T grids (forward bonds) of a group tile."""
@@ -826,7 +845,7 @@ def _mp_kernel(
                         out = jnp.where(m, rolled[(sr, sl)], out)
                 return out
 
-            def ev_houdayer(s, g0, gate):
+            def ev_houdayer(s, g0, gate, uni):
                 """Houdayer pair move (overlap.rs:146-339, g=2): active
                 sites sigma != tau, deterministic bonds — bitwise the
                 staged path end-to-end."""
@@ -847,7 +866,7 @@ def _mp_kernel(
                     flip = coin & ev_nonsingleton(bonds) & even_mask
                 return ev_apply(s, flip | pmate(flip), gate)
 
-            def ev_jorg(s, g0, gate):
+            def ev_jorg(s, g0, gate, uni):
                 """Joerg pair move (overlap.rs:341-553): stochastic bonds
                 p = 1 - exp(-4 J sigma_i sigma_j / T) on satisfied active
                 bonds (hardware-PRNG uniforms, like ops.pallas_event)."""
@@ -861,7 +880,7 @@ def _mp_kernel(
                     p = 1.0 - jnp.exp(-4.0 * inter)
                     bonds.append(
                         (inter > 0.0)
-                        & (ev_uniform() < p)
+                        & (uni() < p)
                         & active
                         & shift_mask(ev_fwd[d], active)
                     )
@@ -876,7 +895,7 @@ def _mp_kernel(
                     flip = coin & ev_nonsingleton(bonds) & even_mask
                 return ev_apply(s, flip | pmate(flip), gate)
 
-            def ev_cmr(s, g0, gate):
+            def ev_cmr(s, g0, gate, uni):
                 """CMR two-phase move (overlap.rs:555-963): blue bonds on
                 doubly-satisfied edges w.p. 1-r^2, joint blue flip, red
                 extension w.p. 1-r post-flip, grey k-flips."""
@@ -895,7 +914,7 @@ def _mp_kernel(
                 a_sat, b_sat = sats(af, bf)
                 blue = [
                     a_sat[d] & b_sat[d]
-                    & (ev_uniform() < 1.0 - r_d[d] * r_d[d])
+                    & (uni() < 1.0 - r_d[d] * r_d[d])
                     & even_mask
                     for d in range(n_dims)
                 ]
@@ -918,7 +937,7 @@ def _mp_kernel(
                     blue[d]
                     | (
                         (a_sat[d] != b_sat[d])
-                        & (ev_uniform() < 1.0 - r_d[d])
+                        & (uni() < 1.0 - r_d[d])
                         & even_mask
                     )
                     for d in range(n_dims)
@@ -953,6 +972,7 @@ def _mp_kernel(
                 ev_on = n_active > 0
                 for g in range(n_tgroups):
                     g0 = g * tg
+                    uni = make_ev_uniform(g0)
                     s = (
                         spins_out_ref[0, g0:g0 + tg]
                         .reshape(gN, lanes)
@@ -961,7 +981,7 @@ def _mp_kernel(
                     s = ev_permute(s, ev_perm_ref, g0)
                     for ki, kind in enumerate(ev_kinds):
                         gate = ev_on & (mode_scal == ki)
-                        s = ev_bodies[kind](s, g0, gate)
+                        s = ev_bodies[kind](s, g0, gate, uni)
                     s = ev_permute(s, ev_iperm_ref, g0)
                     spins_out_ref[0, g0:g0 + tg] = s.astype(
                         jnp.int8
@@ -1039,7 +1059,7 @@ def megapair_chunk(
     spins_tiles, jgrids, temps, seeds, pt_words, meta,
     sid, ea, ec, rtrips, tstate, parity,
     ev_mode=None, ev_perm=None, ev_iperm=None, ev_scal=None, ev_words=None,
-    ev_probes=None, ev_rank=None,
+    ev_probes=None, ev_rank=None, ev_u=None,
     *,
     shape, gibbs, n_inner, n_temps, n_replicas, kp, rp, pt_interval,
     pt_full, hot_slot, cold_slot, interpret=False, tg=None,
@@ -1109,6 +1129,7 @@ def megapair_chunk(
         n_systems=n_slots,
         ev_kinds=ev_kinds,
         ev_wolff=ev_wolff,
+        ev_inject=ev_u is not None,
     )
     spins_spec = pl.BlockSpec(
         (1, n_temps, rows, lanes), lambda d: (d, 0, 0, 0),
@@ -1156,7 +1177,9 @@ def megapair_chunk(
         spins_tiles, jgrids,
     ]
     if ev_kinds:
-        ev_needs_words = any(k != "houdayer" for k in ev_kinds)
+        ev_needs_words = ev_u is None and any(
+            k != "houdayer" for k in ev_kinds
+        )
         ev_probes_on = ev_wolff and any(
             k in ("houdayer", "jorg") for k in ev_kinds
         )
@@ -1175,6 +1198,13 @@ def megapair_chunk(
             operands.append(mid(ev_probes))
             in_specs.append(spins_spec)           # ev_rank (i8, spins layout)
             operands.append(ev_rank)
+        if ev_u is not None:
+            n_u = ev_u.shape[1]
+            in_specs.append(pl.BlockSpec(
+                (1, n_u, n_temps, rows, lanes),
+                lambda d: (d, 0, 0, 0, 0), memory_space=pltpu.VMEM,
+            ))                                    # ev_u (injected, tests)
+            operands.append(ev_u)
     out = pl.pallas_call(
         kernel,
         grid=(n_d,),

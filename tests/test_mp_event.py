@@ -133,3 +133,156 @@ def test_gate_excludes_stats_and_observe(monkeypatch):
         collect_cluster_stats=True,
     )
     assert not next(iter(sim._programs.values())).mp_event
+
+
+@pytest.mark.parametrize(
+    "shape,n_replicas,kind,wolff",
+    [
+        ((8, 128), 2, "jorg", True),
+        ((8, 128), 2, "jorg", False),
+        ((8, 8, 8), 4, "cmr", True),
+        ((8, 8, 8), 4, "cmr", False),
+    ],
+)
+def test_injected_event_matches_staged(monkeypatch, shape, n_replicas, kind,
+                                       wolff):
+    """Per-bond uniforms injected into the in-kernel event and the staged
+    jnp move => bitwise-equal spins — pins the NONZERO-uniform bond logic
+    (stochastic probabilities, J/T slab mapping) the zero-PRNG interpreter
+    path cannot see.  Power-of-two temperatures make the kernel's
+    ``J * 0.5 * (1/(T/2))`` exactly ``J/T``, so no last-ulp slack is
+    needed."""
+    import jax
+    import jax.numpy as jnp
+    from peapods_tpu.ops import pallas_megapair as mp
+    from peapods_tpu.ops import pallas_event as pe
+    from peapods_tpu.ops import overlap as ov
+    from peapods_tpu.ops import cluster as cl
+    from peapods_tpu.ops.lattice import Lattice
+    from peapods_tpu.ops.geometry import GridOps
+
+    n_temps = 2
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    kp, rp = mp.supports_megapair(lat, n_replicas, n_temps)
+    l0 = shape[0]
+    n = lat.n_spins
+    block = n // l0
+    rows, lanes = rp * l0, kp * block
+    n_pairs = n_replicas // 2
+    nd = len(shape)
+    rng = np.random.default_rng(31 + len(shape))
+
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.float32([1.0, 2.0]))
+    jg = mp.pack_coupling_grids_mp(coup, shape, kp, rp)[None]
+    slot_flat = jnp.asarray(rng.choice(
+        np.array([-1, 1], np.int8), size=(1, n_replicas, n_temps, n)
+    ))
+    tiles = mp.slots_to_tiles(slot_flat, l0, block, kp, rp)
+
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, (1, 2), np.int32))
+    ptw = jnp.zeros((1, 2), jnp.int32)
+    meta = jnp.array([[0, 1]], jnp.int32)
+    sid = jnp.arange(n_replicas * n_temps, dtype=jnp.int32)[None]
+    ea = jnp.zeros((1, 1), jnp.int32)
+    ec = jnp.zeros((1, 1), jnp.int32)
+    rtr = jnp.zeros((1, n_replicas * n_temps), jnp.int32)
+    tst = jnp.zeros((1, n_replicas * n_temps), jnp.int32)
+    par = jnp.zeros((1, 1), jnp.int32)
+    kw = dict(
+        shape=tuple(shape), gibbs=False, n_inner=1, n_temps=n_temps,
+        n_replicas=n_replicas, kp=kp, rp=rp, pt_interval=None,
+        pt_full=False, hot_slot=n_temps - 1, cold_slot=0, interpret=True,
+    )
+    base = (tiles, jg, temps[None], seeds, ptw, meta, sid, ea, ec, rtr,
+            tst, par)
+
+    # pairing permutation + task keys/scalars (the engine's draw shapes)
+    perm = jnp.asarray(
+        np.stack([rng.permutation(n_replicas) for _ in range(n_temps)])
+    ).astype(jnp.int32)[None]
+    iperm = jnp.argsort(perm, axis=-1).astype(jnp.int32)
+    tkeys = jax.random.split(jax.random.key(17), n_temps * n_pairs)
+    scal, probes = pe.mp_event_scalars(kind, wolff, tkeys, n)
+    ev_args = [
+        jnp.zeros((1, 1), jnp.int32),                # mode 0
+        perm.reshape(1, -1),
+        iperm.reshape(1, -1),
+        scal.reshape(1, -1),
+        jnp.zeros((1, 2), jnp.int32),                # words (unused: inject)
+    ]
+    probes_on = wolff and kind in ("houdayer", "jorg")
+    if probes_on:
+        ev_args += [
+            probes.reshape(1, -1),
+            pe.mp_event_rank_tiles(probes[None], n_replicas, n_temps,
+                                   shape, kp, rp),
+        ]
+
+    # per-task per-dimension uniform fields, mapped to even canonical
+    # positions; slot order matches the kernel's draw order (phase-major,
+    # dimension-minor: jorg d0..dN; cmr blue d0..dN then red d0..dN)
+    n_phase = 1 if kind == "jorg" else 2
+    u_dims = jnp.asarray(
+        rng.random((n_phase, nd, n_temps, n_pairs, n), np.float32)
+    )
+
+    def u_tile_pd(phase, d):
+        us = jnp.zeros((1, n_replicas, n_temps, n), jnp.float32)
+        us = us.at[:, ::2].set(u_dims[phase, d].swapaxes(0, 1)[None])
+        return mp.slots_to_tiles(us, l0, block, kp, rp)[0]
+
+    ev_u = jnp.stack(
+        [u_tile_pd(p, d) for p in range(n_phase) for d in range(nd)]
+    )[None]
+
+    # --- kernel: sweep 0 (zero-PRNG on the interpreter) + in-kernel event
+    out_ev = mp.megapair_chunk(
+        *base, *ev_args, ev_u=ev_u, **kw, ev_kinds=(kind,),
+        ev_wolff=wolff,
+    )
+    # --- reference: same sweep without the event, then the staged jnp move
+    out_sw = mp.megapair_chunk(*base, **kw)
+    sf = mp.tiles_to_slots(out_sw[0], l0, block, kp, rp)[0]  # [R, T, n]
+
+    t_idx = jnp.arange(n_temps)[:, None]
+    p_idx = jnp.arange(n_pairs)[None, :]
+    a = sf[perm[0, t_idx, 2 * p_idx], t_idx]      # [T, P, n]
+    b = sf[perm[0, t_idx, 2 * p_idx + 1], t_idx]
+    tk = tkeys.reshape(n_temps, n_pairs)
+
+    def staged_one(av, bv, k, t, uu):
+        ts = jnp.stack([av, bv])
+        if kind == "jorg":
+            bonds, aux = ov.jorg_bonds(ts, k, coup, t, geom, u_bond=uu[0])
+            labels = cl.connected_components(bonds, geom)
+            return ov.jorg_finish(
+                ts, labels, bonds, aux, geom, wolff=wolff, update=True,
+                with_winding=False, with_stats=False,
+            ).spins
+        blue, aux = ov.cmr_blue_bonds(ts, k, coup, t, geom, u_blue=uu[0])
+        blue_labels = cl.connected_components(blue, geom)
+        ts2, grey, carry = ov.cmr_mid(
+            ts, blue_labels, blue, aux, coup, geom, wolff=wolff,
+            update=True, with_winding=False, with_stats=False, u_red=uu[1],
+        )
+        grey_labels = cl.connected_components(grey, geom)
+        return ov.cmr_finish(
+            ts2, grey_labels, grey, blue_labels, carry, geom,
+            wolff=wolff, update=True,
+        ).spins
+
+    u_by_task = u_dims.transpose(2, 3, 0, 4, 1)   # [T, P, phase, n, nd]
+    moved = jax.vmap(jax.vmap(staged_one))(
+        a, b, tk, jnp.broadcast_to(temps[:, None], (n_temps, n_pairs)),
+        u_by_task,
+    )  # [T, P, 2, n]
+    sf_exp = sf.at[perm[0, t_idx, 2 * p_idx], t_idx].set(moved[:, :, 0])
+    sf_exp = sf_exp.at[perm[0, t_idx, 2 * p_idx + 1], t_idx].set(
+        moved[:, :, 1]
+    )
+    exp_tiles = mp.slots_to_tiles(sf_exp[None], l0, block, kp, rp)
+    np.testing.assert_array_equal(
+        np.asarray(out_ev[0]), np.asarray(exp_tiles)
+    )
