@@ -618,6 +618,14 @@ class LoopProgram:
         # (tests/test_pallas_event.py).  Reference anchor: fk.rs:28-171,
         # which touches each graph once per update.
         cu = cfg.cluster_update
+        # Like the batched CC, the FK graph batch is flat disorder-major and
+        # graphs are whole rows, so any even contiguous split serves —
+        # disorder x systems meshes qualify (a 'space' axis splits graphs
+        # and keeps the staged path).
+        fk_mesh_ok = mesh_ok or (
+            set(rt.mesh.axis_names) <= {"disorder", "systems"}
+            and (rt.n_disorder * rt.n_systems) % rt.mesh.devices.size == 0
+        )
         self.fk_kernel = (
             rt.pallas_ok
             and cu is not None
@@ -625,21 +633,20 @@ class LoopProgram:
             and not (self.collect_fk or self.observe_fk)
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and _os.environ.get("PEAPODS_DISABLE_FKKERNEL") != "1"
-            and mesh_ok
+            and fk_mesh_ok
         )
         self._fkb = (
             pallas_cc_batch.cc_batch_factors(
-                rt.lattice, max(1, rt.n_disorder // n_mesh) * rt.n_systems
+                rt.lattice,
+                max(1, rt.n_disorder * rt.n_systems // n_mesh),
             )
             if self.fk_kernel
             else None
         )
         self._fk_j = (
-            _per_shard_pack(
-                lambda c: pallas_event.pack_fk_j(
-                    c, rt.n_systems, tuple(rt.lattice.shape), *self._fkb
-                ),
-                rt.couplings, n_mesh,
+            pallas_event.pack_fk_j(
+                rt.couplings, rt.n_systems, tuple(rt.lattice.shape),
+                *self._fkb, n_chunks=n_mesh,
             )
             if self.fk_kernel
             else None
@@ -1266,9 +1273,15 @@ class LoopProgram:
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import PartitionSpec as P
 
+            # flat graph batch: any even contiguous split keeps whole
+            # graphs per device (disorder-only or disorder x systems)
+            axes = tuple(
+                a for a in ("disorder", "systems") if a in mesh.axis_names
+            )
+            spec = P(axes)
             run_local = jax.shard_map(
-                run_local, mesh=mesh, in_specs=(P("disorder"),) * 5,
-                out_specs=(P("disorder"),) * (3 if with_measure else 1),
+                run_local, mesh=mesh, in_specs=(spec,) * 5,
+                out_specs=(spec,) * (3 if with_measure else 1),
                 check_vma=False,
             )
         out = run_local(s_flat, gscal, gtemp, words, self._fk_j)

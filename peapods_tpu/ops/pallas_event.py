@@ -517,7 +517,8 @@ def fk_scalars(wolff: bool, keys, n_spins: int):
     return jax.vmap(one)(keys)
 
 
-def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int):
+def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int,
+              n_chunks: int = 1):
     """Packed per-graph forward couplings ``f32 [G, n_dims, rows, lanes]``.
 
     Graph order is the engine's flat (disorder-major, system) FK batch:
@@ -526,17 +527,36 @@ def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int):
     overlap events' J/T grids, the FK system->temperature map changes with
     every PT swap).  Padding graphs get ``J = 0`` (no bond ever activates,
     and the all-false graph's flip mask never reaches real spins).
+
+    ``n_chunks``: pack the flat batch in that many equal contiguous chunks,
+    each tile-padded independently — matches the fused kernel's per-shard
+    pad/pack under a mesh (disorder-only meshes get the same layout as
+    per-disorder-shard packing; disorder x systems meshes may split one
+    disorder's systems across chunks, which is fine because graphs are
+    whole rows).
     """
     shape = tuple(shape)
     d, n, nd = couplings.shape
     l0 = shape[0]
     block = int(np.prod(shape[1:]))
     j = jnp.repeat(couplings, n_rep, axis=0)  # [d*n_rep, n, nd]
-    pad = (-j.shape[0]) % (kp * ks)
-    if pad:
-        j = jnp.concatenate([j, jnp.zeros((pad, n, nd), j.dtype)], axis=0)
-    return jnp.stack(
-        [_pack(j[..., dd], l0, block, kp, ks) for dd in range(nd)], axis=1
+    assert j.shape[0] % n_chunks == 0, (j.shape, n_chunks)
+    c = j.shape[0] // n_chunks
+    tile = kp * ks
+
+    def pack_chunk(jc):
+        pad = (-jc.shape[0]) % tile
+        if pad:
+            jc = jnp.concatenate(
+                [jc, jnp.zeros((pad, n, nd), jc.dtype)], axis=0
+            )
+        return jnp.stack(
+            [_pack(jc[..., dd], l0, block, kp, ks) for dd in range(nd)],
+            axis=1,
+        )
+
+    return jnp.concatenate(
+        [pack_chunk(j[i * c:(i + 1) * c]) for i in range(n_chunks)], axis=0
     )
 
 

@@ -339,3 +339,35 @@ def test_cc_batch_kernel_under_disorder_systems_mesh(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(r_sh["fk_csd"]), np.asarray(r_pl["fk_csd"])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fk_kernel_under_disorder_systems_mesh(monkeypatch):
+    """The fused FK kernel also serves disorder x systems meshes: the flat
+    (disorder-major, system) graph batch splits evenly over the combined
+    axes and each shard pad/packs its own chunk (incl. the chunked packed
+    coupling grids, which may split one disorder's systems across shards).
+    Bitwise vs unsharded (zero per-bond uniforms on the interpreter)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([2.0, 2.6], dtype=np.float32)
+    rng = np.random.default_rng(41)
+    coup = (2 * rng.integers(0, 2, size=(2, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(cluster_update_interval=2, cluster_mode="sw",
+                  pt_interval=2, warmup_ratio=0)
+    mesh = make_mesh(8, ("disorder", "systems"))
+
+    sharded = IsingSimulation([8, 8], coup, temps, 2, None, 43, mesh=mesh)
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert prog.fk_kernel, prog.describe_plan()
+    plain = IsingSimulation([8, 8], coup, temps, 2, None, 43, mesh=None)
+    r_pl = plain.sample(6, "metropolis", **kwargs)
+    assert next(iter(plain._programs.values())).fk_kernel
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
