@@ -2428,13 +2428,12 @@ class LoopProgram:
             return acc, series
 
         def call_body(carry, xs_blk):
-            state, acc = carry
+            # tiles ride the scan carry: by-system spins are packed once per
+            # chunk (in `run`), not gathered/scattered per block
+            state, acc, tiles = carry
             ctr = state["counter"]
             warm = state["warmup"]
             sid_rt = state["system_ids"]  # [d, R, T]
-            tiles = pallas_megapair.pack_slots(
-                state["spins"], sid_rt, l0, block, kp, rp
-            )
             sid_flat = sid_rt.reshape(d, n_slots)
             ea = (
                 state["pt_edge_attempts"]
@@ -2719,11 +2718,7 @@ class LoopProgram:
                     series_parts.append(ser)
 
             sid_rt = sid_flat.reshape(d, R, T)
-            spins = pallas_megapair.unpack_slots(
-                tiles, sid_rt, l0, block, kp, rp
-            )
             new_state = dict(state)
-            new_state["spins"] = spins
             new_state["system_ids"] = sid_rt
             new_state["counter"] = ctr + total_active
             if T > 1:
@@ -2737,12 +2732,26 @@ class LoopProgram:
                 if series_parts
                 else None
             )
-            return (new_state, acc), series
+            return (new_state, acc, tiles), series
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run(carry, xs):
+            state, acc = carry
+            # pack by-system spins into slot tiles ONCE per chunk; blocks
+            # carry the tiles and only update sid bookkeeping
+            tiles = pallas_megapair.pack_slots(
+                state["spins"], state["system_ids"], l0, block, kp, rp
+            )
+            inner = dict(state)
+            inner.pop("spins")
             xs_blocks = xs.reshape(n_blocks, n_inner)
-            (state, acc), series = jax.lax.scan(call_body, carry, xs_blocks)
+            (inner, acc, tiles), series = jax.lax.scan(
+                call_body, (inner, acc, tiles), xs_blocks
+            )
+            state = dict(inner)
+            state["spins"] = pallas_megapair.unpack_slots(
+                tiles, inner["system_ids"], l0, block, kp, rp
+            )
             if series is not None:
                 series = series.reshape((chunk_len,) + series.shape[2:])
             return (state, self.fold_float_hists(acc)), series

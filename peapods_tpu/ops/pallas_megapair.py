@@ -1016,7 +1016,10 @@ def _mp_kernel(
                 sweep_and_measure(0)
 
             run_overlap_event()
-            recompute_es()
+            if pt_interval is not None:
+                # the move mutated spins; PT must re-derive energies
+                # (mod.rs:748-754) — skipped entirely when PT is off
+                recompute_es()
 
             @pl.when(n_active > 0)
             def _():
