@@ -1,0 +1,88 @@
+"""Serialized runner for every pending on-chip job (CLAUDE.md: batch all
+TPU work so a brief chip-up window is fully used; never run two TPU
+processes at once).
+
+    python benchmarks/chip_window.py [--quick] [--only mp_event,tg,...]
+
+Jobs run as sequential subprocesses in decision-priority order, each
+bounded by a timeout; the backend is re-probed (bench.wait_for_backend)
+before every job so a mid-window outage skips cleanly instead of hanging.
+All output tees to stdout AND benchmarks/chip_window.log for the docs
+update.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).parent.parent
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402  (wait_for_backend)
+
+JOBS = [
+    # (name, argv tail, timeout_s) — priority order: A/B deciders first,
+    # tables second, statistics last (longest, least decision-critical)
+    ("mp_event", ["benchmarks/mp_event_ab.py"], 5400),
+    ("tg", ["benchmarks/_ab_megapair_tg.py"], 3600),
+    ("fk", ["benchmarks/fk_ab.py"], 5400),
+    ("bench_all", ["benchmarks/bench_all.py"], 7200),
+    ("stats", ["tests/tpu_stats_ci.py", "--quick"], 7200),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated job names")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    log = open(ROOT / "benchmarks" / "chip_window.log", "a")
+
+    def emit(line):
+        print(line, flush=True)
+        log.write(line + "\n")
+        log.flush()
+
+    emit(f"==== chip_window start {time.strftime('%F %T')} ====")
+    failures = []
+    for name, argv, timeout_s in JOBS:
+        if only and name not in only:
+            continue
+        emit(f"---- {name} ----")
+        bench.wait_for_backend()
+        cmd = [sys.executable] + argv
+        if args.quick and name != "tg":  # tg tool has no --quick
+            cmd.append("--quick")
+        env = dict(os.environ)
+        if name == "stats":
+            env["PEAPODS_TPU_STATS"] = "1"
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                cmd, cwd=ROOT, timeout=timeout_s,
+                capture_output=True, text=True, env=env,
+            )
+            for stream in (r.stdout, r.stderr):
+                for ln in stream.strip().splitlines():
+                    emit(f"  {ln}")
+            if r.returncode != 0:
+                failures.append(name)
+                emit(f"[{name} FAILED rc={r.returncode}]")
+        except subprocess.TimeoutExpired:
+            failures.append(name)
+            emit(f"[{name} TIMED OUT after {timeout_s}s]")
+        emit(f"---- {name} done ({time.time() - t0:.0f}s) ----")
+    emit(f"==== chip_window end {time.strftime('%F %T')} "
+         f"failures={failures} ====")
+    log.close()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -306,20 +306,6 @@ def _zero_obs(n_disorder, n_temps, n_bins):
     }
 
 
-def _per_shard_pack(pack, couplings, n_mesh):
-    """Eagerly build a packed per-graph array whose shard layout matches the
-    fused kernels' shard_map: each disorder shard packs (and tile-pads)
-    independently, so per-shard tile counts are equal and the concatenation
-    shards evenly along axis 0.  ``pack`` maps a couplings slice to packed
-    tiles; the disorder axis is pre-padded to the mesh extent upstream."""
-    if n_mesh <= 1:
-        return pack(couplings)
-    dl = couplings.shape[0] // n_mesh
-    return jnp.concatenate(
-        [pack(couplings[i * dl:(i + 1) * dl]) for i in range(n_mesh)], axis=0
-    )
-
-
 def _sum_slots_obs(obs, csd_t, n_slots, n_spins, n_neighbors):
     """Reduce per-slot GraphObservations [n_temps, n_slots] to per-temp sums.
 
@@ -544,48 +530,71 @@ class LoopProgram:
         # event, for pair tasks when nothing collects labels/stats (the
         # perf-config case).  Per-graph scalar draws are bitwise the staged
         # path's; houdayer (deterministic bonds) is bitwise identical
-        # end-to-end.  Shard_maps over disorder-only meshes like cc_batch.
+        # end-to-end.  Like the fused FK kernel, the flat (disorder-major,
+        # temperature-major) task batch splits evenly over disorder AND
+        # disorder x systems meshes — tasks are whole rows (both partners
+        # live in the same task), so any even contiguous split serves.
+        ev_flat = [
+            rt.n_disorder * rt.n_temps * (rt.n_replicas // m.group_size)
+            for m in (h.modes if h is not None else ())
+            if (
+                m.group_size == 2
+                and pallas_event.supports_event(rt.lattice, 2)
+            )
+            or (
+                m.kind == "houdayer"
+                and pallas_event.supports_event_houdn(
+                    rt.lattice, m.group_size
+                )
+            )
+        ]
+        ev_mesh_ok = mesh_ok or (
+            set(rt.mesh.axis_names) <= {"disorder", "systems"}
+            and all(b % rt.mesh.devices.size == 0 for b in ev_flat)
+        )
         self.event_kernel = (
             rt.pallas_ok
             and h is not None
             and h.action == "update"
             and not (self.collect_overlap or self.observe_overlap)
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
-            and mesh_ok
-            and any(
-                (
-                    m.group_size == 2
-                    and pallas_event.supports_event(rt.lattice, 2)
-                )
-                or (
-                    m.kind == "houdayer"
-                    and pallas_event.supports_event_houdn(
-                        rt.lattice, m.group_size
-                    )
-                )
-                for m in h.modes
-            )
+            and ev_mesh_ok
+            and bool(ev_flat)
         )
+        if (
+            rt.pallas_ok
+            and h is not None
+            and h.action == "update"
+            and not (self.collect_overlap or self.observe_overlap)
+            and bool(ev_flat)
+            and not ev_mesh_ok
+        ):
+            from ..utils.log import log_once as _log_once
+
+            _log_once(
+                "mesh does not split the overlap-task batch evenly: events "
+                "run the staged (bonds -> batched CC -> finish) path"
+            )
         self._evb = (
             pallas_cc_batch.cc_batch_factors(
                 rt.lattice,
-                max(1, rt.n_disorder // n_mesh)
-                * rt.n_temps
-                * (rt.n_replicas // 2),
+                max(
+                    1,
+                    rt.n_disorder * rt.n_temps * (rt.n_replicas // 2)
+                    // n_mesh,
+                ),
             )
             if self.event_kernel
             else None
         )
         # Packed per-task J/T grids (mode-shared: jorg and cmr both consume
         # J/T).  Built EAGERLY — _event_fused runs inside a jit trace, where
-        # building would leak a tracer into the cache.
+        # building would leak a tracer into the cache.  Chunked per mesh
+        # shard so the packed tiles shard evenly along axis 0.
         self._event_jt = (
-            _per_shard_pack(
-                lambda c: pallas_event.pack_event_jt(
-                    c, rt.temps, rt.n_replicas // 2,
-                    tuple(rt.lattice.shape), *self._evb,
-                ),
-                rt.couplings, n_mesh,
+            pallas_event.pack_event_jt(
+                rt.couplings, rt.temps, rt.n_replicas // 2,
+                tuple(rt.lattice.shape), *self._evb, n_chunks=n_mesh,
             )
             if (
                 self.event_kernel
@@ -1457,13 +1466,18 @@ class LoopProgram:
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import PartitionSpec as P
 
-            # Task batches are disorder-major; each device runs the fused
-            # event on its own shard (jt was packed per shard to match).
+            # Flat task batch: any even contiguous split keeps whole tasks
+            # per device (disorder-only or disorder x systems); jt was
+            # chunk-packed per shard to match.
+            axes = tuple(
+                a for a in ("disorder", "systems") if a in mesh.axis_names
+            )
+            spec = P(axes)
             nj = 1 if jt is None else 0
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
-                in_specs=(P("disorder"),) * (5 - nj),
-                out_specs=(P("disorder"), P("disorder")),
+                in_specs=(spec,) * (5 - nj),
+                out_specs=(spec, spec),
                 check_vma=False,
             )
         a2, b2 = (
@@ -1491,7 +1505,7 @@ class LoopProgram:
         mesh = rt.mesh
         n_mesh = 1 if mesh is None else mesh.devices.size
         kp, ks = pallas_cc_batch.cc_batch_factors(
-            rt.lattice, max(1, rt.n_disorder // n_mesh) * n_tasks
+            rt.lattice, max(1, rt.n_disorder * n_tasks // n_mesh)
         )
         tile = kp * ks
         b0 = d * n_tasks
@@ -1528,10 +1542,16 @@ class LoopProgram:
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import PartitionSpec as P
 
+            # flat task batch: whole tasks per device under any even
+            # contiguous split (disorder-only or disorder x systems)
+            axes = tuple(
+                a for a in ("disorder", "systems") if a in mesh.axis_names
+            )
+            spec = P(axes)
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
-                in_specs=(P("disorder"),) * (1 + g_size),
-                out_specs=(P("disorder"),) * g_size,
+                in_specs=(spec,) * (1 + g_size),
+                out_specs=(spec,) * g_size,
                 check_vma=False,
             )
         outs = run_local(gscal, *slots)

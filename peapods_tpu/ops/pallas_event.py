@@ -209,13 +209,21 @@ def mp_event_rank_tiles(probes, n_replicas, n_temps, shape, kp, rp):
     return slots_to_tiles(rank_slot, l0, block, kp, rp)
 
 
-def pack_event_jt(couplings, temps, n_groups: int, shape, kp: int, ks: int):
+def pack_event_jt(couplings, temps, n_groups: int, shape, kp: int, ks: int,
+                  n_chunks: int = 1):
     """Packed per-task ``J/T`` grids, ``f32 [G, n_dims, rows, lanes]``.
 
     Task order is the engine's flat (disorder-major, temperature-major)
     layout, which is STATIC across events — the engine computes this once
     per program and reuses it every event.  Padding tasks get ``J/T = 0``
     (no satisfied bonds ever).
+
+    ``n_chunks``: pack the flat task batch in that many equal contiguous
+    chunks, each tile-padded independently — matches the fused event
+    kernel's per-shard pad/pack under a mesh (disorder-only meshes get the
+    per-disorder-shard layout; disorder x systems meshes may split one
+    disorder's tasks across chunks, which is fine because tasks are whole
+    rows).
     """
     shape = tuple(shape)
     d, n, nd = couplings.shape
@@ -226,13 +234,23 @@ def pack_event_jt(couplings, temps, n_groups: int, shape, kp: int, ks: int):
     jt = (
         couplings[:, None, :, :] / task_temps[None, :, None, None]
     ).reshape(d * n_temps * n_groups, n, nd)
-    pad = (-jt.shape[0]) % (kp * ks)
-    if pad:
-        jt = jnp.concatenate(
-            [jt, jnp.zeros((pad, n, nd), jt.dtype)], axis=0
+    assert jt.shape[0] % n_chunks == 0, (jt.shape, n_chunks)
+    c = jt.shape[0] // n_chunks
+    tile = kp * ks
+
+    def pack_chunk(jc):
+        pad = (-jc.shape[0]) % tile
+        if pad:
+            jc = jnp.concatenate(
+                [jc, jnp.zeros((pad, n, nd), jc.dtype)], axis=0
+            )
+        return jnp.stack(
+            [_pack(jc[..., dd], l0, block, kp, ks) for dd in range(nd)],
+            axis=1,
         )
-    return jnp.stack(
-        [_pack(jt[..., dd], l0, block, kp, ks) for dd in range(nd)], axis=1
+
+    return jnp.concatenate(
+        [pack_chunk(jt[i * c:(i + 1) * c]) for i in range(n_chunks)], axis=0
     )
 
 

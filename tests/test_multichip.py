@@ -371,3 +371,86 @@ def test_fk_kernel_under_disorder_systems_mesh(monkeypatch):
         np.asarray(sharded.state["spins"]), np.asarray(plain.state["spins"])
     )
     np.testing.assert_array_equal(r_sh["mags2"], r_pl["mags2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("build_mode", ["houdayer", "houd4"])
+def test_event_kernel_under_disorder_systems_mesh(monkeypatch, build_mode):
+    """The fused overlap-event kernel also serves disorder x systems meshes:
+    the flat (disorder-major, temperature-major) task batch splits evenly
+    over the combined axes — tasks are whole rows (both partners live in the
+    same task row), so an even contiguous split keeps every task on one
+    device.  Oracle: the staged (bonds -> batched CC -> finish) path on the
+    SAME mesh — deterministic-bond modes are bitwise-identical fused vs
+    staged, and sharing the mesh keeps every other phase's kernel choice
+    (and hence PRNG stream) equal between arms.  A plain-arm comparison
+    would differ for an unrelated reason: the per-shard systems count
+    changes the sweep-kernel choice.  Jorg's mesh routing (per-bond
+    uniforms) is pinned by the kernel-level sharded injected-uniform test
+    (tests/test_pallas_event.py)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.geomspace(1.0, 1.8, 4).astype(np.float32)
+    rng = np.random.default_rng(47)
+    coup = (2 * rng.integers(0, 2, size=(2, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(
+        pt_interval=2,
+        overlap_cluster_update_interval=2,
+        overlap_cluster_build_mode=build_mode,
+        overlap_cluster_mode="sw",
+        warmup_ratio=0,
+    )
+    mesh = make_mesh(8, ("disorder", "systems"))
+    assert dict(mesh.shape) == {"disorder": 2, "systems": 4}
+
+    n_rep = 4  # houdayer pairs: 2*4*2=16 tasks; houd4: 8 — both split by 8
+    fused = IsingSimulation([8, 8], coup, temps, n_rep, None, 53, mesh=mesh)
+    r_f = fused.sample(6, "metropolis", **kwargs)
+    prog = next(iter(fused._programs.values()))
+    assert prog.event_kernel, prog.describe_plan()
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    staged = IsingSimulation([8, 8], coup, temps, n_rep, None, 53, mesh=mesh)
+    r_s = staged.sample(6, "metropolis", **kwargs)
+    assert not next(iter(staged._programs.values())).event_kernel
+
+    np.testing.assert_array_equal(
+        np.asarray(fused.state["spins"]), np.asarray(staged.state["spins"])
+    )
+    np.testing.assert_array_equal(r_f["overlap2"], r_s["overlap2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_event_kernel_indivisible_task_batch_falls_back(monkeypatch):
+    """A mesh that cannot split the flat task batch evenly must keep the
+    staged (bonds -> batched CC -> finish) path — and still run correctly
+    (bitwise vs unsharded through the staged kernels)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([1.0, 1.8], dtype=np.float32)
+    rng = np.random.default_rng(59)
+    coup = (2 * rng.integers(0, 2, size=(2, 8, 8, 2)) - 1).astype(np.float32)
+    kwargs = dict(
+        pt_interval=2,
+        overlap_cluster_update_interval=2,
+        overlap_cluster_build_mode="houdayer",
+        overlap_cluster_mode="sw",
+        warmup_ratio=0,
+    )
+    # flat pair-task batch = 2 disorder * 2 temps * 1 group = 4, not
+    # divisible by 8 devices -> event kernel must gate off
+    mesh = make_mesh(8, ("disorder", "systems"))
+    sharded = IsingSimulation([8, 8], coup, temps, 2, None, 61, mesh=mesh)
+    r_sh = sharded.sample(6, "metropolis", **kwargs)
+    prog = next(iter(sharded._programs.values()))
+    assert not prog.event_kernel, prog.describe_plan()
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    plain2 = IsingSimulation([8, 8], coup, temps, 2, None, 61, mesh=None)
+    r_pl = plain2.sample(6, "metropolis", **kwargs)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.state["spins"]), np.asarray(plain2.state["spins"])
+    )
+    np.testing.assert_array_equal(r_sh["overlap2"], r_pl["overlap2"])

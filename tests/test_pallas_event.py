@@ -529,3 +529,93 @@ def test_engine_houd4_event_bitwise(monkeypatch):
         np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
     np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("wolff", [False, True])
+def test_jorg_fused_sharded_injected_bitwise(wolff):
+    """The fused event under a shard_mapped flat task split (the engine's
+    mesh layout: whole tasks per device, per-shard tile packing, J/T grids
+    chunk-packed with ``n_chunks``) equals the staged path bitwise when both
+    draw the same injected per-bond uniforms — pinning the disorder x
+    systems mesh routing independent of any PRNG stream."""
+    from jax.sharding import PartitionSpec as P
+
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    shape = (8, 16)
+    n_tasks = 16
+    lat, geom, a, b, tkeys = _task_batch(shape, n_tasks, seed=77)
+    n, nd = lat.n_spins, lat.n_dims
+    rng = np.random.default_rng(13)
+    coup = jnp.asarray(
+        rng.choice([-1.0, 1.0], size=(n, nd)).astype(np.float32)
+    )
+    temps = jnp.asarray(
+        np.linspace(0.8, 1.6, n_tasks).astype(np.float32)
+    )
+    u = jnp.asarray(rng.random((n_tasks, n, nd)).astype(np.float32))
+
+    def staged_one(av, bv, k, t, uu):
+        ts = jnp.stack([av, bv])
+        bonds, aux = ov.jorg_bonds(ts, k, coup, t, geom, u_bond=uu)
+        labels = cl.connected_components(bonds, geom)
+        return ov.jorg_finish(
+            ts, labels, bonds, aux, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+
+    staged = jax.vmap(staged_one)(a, b, tkeys, temps, u)
+
+    mesh = make_mesh(8)
+    n_mesh = mesh.devices.size
+    kp, ks = ccb.cc_batch_factors(lat, n_tasks // n_mesh)
+    tile = kp * ks
+    l0, block = shape[0], n // shape[0]
+    # like the engine: scalars on the full batch, jt chunk-packed per shard
+    gscal = pe.event_scalars("jorg", wolff, a, b, tkeys, n)
+    words = jax.lax.bitcast_convert_type(
+        jax.random.key_data(tkeys).astype(jnp.uint32), jnp.int32
+    )
+    jt = pe.pack_event_jt(
+        coup[None], temps, 1, shape, kp, ks, n_chunks=n_mesh
+    )
+    u_slots = [u[..., d] for d in range(nd)]
+
+    def run_local(a, b, gscal, words, jt, *u_slots):
+        nloc = a.shape[0]
+        pad = (-nloc) % tile
+        if pad:  # per-shard tile padding, like the engine's run_local
+            zrow = lambda x: jnp.zeros((pad,) + x.shape[1:], x.dtype)
+            a = jnp.concatenate([a, zrow(a)], 0)
+            b = jnp.concatenate([b, zrow(b)], 0)
+            gscal = jnp.concatenate(
+                [gscal, jnp.zeros((pad, 6), jnp.int32).at[:, 4].set(n)], 0
+            )
+            words = jnp.concatenate([words, zrow(words)], 0)
+            u_slots = [jnp.concatenate([s, zrow(s)], 0) for s in u_slots]
+        g_tiles = (nloc + pad) // tile
+        a_p = ccb._pack(a, l0, block, kp, ks)
+        b_p = ccb._pack(b, l0, block, kp, ks)
+        u_p = jnp.stack(
+            [ccb._pack(s, l0, block, kp, ks) for s in u_slots], axis=1
+        )
+        a2, b2 = pe.overlap_event_batch(
+            a_p, b_p, gscal.reshape(g_tiles, tile, 6),
+            words.reshape(g_tiles, tile, 2)[:, :1, :], jt, u_p,
+            kind="jorg", wolff=wolff, shape=shape, kp=kp, ks=ks,
+            interpret=True,
+        )
+        return (
+            ccb._unpack(a2, l0, block, kp, ks)[:nloc],
+            ccb._unpack(b2, l0, block, kp, ks)[:nloc],
+        )
+
+    spec = P("disorder")
+    sharded = jax.shard_map(
+        run_local, mesh=mesh, in_specs=(spec,) * (5 + nd),
+        out_specs=(spec, spec), check_vma=False,
+    )
+    a2, b2 = sharded(a, b, gscal, words, jt, *u_slots)
+    fused = jnp.stack([a2, b2], axis=1)
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
