@@ -137,6 +137,7 @@ class Runtime:
     use_pallas: bool = False  # wide-lattice direct kernel
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     halo2d: bool = False  # space-mesh halo-exchange 2D kernel
+    halo3d: int = 0  # space-mesh halo-exchange 3D kernel lane-pack kp (0=off)
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
     kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
     kernel3d_rows: int = 1  # 3D kernel sublane-pack factor ks (systems/rows)
@@ -173,13 +174,15 @@ class Runtime:
         from ..utils.log import log_once
 
         halo2d = False
+        halo3d = 0
         if mesh is not None and "space" in mesh.axis_names:
             # spatial decomposition: the spin axis itself is sharded (row
-            # bands).  2D direct-kernel shapes keep a Pallas fast path via
-            # the halo-exchange color kernel (sweep_2d_halo_color: ppermute
-            # ring fetches the band-edge neighbor rows before each color
-            # pass); everything else rides the jnp path, whose roll stencils
-            # auto-partition with XLA halo collectives.
+            # bands / plane slabs).  Direct-kernel shapes keep a Pallas fast
+            # path via the halo-exchange color kernels (sweep_2d_halo_color
+            # / sweep_3d_halo_color: ppermute ring fetches the shard-edge
+            # neighbor rows/planes before each color pass); everything else
+            # rides the jnp path, whose roll stencils auto-partition with
+            # XLA halo collectives.
             ns = mesh.shape["space"]
             halo2d = (
                 on_device
@@ -188,10 +191,18 @@ class Runtime:
                 and lattice.shape[0] % ns == 0
                 and (lattice.shape[0] // ns) % 8 == 0
             )
-            if not halo2d and (use_pallas or pack_k or kernel3d):
+            if (
+                not halo2d
+                and on_device
+                and "systems" not in mesh.axis_names
+            ):
+                halo3d = pallas_sweep3d.halo_pack_3d(
+                    lattice, n_systems, ns
+                )
+            if not halo2d and not halo3d and (use_pallas or pack_k or kernel3d):
                 log_once(
                     "'space' mesh axis: falling back to the jnp sweep path "
-                    "(lattice/mesh shape outside the halo kernel's support)"
+                    "(lattice/mesh shape outside the halo kernels' support)"
                 )
             use_pallas = False
             pack_k = 0
@@ -238,6 +249,12 @@ class Runtime:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
             )(coup)
+        elif halo3d:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep3d.pack_coupling_grids_3d(
+                    c, tuple(lattice.shape), halo3d, 1
+                )
+            )(coup)
         elif pack_k:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids_packed(
@@ -257,6 +274,7 @@ class Runtime:
             use_pallas=use_pallas,
             pallas_ok=on_device,
             halo2d=halo2d,
+            halo3d=halo3d,
             pack_k=pack_k,
             kernel3d=kernel3d,
             kernel3d_rows=k3_rows if kernel3d else 1,
@@ -685,6 +703,8 @@ class LoopProgram:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
         elif rt.halo2d:
             sweep = "pallas-2d-halo"
+        elif rt.halo3d:
+            sweep = f"pallas-3d-halo(kp={rt.halo3d})"
         else:
             sweep = "jnp"
         parts = [f"sweep={sweep}"]
@@ -1090,6 +1110,66 @@ class LoopProgram:
                     interpret=interpret,
                 )
             return s4.reshape(sp.shape)
+
+        names = mesh.axis_names
+        dis = "disorder" if "disorder" in names else None
+        batch = P(dis)
+        spins_spec = P(dis, None, "space")
+        call = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spins_spec, P(dis, None, "space", None), batch, batch),
+            out_specs=spins_spec,
+            check_vma=False,
+        )
+        return call(spins, rt.jgrids, sys_temps, seeds)
+
+    def _sweep_phase_halo3d(self, spins, sid, keys):
+        """Checkerboard sweep of a 3D lattice under the ``space`` mesh axis
+        via the halo-exchange color kernel (two single-color Pallas passes
+        per sweep; a ``ppermute`` ring carries the slab-edge planes between
+        shards before each pass — the 3D analog of
+        :meth:`_sweep_phase_halo`, so lattices too big for one chip keep a
+        Pallas fast path instead of dropping to the jnp stencils)."""
+        import os
+
+        from jax.sharding import PartitionSpec as P
+
+        rt = self.rt
+        mesh = rt.mesh
+        ns = mesh.shape["space"]
+        l0, l1, l2 = rt.lattice.shape
+        block = l1 * l2
+        l0l = l0 // ns
+        kp = rt.halo3d
+        gibbs = self.cfg.sweep_mode == "gibbs"
+        interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+        sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
+        skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
+        seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // kp)
+        fwd = [(j, (j + 1) % ns) for j in range(ns)]
+        bwd = [(j, (j - 1) % ns) for j in range(ns)]
+
+        def shard_fn(sp, jg, st, sd):
+            idx = jax.lax.axis_index("space").astype(jnp.int32)
+            off = (idx * l0l) * jnp.ones((1, 1), jnp.int32)
+            s4 = jax.vmap(
+                lambda s: pallas_sweep3d.pack_rows_3d(s, l0l, block, kp, 1)
+            )(sp)  # [d, g, l0l, kp*block]
+            # independent PRNG stream per (shard, color) pass
+            sd = sd ^ ((idx + 1) * jnp.int32(-1640531527))
+            for color in (0, 1):
+                sdc = sd ^ jnp.int32((-2048144789, 1779033703)[color])
+                hup = jax.lax.ppermute(s4[:, :, l0l - 1:, :], "space", fwd)
+                hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
+                s4 = pallas_sweep3d.sweep_3d_halo_color(
+                    s4, jg, st, sdc, hup, hdn, off,
+                    shape_local=(l0l, l1, l2), kp=kp, color=color,
+                    gibbs=gibbs, interpret=interpret,
+                )
+            return jax.vmap(
+                lambda s: pallas_sweep3d.unpack_rows_3d(s, l0l, block, kp, 1)
+            )(s4).reshape(sp.shape)
 
         names = mesh.axis_names
         dis = "disorder" if "disorder" in names else None
@@ -1782,6 +1862,8 @@ class LoopProgram:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             elif rt.halo2d:
                 spins = self._sweep_phase_halo(spins, sid, keys)
+            elif rt.halo3d:
+                spins = self._sweep_phase_halo3d(spins, sid, keys)
             else:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd

@@ -45,6 +45,9 @@ __all__ = [
     "sweep_3d",
     "sweep_3d_fused",
     "sweep_3d_injected",
+    "halo_pack_3d",
+    "sweep_3d_halo_color",
+    "sweep_3d_halo_color_injected",
 ]
 
 _HYPERCUBIC_3D = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
@@ -487,3 +490,183 @@ def sweep_3d_injected(spins, jgrids, sys_temps, uniforms, *, shape, kp,
         out_shape=jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
     )(sys_temps, packed, jg_tiled, uniforms)
     return unpack_rows_3d(out, l0, block, kp, ks)
+
+
+def halo_pack_3d(lattice, n_systems, n_shards) -> int:
+    """Lane-pack factor kp for the space-mesh halo kernel (0 = unsupported).
+
+    The ``space`` mesh axis shards the i (sublane) axis into contiguous
+    slabs of ``L0 / n_shards`` planes; each slab must keep 8-row sublane
+    tiling, and the lane packing is the unsharded kernel's
+    (:func:`pack_factor_3d`).  Sublane system-stacking (``ks``) is not
+    offered here: the configs the ``space`` axis exists for are lattices too
+    big for one chip, where one system already fills the lanes.
+    """
+    kp = pack_factor_3d(lattice, n_systems)
+    if not kp:
+        return 0
+    l0 = lattice.shape[0]
+    if l0 % n_shards or (l0 // n_shards) % 8:
+        return 0
+    return kp
+
+
+def _kernel_color_halo3d(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
+                         hup_ref, hdn_ref, out_ref, *, gibbs, color, l1, l2,
+                         kp, u_injected=False, u_ref=None):
+    """Single-color checkerboard update of one PLANE SLAB with explicit
+    halos — the 3D analog of ``pallas_sweep._kernel_color_halo``.
+
+    Each shard owns ``[L0l, kp*L1*L2]`` packed rows of the lattice (the i
+    axis sharded into contiguous slabs); the i +- 1 neighbors at the slab
+    edges arrive as halo planes (``hup`` = global plane above, ``hdn`` =
+    global plane below), fetched by the engine's ``ppermute`` ring before
+    each color pass.  ``off_ref`` carries the slab's global first-plane
+    index so checkerboard parity stays globally consistent; j/k neighbors
+    are unsharded and ride the seam-corrected lane rolls.  One color per
+    call — the second color's halo planes depend on the first color's
+    updates in the neighboring shards.
+    """
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    if not u_injected:
+        _seed_prng(seed_ref, d_idx, grp)
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    s = spins_ref[0, 0].astype(jnp.float32)  # [L0l, kp*block]
+    jg = jgrids_ref[0]
+    hup = hup_ref[0, 0].astype(jnp.float32)  # [1, kp*block]
+    hdn = hdn_ref[0, 0].astype(jnp.float32)
+    rows, lanes = s.shape
+    block = l1 * l2
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    (jm, jp, km, kp_), parity_jk = _lane_shift_fns(col, block, l1, l2)
+    parity = (row + off_ref[0, 0] + parity_jk) & 1
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[d_idx, grp * kp + c],
+        rows, lanes, rows, block, kp, 1,
+    )
+    up = jnp.where(row == 0, hup, pltpu.roll(s, 1, 0))
+    down = jnp.where(row == rows - 1, hdn, pltpu.roll(s, rows - 1, 0))
+    field = (
+        up * jg[0]
+        + down * jg[1]
+        + jm(s) * jg[2]
+        + jp(s) * jg[3]
+        + km(s) * jg[4]
+        + kp_(s) * jg[5]
+    )
+    x = -s * field * inv_half_t
+    u = u_ref[0, 0] if u_injected else _hw_uniform(s.shape)
+    if gibbs:
+        p = jax.nn.sigmoid(x)
+    else:
+        p = keep * jnp.exp(jnp.minimum(x, 0.0))
+    flip = (u < p) & (parity == color)
+    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape_local", "kp", "color", "gibbs", "interpret"),
+)
+def sweep_3d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
+                        shape_local, kp, color, gibbs=False,
+                        interpret=False):
+    """One color pass over every (realization, lane-group)'s local slab.
+
+    Args:
+        spins: ``int8 [n_d, g, L0l, kp*block]`` packed local slabs
+            (:func:`pack_rows_3d` with ``ks=1`` on the local spin slice).
+        jgrids: ``f32 [n_d, 6, L0l, kp*block]`` local rows of the
+            full-lattice grids (:func:`pack_coupling_grids_3d`, the i axis
+            sharded with the spins).
+        sys_temps: ``f32 [n_d, n_systems]``.
+        seeds: ``int32 [n_d, 2*g]`` (fold the shard index and the color in
+            before calling — each (shard, color) pass must draw an
+            independent stream).
+        hup/hdn: ``int8 [n_d, g, 1, kp*block]`` halo planes (global plane
+            above / below the slab, post previous color pass).
+        off: ``int32 [1, 1]`` global first-plane index of this slab.
+    """
+    l0l, l1, l2 = shape_local
+    lanes = kp * l1 * l2
+    n_d, g = spins.shape[:2]
+    kernel = functools.partial(
+        _kernel_color_halo3d, gibbs=gibbs, color=color, l1=l1, l2=l2, kp=kp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, l0l, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_d, g, l0l, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
+    return out
+
+
+def sweep_3d_halo_color_injected(spins, jgrids, sys_temps, uniforms, hup,
+                                 hdn, off, *, shape_local, kp, color,
+                                 gibbs=False, interpret=False):
+    """Test-only halo-color pass with caller-supplied uniforms
+    (``f32 [g, L0l, kp*block]``); single realization."""
+    l0l, l1, l2 = shape_local
+    lanes = kp * l1 * l2
+    g = spins.shape[0]
+    kernel = functools.partial(
+        _kernel_color_halo3d, gibbs=gibbs, color=color, l1=l1, l2=l2, kp=kp,
+        u_injected=True,
+    )
+
+    def wrapped(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+                hdn_ref, u_ref, out_ref):
+        kernel(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+               hdn_ref, out_ref, u_ref=u_ref)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(1, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, l0l, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, g, l0l, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(
+        jnp.zeros((1, 2 * g), jnp.int32),
+        sys_temps[None],
+        off,
+        spins[None],
+        jgrids[None],
+        hup[None],
+        hdn[None],
+        uniforms[None],
+    )
+    return out[0]

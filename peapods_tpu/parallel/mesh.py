@@ -114,11 +114,13 @@ def shard_runtime(rt, mesh):
     )
     rt.temps = jax.device_put(rt.temps, rspec)
     if rt.jgrids is not None:
-        # halo-kernel grids are full-lattice [d, 4, H, W] -> shard the row
-        # axis with the spins; kernel grids otherwise ride the disorder axis
+        # halo-kernel grids are full-lattice ([d, 4, H, W] for 2D,
+        # [d, 6, L0, kp*block] for 3D) -> shard the row/plane axis with the
+        # spins; kernel grids otherwise ride the disorder axis
+        halo = getattr(rt, "halo2d", False) or getattr(rt, "halo3d", 0)
         spec = (
             P(dis, None, space, None)
-            if (space is not None and getattr(rt, "halo2d", False))
+            if (space is not None and halo)
             else P(dis)
         )
         rt.jgrids = jax.device_put(rt.jgrids, NamedSharding(mesh, spec))

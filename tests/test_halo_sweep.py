@@ -109,3 +109,126 @@ def test_engine_halo_path_under_space_mesh(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
+
+
+def _jnp_color_pass3d(s, coup_fwd, inv_half_t, u, color):
+    """Full-lattice 3D single-color reference (lazy Metropolis)."""
+    from peapods_tpu.ops.sweep import METROPOLIS_LAZINESS
+
+    l0, l1, l2 = s.shape
+    i, j, k = np.indices((l0, l1, l2))
+    parity = (i + j + k) & 1
+    field = np.zeros_like(s)
+    for d in range(3):
+        fwd = coup_fwd[:, d].reshape(l0, l1, l2)
+        field += np.roll(s, 1, d) * np.roll(fwd, 1, d) + np.roll(s, -1, d) * fwd
+    p = (1.0 - METROPOLIS_LAZINESS) * np.exp(
+        np.minimum(-s * field * inv_half_t, 0.0)
+    )
+    flip = (u < p) & (parity == color)
+    return np.where(flip, -s, s)
+
+
+@pytest.mark.parametrize(
+    "shape,kp,n_systems",
+    [((16, 8, 16), 1, 1), ((16, 8, 8), 2, 2)],
+)
+@pytest.mark.parametrize("color", [0, 1])
+def test_injected_kernel3d_matches_full_lattice_reference(
+    shape, kp, n_systems, color
+):
+    """Shard-by-shard 3D halo kernel == full-lattice single-color pass,
+    including the lane-packed (kp=2) layout where two systems share one
+    tile and each needs its own halo planes."""
+    from peapods_tpu.ops.pallas_sweep3d import (
+        pack_coupling_grids_3d,
+        pack_rows_3d,
+        sweep_3d_halo_color_injected,
+        unpack_rows_3d,
+    )
+
+    l0, l1, l2 = shape
+    block = l1 * l2
+    ns = 2
+    l0l = l0 // ns
+    rng = np.random.default_rng(11)
+    s = rng.choice(np.int8([-1, 1]), size=(n_systems, l0, l1, l2))
+    coup = rng.choice(np.float32([-1, 1]), size=(l0 * l1 * l2, 3))
+    u = rng.random((n_systems, l0, l1, l2)).astype(np.float32)
+    temps = np.linspace(1.5, 2.1, n_systems).astype(np.float32)
+
+    expected = np.stack([
+        _jnp_color_pass3d(
+            s[c].astype(np.float64), coup, 1.0 / (0.5 * temps[c]), u[c],
+            color,
+        ).astype(np.int8)
+        for c in range(n_systems)
+    ])
+
+    jg = np.asarray(
+        pack_coupling_grids_3d(jnp.asarray(coup), shape, kp, 1)
+    )  # [6, L0, kp*block]
+    out = np.empty_like(s)
+    for shard in range(ns):
+        band = slice(shard * l0l, (shard + 1) * l0l)
+        sp = jnp.asarray(
+            pack_rows_3d(
+                jnp.asarray(s[:, band].reshape(n_systems, l0l * block)),
+                l0l, block, kp, 1,
+            )
+        )  # [g, l0l, kp*block]
+        packed_plane = lambda i_glob: pack_rows_3d(
+            jnp.asarray(s[:, i_glob].reshape(n_systems, block)),
+            1, block, kp, 1,
+        )  # [g, 1, kp*block]
+        hup = packed_plane((shard * l0l - 1) % l0)
+        hdn = packed_plane(((shard + 1) * l0l) % l0)
+        up = pack_rows_3d(
+            jnp.asarray(u[:, band].reshape(n_systems, l0l * block)),
+            l0l, block, kp, 1,
+        ).astype(jnp.float32)
+        res = sweep_3d_halo_color_injected(
+            sp, jnp.asarray(jg[:, band]), jnp.asarray(temps), up,
+            hup, hdn, jnp.full((1, 1), shard * l0l, jnp.int32),
+            shape_local=(l0l, l1, l2), kp=kp, color=color, interpret=True,
+        )
+        out[:, band] = np.asarray(
+            unpack_rows_3d(res, l0l, block, kp, 1)
+        ).reshape(n_systems, l0l, l1, l2)
+    np.testing.assert_array_equal(out, expected)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs 2 virtual devices"
+)
+def test_engine_halo3d_path_under_space_mesh(monkeypatch):
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    def sim(seed):
+        rng = np.random.default_rng(23)
+        coup = rng.choice(
+            np.float32([-1, 1]), size=(1, 16, 8, 16, 3)
+        )
+        temps = np.geomspace(1.2, 2.4, 3).astype(np.float32)
+        return IsingSimulation(
+            [16, 8, 16], coup, temps, 1, None, seed, default_chunk=8,
+            mesh=make_mesh(2, ("space",)),
+        )
+
+    a = sim(5)
+    ra = a.sample(8, "metropolis", pt_interval=1, warmup_ratio=0)
+    prog = next(iter(a._programs.values()))
+    assert a.rt.halo3d == 1 and "pallas-3d-halo" in prog.describe_plan()
+    assert np.isfinite(ra["mags2"]).all()
+    sid = np.asarray(a.state["system_ids"]).reshape(-1)
+    assert sorted(sid.tolist()) == list(range(3))
+
+    # determinism across chunkings
+    b = sim(5)
+    b.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    b.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
