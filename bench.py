@@ -34,7 +34,13 @@ def wait_for_backend(max_tries=5, probe_timeout_s=600, delay_s=120):
     """Block until the TPU backend answers (the tunneled chip goes through
     'Unavailable' phases, and a failed in-process init is sticky in JAX) —
     each probe is a fresh subprocess with a hang bound, so the main process
-    only ever initializes a backend that is known to be up."""
+    only ever initializes a backend that is known to be up.
+
+    Returns True when a probe succeeded, False when every try failed (so
+    batch runners can skip work instead of hanging against a dead chip;
+    bench itself proceeds either way and lets the real run surface the
+    error).
+    """
     probe = "import jax; jax.devices()"
     for i in range(max_tries):
         try:
@@ -44,20 +50,21 @@ def wait_for_backend(max_tries=5, probe_timeout_s=600, delay_s=120):
                 capture_output=True,
             )
             if r.returncode == 0:
-                return
+                return True
             err = r.stderr.decode(errors="replace").strip().splitlines()
             err = err[-1] if err else "?"
         except subprocess.TimeoutExpired:
             err = f"probe hung > {probe_timeout_s}s"
         if i == max_tries - 1:
             print(f"# TPU backend unavailable: {err}", file=sys.stderr)
-            return  # let the real run surface the error
+            return False
         print(
             f"# TPU backend not ready ({err}); retry {i + 2}/{max_tries} "
             f"in {delay_s}s",
             file=sys.stderr,
         )
         time.sleep(delay_s)
+    return False
 
 
 def state_checksum(sim, result):

@@ -55,7 +55,10 @@ def main():
         if only and name not in only:
             continue
         emit(f"---- {name} ----")
-        bench.wait_for_backend()
+        if not bench.wait_for_backend():
+            failures.append(name)
+            emit(f"[{name} SKIPPED: backend unavailable]")
+            continue
         cmd = [sys.executable] + argv
         if args.quick and name != "tg":  # tg tool has no --quick
             cmd.append("--quick")
@@ -74,8 +77,14 @@ def main():
             if r.returncode != 0:
                 failures.append(name)
                 emit(f"[{name} FAILED rc={r.returncode}]")
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             failures.append(name)
+            for stream in (e.stdout, e.stderr):
+                if stream:
+                    if isinstance(stream, bytes):
+                        stream = stream.decode(errors="replace")
+                    for ln in stream.strip().splitlines():
+                        emit(f"  {ln}")
             emit(f"[{name} TIMED OUT after {timeout_s}s]")
         emit(f"---- {name} done ({time.time() - t0:.0f}s) ----")
     emit(f"==== chip_window end {time.strftime('%F %T')} "

@@ -18,6 +18,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 REPS = 5
+QUICK = "--quick" in sys.argv
 
 
 def build(mp_event, config):
@@ -30,7 +31,7 @@ def build(mp_event, config):
                       n_disorder=8, seed=4)
         kw = dict(pt_interval=1, overlap_cluster_update_interval=10,
                   overlap_cluster_build_mode="houdayer")
-        n_sweeps = 1000
+        n_sweeps = 200 if QUICK else 1000
     else:
         model = Ising((16, 16, 16), couplings="gaussian",
                       temperatures=np.geomspace(0.8, 2.0, 24), n_replicas=4,
@@ -38,7 +39,7 @@ def build(mp_event, config):
         kw = dict(pt_interval=1, pt_schedule="full_ladder",
                   overlap_cluster_update_interval=10,
                   overlap_cluster_build_mode="jorg+cmr")
-        n_sweeps = 500
+        n_sweeps = 100 if QUICK else 500
     # warm = compile (same sweep count as the timed run, CLAUDE.md)
     model.sample(n_sweeps, warmup_ratio=0.0, **kw)
     return model, kw, n_sweeps

@@ -312,6 +312,18 @@ class Runtime:
         return int(np.argmin(self.temps_np))
 
 
+def _flat_batch_spec(mesh):
+    """PartitionSpec splitting a flat (disorder-major) graph/task batch over
+    every batch-compatible mesh axis — rows are whole graphs/tasks, so any
+    even contiguous split over disorder (and systems, when present) keeps
+    each row on one device."""
+    from jax.sharding import PartitionSpec as P
+
+    return P(
+        tuple(a for a in ("disorder", "systems") if a in mesh.axis_names)
+    )
+
+
 def _zero_obs(n_disorder, n_temps, n_bins):
     """Graph-observation accumulator (mod.rs:17-55), disorder-batched."""
     return {
@@ -566,27 +578,26 @@ class LoopProgram:
                 )
             )
         ]
-        ev_mesh_ok = mesh_ok or (
+        ev_axes_ok = mesh_ok or (
             set(rt.mesh.axis_names) <= {"disorder", "systems"}
+        )
+        ev_mesh_ok = mesh_ok or (
+            ev_axes_ok
             and all(b % rt.mesh.devices.size == 0 for b in ev_flat)
         )
-        self.event_kernel = (
+        ev_eligible = (
             rt.pallas_ok
             and h is not None
             and h.action == "update"
             and not (self.collect_overlap or self.observe_overlap)
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
-            and ev_mesh_ok
             and bool(ev_flat)
         )
-        if (
-            rt.pallas_ok
-            and h is not None
-            and h.action == "update"
-            and not (self.collect_overlap or self.observe_overlap)
-            and bool(ev_flat)
-            and not ev_mesh_ok
-        ):
+        self.event_kernel = ev_eligible and ev_mesh_ok
+        if ev_eligible and ev_axes_ok and not ev_mesh_ok:
+            # only when divisibility really is the reason (a 'space' mesh
+            # already logged its own fallback; the env kill switch is the
+            # user's explicit choice)
             from ..utils.log import log_once as _log_once
 
             _log_once(
@@ -1044,8 +1055,6 @@ class LoopProgram:
 
             mesh = rt.mesh
             if mesh is not None and mesh.devices.size > 1:
-                from jax.sharding import PartitionSpec as P
-
                 # Graph batches are disorder-major (every caller flattens
                 # [d, k, ...] -> [d*k, ...]) and labels are graph-local, so
                 # any even contiguous split over the combined mesh axes
@@ -1057,10 +1066,7 @@ class LoopProgram:
                     return jax.vmap(
                         lambda a: cl.connected_components(a, rt.geom)
                     )(active_flat)
-                axes = tuple(
-                    a for a in ("disorder", "systems") if a in mesh.axis_names
-                )
-                spec = P(axes)
+                spec = _flat_batch_spec(mesh)
                 call = jax.shard_map(
                     call, mesh=mesh, in_specs=spec,
                     out_specs=spec, check_vma=False,
@@ -1360,14 +1366,7 @@ class LoopProgram:
 
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
-            from jax.sharding import PartitionSpec as P
-
-            # flat graph batch: any even contiguous split keeps whole
-            # graphs per device (disorder-only or disorder x systems)
-            axes = tuple(
-                a for a in ("disorder", "systems") if a in mesh.axis_names
-            )
-            spec = P(axes)
+            spec = _flat_batch_spec(mesh)
             run_local = jax.shard_map(
                 run_local, mesh=mesh, in_specs=(spec,) * 5,
                 out_specs=(spec,) * (3 if with_measure else 1),
@@ -1544,15 +1543,8 @@ class LoopProgram:
 
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
-            from jax.sharding import PartitionSpec as P
-
-            # Flat task batch: any even contiguous split keeps whole tasks
-            # per device (disorder-only or disorder x systems); jt was
-            # chunk-packed per shard to match.
-            axes = tuple(
-                a for a in ("disorder", "systems") if a in mesh.axis_names
-            )
-            spec = P(axes)
+            # jt was chunk-packed per shard to match the flat split
+            spec = _flat_batch_spec(mesh)
             nj = 1 if jt is None else 0
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
@@ -1620,14 +1612,7 @@ class LoopProgram:
             )
 
         if mesh is not None and mesh.devices.size > 1:
-            from jax.sharding import PartitionSpec as P
-
-            # flat task batch: whole tasks per device under any even
-            # contiguous split (disorder-only or disorder x systems)
-            axes = tuple(
-                a for a in ("disorder", "systems") if a in mesh.axis_names
-            )
-            spec = P(axes)
+            spec = _flat_batch_spec(mesh)
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
                 in_specs=(spec,) * (1 + g_size),

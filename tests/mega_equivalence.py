@@ -21,6 +21,14 @@ interpreter; this script pins the physics on the real chip:
    ``binder_crossings.py`` which exercises the cluster kernels (reference
    anchor: tests/binder_crossings.py:65-107).
 
+3. **Fused-kernel z-tests** (``--only fk`` / ``--only event``): the fused
+   FK cluster kernel and the fused overlap-event kernel draw per-bond
+   uniforms from the hardware PRNG while the staged paths use threefry, so
+   the fused runs are statistical (not bitwise) twins; a two-sample z-test
+   over independent seeds with the kill switch flipped per arm
+   (``PEAPODS_DISABLE_FKKERNEL`` / ``PEAPODS_DISABLE_EVENTKERNEL``) pins
+   <E> and <m^2>/<q^2> per temperature.
+
 Run:  python tests/mega_equivalence.py [--quick]
 """
 
@@ -127,6 +135,110 @@ def run_pairs_ztest(quick):
     return worst < limit
 
 
+def _two_arm_ztest(tag, build_and_sample, env_var, n_seeds, temps,
+                   names=("<E>/N", "<m^2>")):
+    """Two-sample z-test over independent seeds with ``env_var`` flipped
+    per arm.  ``build_and_sample(seed) -> (moment0, moment1)`` per-temp
+    f64 arrays; returns True when max |z| stays under the limit."""
+    acc = {}
+    for fused in (True, False):
+        os.environ[env_var] = "" if fused else "1"
+        m0s, m1s = [], []
+        for s in range(n_seeds):
+            a, b = build_and_sample(s)
+            m0s.append(a)
+            m1s.append(b)
+        acc[fused] = (np.stack(m0s), np.stack(m1s))
+    os.environ.pop(env_var, None)
+
+    worst = 0.0
+    for idx, name in enumerate(names):
+        a, b = acc[True][idx], acc[False][idx]
+        ma, mb = a.mean(0), b.mean(0)
+        se = np.sqrt(a.var(0, ddof=1) / len(a) + b.var(0, ddof=1) / len(b))
+        z = np.abs(ma - mb) / np.where(se > 0, se, 1)
+        print(f"  {name}: max|z| = {z.max():.2f} "
+              f"(fused {ma[z.argmax()]:.5f} vs staged {mb[z.argmax()]:.5f} "
+              f"at T={temps[z.argmax()]:.3f})")
+        worst = max(worst, float(z.max()))
+    limit = 4.5
+    status = "PASSED" if worst < limit else "FAILED"
+    print(f"{tag} z-test: max|z| {worst:.2f} < {limit} ... {status}")
+    return worst < limit
+
+
+def run_fk_ztest(quick):
+    """Fused-FK-kernel-vs-staged z-test: 2D ferro straddling T_c with a
+    SW update every sweep (the fused kernel's target case — nothing
+    collects labels), <E> and <m^2> per temperature.  The staged arm
+    (``PEAPODS_DISABLE_FKKERNEL=1``) builds bonds with threefry draws, so
+    agreement validates the kernel's hardware-PRNG bond/flip sampling."""
+    from peapods_tpu.models.ising import Ising
+
+    n_seeds = 8 if quick else 24
+    n_sweeps = 512 if quick else 2048
+    temps = np.linspace(TC_SQUARE - 0.25, TC_SQUARE + 0.25, 8).astype(
+        np.float32
+    )
+
+    def build_and_sample(s):
+        model = Ising((32, 32), temperatures=temps, seed=5000 + s)
+        prog_env = os.environ.get("PEAPODS_DISABLE_FKKERNEL")
+        r = model.sample(
+            n_sweeps, "metropolis", cluster_update_interval=1,
+            cluster_mode="sw", pt_interval=2,
+        )
+        if prog_env != "1" and s == 0:
+            prog = next(iter(model._sim._programs.values()))
+            assert prog.fk_kernel, prog.describe_plan()
+        return _moments(r)
+
+    return _two_arm_ztest(
+        "fused-FK-vs-staged", build_and_sample, "PEAPODS_DISABLE_FKKERNEL",
+        n_seeds, temps,
+    )
+
+
+def run_event_ztest(quick):
+    """Fused-event-kernel-vs-staged z-test: 8^3 bimodal glass with a Jorg
+    overlap move every 5 sweeps (per-bond draws are hardware-PRNG in the
+    kernel, threefry staged), megapair disabled in BOTH arms so the
+    interleaved fused event (not the in-megapair event) is what differs;
+    <E> and <q^2> per temperature."""
+    from peapods_tpu.models.ising import Ising
+
+    n_seeds = 8 if quick else 24
+    n_sweeps = 2000 if quick else 6000
+    temps = np.geomspace(1.2, 3.0, 8).astype(np.float32)
+
+    os.environ["PEAPODS_DISABLE_MEGAPAIR"] = "1"
+
+    def build_and_sample(s):
+        model = Ising((8, 8, 8), "bimodal", temps, n_replicas=4,
+                      seed=7000 + s)
+        prog_env = os.environ.get("PEAPODS_DISABLE_EVENTKERNEL")
+        r = model.sample(
+            n_sweeps, "metropolis", pt_interval=1,
+            overlap_cluster_update_interval=5,
+            overlap_cluster_build_mode="jorg",
+        )
+        if prog_env != "1" and s == 0:
+            prog = next(iter(model._sim._programs.values()))
+            assert prog.event_kernel, prog.describe_plan()
+        e = np.asarray(r["energies"], np.float64)
+        q2 = np.asarray(r["overlap2"], np.float64)
+        return e, q2
+
+    try:
+        return _two_arm_ztest(
+            "fused-event-vs-staged", build_and_sample,
+            "PEAPODS_DISABLE_EVENTKERNEL", n_seeds, temps,
+            names=("<E>/N", "<q^2>"),
+        )
+    finally:
+        os.environ.pop("PEAPODS_DISABLE_MEGAPAIR", None)
+
+
 def run_binder(quick):
     from peapods_tpu.models.ising import Ising
 
@@ -160,7 +272,9 @@ def run_binder(quick):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", choices=["ztest", "pairs", "binder"])
+    ap.add_argument(
+        "--only", choices=["ztest", "pairs", "fk", "event", "binder"]
+    )
     args = ap.parse_args()
 
     ok = True
@@ -170,6 +284,12 @@ def main():
     if args.only in (None, "pairs"):
         print("== megapair vs per-sweep scan: spin-glass z-test ==")
         ok &= run_pairs_ztest(args.quick)
+    if args.only in (None, "fk"):
+        print("== fused FK kernel vs staged path: z-test ==")
+        ok &= run_fk_ztest(args.quick)
+    if args.only in (None, "event"):
+        print("== fused overlap-event kernel vs staged path: z-test ==")
+        ok &= run_event_ztest(args.quick)
     if args.only in (None, "binder"):
         print("== Binder cumulant at T_c through the mega path ==")
         ok &= run_binder(args.quick)

@@ -8,7 +8,8 @@ it as a job on a TPU runner:
     PEAPODS_TPU_STATS=1 python tests/tpu_stats_ci.py
 
 Runs ``tests/mega_equivalence.py --quick`` (megakernel z-test, megapair
-spin-glass z-test, mega-path Binder check) in a subprocess on the real chip,
+spin-glass z-test, fused-FK and fused-overlap-event kernel z-tests,
+mega-path Binder check) in a subprocess on the real chip,
 then appends a dated record to ``VALIDATION.md`` so the validation ledger is
 updated mechanically rather than by hand.  Exits nonzero on any failure.
 
