@@ -418,7 +418,7 @@ class LoopProgram:
             <= 8
         )
         self.fuse_measure = (
-            (rt.use_pallas or fuse_3d)
+            (rt.use_pallas or fuse_3d or rt.halo2d or bool(rt.halo3d))
             and (c is None or c.action == "observe")
             and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
         )
@@ -1082,7 +1082,13 @@ class LoopProgram:
         sweep; a ``ppermute`` ring carries the band-edge rows between
         shards before each pass, so the second color sees the first
         color's updates across shard boundaries — the stencil semantics of
-        the unsharded kernel, at full per-chip kernel speed)."""
+        the unsharded kernel, at full per-chip kernel speed).
+
+        Returns ``(spins, fused_em_or_None)``: when :attr:`fuse_measure`,
+        the color-1 kernel also emits per-band raw (energy, spin) sums that
+        a psum over ``space`` turns into the exact global per-system
+        measurement — the separate jnp measurement stencil (and its
+        cross-shard halo collectives) disappears."""
         import os
 
         from jax.sharding import PartitionSpec as P
@@ -1093,6 +1099,7 @@ class LoopProgram:
         h, w = rt.lattice.shape
         hl = h // ns
         gibbs = self.cfg.sweep_mode == "gibbs"
+        measure = self.fuse_measure
         interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
@@ -1106,16 +1113,26 @@ class LoopProgram:
             s4 = sp.reshape(sp.shape[0], sp.shape[1], hl, w)
             # independent PRNG stream per (shard, color) pass
             sd = sd ^ ((idx + 1) * jnp.int32(-1640531527))
+            em = ()
             for color in (0, 1):
                 sdc = sd ^ jnp.int32((-2048144789, 1779033703)[color])
                 hup = jax.lax.ppermute(s4[:, :, hl - 1:, :], "space", fwd)
                 hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
-                s4 = pallas_sweep.sweep_2d_halo_color(
+                out = pallas_sweep.sweep_2d_halo_color(
                     s4, jg, st, sdc, hup, hdn, off,
                     shape_local=(hl, w), color=color, gibbs=gibbs,
+                    with_measure=measure and color == 1,
                     interpret=interpret,
                 )
-            return s4.reshape(sp.shape)
+                if measure and color == 1:
+                    s4, e_part, m_part = out
+                    em = (
+                        jax.lax.psum(e_part, "space") / np.float32(h * w),
+                        jax.lax.psum(m_part, "space"),
+                    )
+                else:
+                    s4 = out
+            return (s4.reshape(sp.shape),) + em
 
         names = mesh.axis_names
         dis = "disorder" if "disorder" in names else None
@@ -1125,10 +1142,13 @@ class LoopProgram:
             shard_fn,
             mesh=mesh,
             in_specs=(spins_spec, P(dis, None, "space", None), batch, batch),
-            out_specs=spins_spec,
+            out_specs=(spins_spec,) + ((batch, batch) if measure else ()),
             check_vma=False,
         )
-        return call(spins, rt.jgrids, sys_temps, seeds)
+        out = call(spins, rt.jgrids, sys_temps, seeds)
+        if measure:
+            return out[0], (out[1], out[2])
+        return out[0], None
 
     def _sweep_phase_halo3d(self, spins, sid, keys):
         """Checkerboard sweep of a 3D lattice under the ``space`` mesh axis
@@ -1136,7 +1156,11 @@ class LoopProgram:
         per sweep; a ``ppermute`` ring carries the slab-edge planes between
         shards before each pass — the 3D analog of
         :meth:`_sweep_phase_halo`, so lattices too big for one chip keep a
-        Pallas fast path instead of dropping to the jnp stencils)."""
+        Pallas fast path instead of dropping to the jnp stencils).
+
+        Returns ``(spins, fused_em_or_None)`` like the 2D variant: under
+        :attr:`fuse_measure` the color-1 kernel emits per-slab raw sums,
+        exact globally after the psum over ``space``."""
         import os
 
         from jax.sharding import PartitionSpec as P
@@ -1149,6 +1173,7 @@ class LoopProgram:
         l0l = l0 // ns
         kp = rt.halo3d
         gibbs = self.cfg.sweep_mode == "gibbs"
+        measure = self.fuse_measure
         interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
@@ -1164,18 +1189,30 @@ class LoopProgram:
             )(sp)  # [d, g, l0l, kp*block]
             # independent PRNG stream per (shard, color) pass
             sd = sd ^ ((idx + 1) * jnp.int32(-1640531527))
+            em = ()
             for color in (0, 1):
                 sdc = sd ^ jnp.int32((-2048144789, 1779033703)[color])
                 hup = jax.lax.ppermute(s4[:, :, l0l - 1:, :], "space", fwd)
                 hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
-                s4 = pallas_sweep3d.sweep_3d_halo_color(
+                out = pallas_sweep3d.sweep_3d_halo_color(
                     s4, jg, st, sdc, hup, hdn, off,
                     shape_local=(l0l, l1, l2), kp=kp, color=color,
-                    gibbs=gibbs, interpret=interpret,
+                    gibbs=gibbs, with_measure=measure and color == 1,
+                    interpret=interpret,
                 )
-            return jax.vmap(
+                if measure and color == 1:
+                    s4, e_part, m_part = out
+                    em = (
+                        jax.lax.psum(e_part, "space")
+                        / np.float32(l0 * block),
+                        jax.lax.psum(m_part, "space"),
+                    )
+                else:
+                    s4 = out
+            sp_out = jax.vmap(
                 lambda s: pallas_sweep3d.unpack_rows_3d(s, l0l, block, kp, 1)
             )(s4).reshape(sp.shape)
+            return (sp_out,) + em
 
         names = mesh.axis_names
         dis = "disorder" if "disorder" in names else None
@@ -1185,10 +1222,13 @@ class LoopProgram:
             shard_fn,
             mesh=mesh,
             in_specs=(spins_spec, P(dis, None, "space", None), batch, batch),
-            out_specs=spins_spec,
+            out_specs=(spins_spec,) + ((batch, batch) if measure else ()),
             check_vma=False,
         )
-        return call(spins, rt.jgrids, sys_temps, seeds)
+        out = call(spins, rt.jgrids, sys_temps, seeds)
+        if measure:
+            return out[0], (out[1], out[2])
+        return out[0], None
 
     def _fk_phase_batched(self, spins, sid, keys, want_em=False):
         """FK update over the full ``[n_disorder, n_systems]`` batch.
@@ -1846,9 +1886,9 @@ class LoopProgram:
             if rt.use_pallas or rt.pack_k or rt.kernel3d:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             elif rt.halo2d:
-                spins = self._sweep_phase_halo(spins, sid, keys)
+                spins, fused_em = self._sweep_phase_halo(spins, sid, keys)
             elif rt.halo3d:
-                spins = self._sweep_phase_halo3d(spins, sid, keys)
+                spins, fused_em = self._sweep_phase_halo3d(spins, sid, keys)
             else:
                 spins = jax.vmap(self._sweep_phase)(
                     spins, sid, keys, rt.couplings, rt.coup_bwd

@@ -335,8 +335,8 @@ def _kernel_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, e_ref,
 
 
 def _kernel_color_halo(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
-                       hup_ref, hdn_ref, out_ref, *, gibbs, color,
-                       u_injected=False, u_ref=None):
+                       hup_ref, hdn_ref, out_ref, *rest, gibbs, color,
+                       u_injected=False, u_ref=None, with_measure=False):
     """Single-color checkerboard update of one ROW BAND with explicit halos.
 
     Spatial decomposition (SURVEY.md section 5 long-context analog): each
@@ -347,6 +347,15 @@ def _kernel_color_halo(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
     index, so checkerboard parity stays globally consistent.  One color per
     call — the second color's halo rows depend on the first color's updates
     in the neighboring shards.
+
+    ``with_measure`` (color-1 pass only): additionally emit the band's RAW
+    positive forward-bond energy sum and spin sum per system (``rest`` =
+    ``(e_ref, m_ref)``).  Every bond joins one even and one odd site and
+    this pass's field at odd sites is evaluated on the final even
+    sublattice (cross-band bonds via the post-color-0 halo rows), so
+    ``sum_odd s_final * h`` counts each bond once — globally, after the
+    engine's psum over the ``space`` axis (the caller normalizes by the
+    GLOBAL spin count).
     """
     d_idx = pl.program_id(0)
     sys_idx = pl.program_id(1)
@@ -377,14 +386,26 @@ def _kernel_color_halo(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
     else:
         p = keep * jnp.exp(jnp.minimum(x, 0.0))
     flip = (u < p) & (parity == color)
-    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+    s_new = jnp.where(flip, -s, s)
+    out_ref[0, 0] = s_new.astype(jnp.int8)
+    if with_measure:
+        e_ref, m_ref = rest
+        # odd flips leave the odd sites' field (all-even neighbors) intact
+        e_ref[d_idx, sys_idx] = jnp.where(
+            parity == 1, s_new * field, 0.0
+        ).sum()
+        m_ref[d_idx, sys_idx] = s_new.sum().astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape_local", "color", "gibbs", "interpret")
+    jax.jit,
+    static_argnames=(
+        "shape_local", "color", "gibbs", "with_measure", "interpret"
+    ),
 )
 def sweep_2d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
-                        shape_local, color, gibbs=False, interpret=False):
+                        shape_local, color, gibbs=False, with_measure=False,
+                        interpret=False):
     """One color pass over every (realization, system)'s local row band.
 
     Args:
@@ -396,10 +417,33 @@ def sweep_2d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
         seeds: ``int32 [n_d, 2*n_systems]`` (fold the shard index and the
             color in before calling — each (shard, color) pass must draw an
             independent stream).
+        with_measure: color-1 only; additionally return the band's RAW
+            per-system energy/spin sums ``(e f32 [n_d, n_systems],
+            m int32 [n_d, n_systems])`` for the engine to psum over the
+            ``space`` axis.
     """
     hl, w = shape_local
     n_d, n_systems = spins.shape[:2]
-    kernel = functools.partial(_kernel_color_halo, gibbs=gibbs, color=color)
+    assert not (with_measure and color != 1)
+    kernel = functools.partial(
+        _kernel_color_halo, gibbs=gibbs, color=color,
+        with_measure=with_measure,
+    )
+    band_spec = pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = band_spec
+    out_shape = jax.ShapeDtypeStruct((n_d, n_systems, hl, w), jnp.int8)
+    if with_measure:
+        out_specs = (
+            band_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(n_d, n_systems),
@@ -407,8 +451,7 @@ def sweep_2d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            band_spec,
             pl.BlockSpec((1, 4, hl, w), lambda d, i: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
@@ -416,9 +459,8 @@ def sweep_2d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
             pl.BlockSpec((1, 1, 1, w), lambda d, i: (d, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hl, w), lambda d, i: (d, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_d, n_systems, hl, w), jnp.int8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
     return out

@@ -512,8 +512,9 @@ def halo_pack_3d(lattice, n_systems, n_shards) -> int:
 
 
 def _kernel_color_halo3d(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
-                         hup_ref, hdn_ref, out_ref, *, gibbs, color, l1, l2,
-                         kp, u_injected=False, u_ref=None):
+                         hup_ref, hdn_ref, out_ref, *rest, gibbs, color, l1,
+                         l2, kp, u_injected=False, u_ref=None,
+                         with_measure=False):
     """Single-color checkerboard update of one PLANE SLAB with explicit
     halos — the 3D analog of ``pallas_sweep._kernel_color_halo``.
 
@@ -526,6 +527,12 @@ def _kernel_color_halo3d(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
     are unsharded and ride the seam-corrected lane rolls.  One color per
     call — the second color's halo planes depend on the first color's
     updates in the neighboring shards.
+
+    ``with_measure`` (color-1 pass only): additionally emit the slab's RAW
+    positive forward-bond energy sum and spin sum per packed system
+    (``rest`` = ``(e_ref, m_ref)``) — each bond counted once at its odd
+    endpoint, exact globally after the engine's psum over ``space`` (the
+    caller normalizes by the GLOBAL spin count).
     """
     d_idx = pl.program_id(0)
     grp = pl.program_id(1)
@@ -563,16 +570,31 @@ def _kernel_color_halo3d(seed_ref, temp_ref, off_ref, spins_ref, jgrids_ref,
     else:
         p = keep * jnp.exp(jnp.minimum(x, 0.0))
     flip = (u < p) & (parity == color)
-    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+    s_new = jnp.where(flip, -s, s)
+    out_ref[0, 0] = s_new.astype(jnp.int8)
+    if with_measure:
+        e_ref, m_ref = rest
+        # odd flips leave the odd sites' field (all-even neighbors) intact
+        e_site = jnp.where(parity == 1, s_new * field, 0.0)
+        e_sys = _per_system_sums(e_site, rows, block, kp, 1)
+        m_sys = _per_system_sums(s_new, rows, block, kp, 1)
+        grp = pl.program_id(1)
+        for c in range(kp):
+            e_ref[pl.program_id(0), grp * kp + c] = e_sys[c]
+            m_ref[pl.program_id(0), grp * kp + c] = m_sys[c].astype(
+                jnp.int32
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape_local", "kp", "color", "gibbs", "interpret"),
+    static_argnames=(
+        "shape_local", "kp", "color", "gibbs", "with_measure", "interpret"
+    ),
 )
 def sweep_3d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
                         shape_local, kp, color, gibbs=False,
-                        interpret=False):
+                        with_measure=False, interpret=False):
     """One color pass over every (realization, lane-group)'s local slab.
 
     Args:
@@ -588,13 +610,34 @@ def sweep_3d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
         hup/hdn: ``int8 [n_d, g, 1, kp*block]`` halo planes (global plane
             above / below the slab, post previous color pass).
         off: ``int32 [1, 1]`` global first-plane index of this slab.
+        with_measure: color-1 only; additionally return the slab's RAW
+            per-system energy/spin sums ``(e f32 [n_d, n_systems],
+            m int32 [n_d, n_systems])`` for the engine to psum over the
+            ``space`` axis.
     """
     l0l, l1, l2 = shape_local
     lanes = kp * l1 * l2
     n_d, g = spins.shape[:2]
+    assert not (with_measure and color != 1)
     kernel = functools.partial(
-        _kernel_color_halo3d, gibbs=gibbs, color=color, l1=l1, l2=l2, kp=kp
+        _kernel_color_halo3d, gibbs=gibbs, color=color, l1=l1, l2=l2, kp=kp,
+        with_measure=with_measure,
     )
+    slab_spec = pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = slab_spec
+    out_shape = jax.ShapeDtypeStruct((n_d, g, l0l, lanes), jnp.int8)
+    if with_measure:
+        out_specs = (
+            slab_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n_d, g * kp), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, g * kp), jnp.int32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(n_d, g),
@@ -602,8 +645,7 @@ def sweep_3d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            slab_spec,
             pl.BlockSpec((1, 6, l0l, lanes), lambda d, i: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
@@ -611,9 +653,8 @@ def sweep_3d_halo_color(spins, jgrids, sys_temps, seeds, hup, hdn, off, *,
             pl.BlockSpec((1, 1, 1, lanes), lambda d, i: (d, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, l0l, lanes), lambda d, i: (d, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_d, g, l0l, lanes), jnp.int8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
     return out

@@ -232,3 +232,46 @@ def test_engine_halo3d_path_under_space_mesh(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_halo_fused_measure_matches_jnp_recompute(monkeypatch, dim):
+    """Under fuse_measure the halo kernels emit per-shard raw (e, m) sums
+    psum'd over 'space'; with PT off the trajectory is identical to the
+    unfused run (spins never depend on the measured energy), so recorded
+    energies/magnetizations must agree with the jnp recompute up to f32
+    summation order."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    if dim == "2d":
+        shape, ns = [32, 128], 4
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 128, 2))
+    else:
+        shape, ns = [16, 8, 16], 2
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 16, 8, 16, 3))
+    temps = np.geomspace(1.4, 2.6, 3).astype(np.float32)
+
+    def run(fuse):
+        if not fuse:
+            monkeypatch.setenv("PEAPODS_DISABLE_FUSE", "1")
+        else:
+            monkeypatch.delenv("PEAPODS_DISABLE_FUSE", raising=False)
+        sim = IsingSimulation(
+            shape, coup, temps, 1, None, 11, default_chunk=8,
+            mesh=make_mesh(ns, ("space",)),
+        )
+        r = sim.sample(6, "metropolis", pt_interval=None, warmup_ratio=0)
+        prog = next(iter(sim._programs.values()))
+        assert prog.fuse_measure == fuse, prog.describe_plan()
+        return r, np.asarray(sim.state["spins"])
+
+    r_f, spins_f = run(True)
+    r_j, spins_j = run(False)
+    np.testing.assert_array_equal(spins_f, spins_j)
+    np.testing.assert_allclose(r_f["energies"], r_j["energies"], rtol=3e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(r_f["mags2"], r_j["mags2"], rtol=1e-6)
