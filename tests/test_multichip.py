@@ -454,3 +454,41 @@ def test_event_kernel_indivisible_task_batch_falls_back(monkeypatch):
         np.asarray(sharded.state["spins"]), np.asarray(plain2.state["spins"])
     )
     np.testing.assert_array_equal(r_sh["overlap2"], r_pl["overlap2"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_disorder_by_space_mesh_halo3d(monkeypatch):
+    """3D disorder x space mesh routes through the halo3d kernel with the
+    disorder batch ALSO partitioned: path activation, finite stats, and
+    determinism across chunkings (a bitwise plain-path comparison is not
+    meaningful here — the halo kernel draws its own per-(shard, color)
+    PRNG streams)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    temps = np.array([1.4, 2.2], dtype=np.float32)
+    rng = np.random.default_rng(9)
+    coup = (
+        2 * rng.integers(0, 2, size=(2, 16, 8, 16, 3)) - 1
+    ).astype(np.float32)
+    mesh = make_mesh(4, ("disorder", "space"))
+    assert dict(mesh.shape) == {"disorder": 2, "space": 2}
+
+    def sim(seed):
+        return IsingSimulation([16, 8, 16], coup, temps, 1, None, seed,
+                               default_chunk=4, mesh=mesh)
+
+    a = sim(3)
+    ra = a.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    prog = next(iter(a._programs.values()))
+    assert a.rt.halo3d == 1 and "pallas-3d-halo" in prog.describe_plan()
+    assert prog.fuse_measure
+    assert np.isfinite(ra["mags2"]).all()
+
+    b = sim(3)
+    b.sample(2, "metropolis", pt_interval=1, warmup_ratio=0)
+    b.sample(2, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
