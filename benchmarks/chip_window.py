@@ -34,13 +34,23 @@ JOBS = [
 ]
 
 
+DONE_FILE = Path(__file__).parent / ".chip_window_done"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated job names")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore the completed-jobs ledger and rerun all")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+
+    if args.fresh and DONE_FILE.exists():
+        DONE_FILE.unlink()
+    done = (set(DONE_FILE.read_text().split())
+            if DONE_FILE.exists() else set())
 
     log = open(ROOT / "benchmarks" / "chip_window.log", "a")
 
@@ -53,6 +63,9 @@ def main():
     failures = []
     for name, argv, timeout_s in JOBS:
         if only and name not in only:
+            continue
+        if name in done:
+            emit(f"---- {name} (already done; --fresh to rerun) ----")
             continue
         emit(f"---- {name} ----")
         if not bench.wait_for_backend():
@@ -77,6 +90,10 @@ def main():
             if r.returncode != 0:
                 failures.append(name)
                 emit(f"[{name} FAILED rc={r.returncode}]")
+            else:
+                done.add(name)
+                with open(DONE_FILE, "a") as df:
+                    df.write(name + "\n")
         except subprocess.TimeoutExpired as e:
             failures.append(name)
             for stream in (e.stdout, e.stderr):

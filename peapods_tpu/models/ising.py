@@ -252,7 +252,10 @@ class Ising:
         self.energies_avg = result["energies"]
         self.energies2_avg = result["energies2"]
 
-        self.binder_cumulant = 1 - self.mags4 / (3 * self.mags2**2)
+        # Observe-mode runs can record zero moments; the cumulants are then
+        # undefined (0/0) and NaN is the right value — suppress the warnings.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.binder_cumulant = 1 - self.mags4 / (3 * self.mags2**2)
         self.heat_capacity = (
             self.n_spins
             * (self.energies2_avg - self.energies_avg**2)
@@ -265,10 +268,11 @@ class Ising:
                 "link_overlap", "link_overlap2", "link_overlap4",
             ):
                 setattr(self, key, result[key])
-            self.sg_binder = 1 - self.overlap4 / (3 * self.overlap2**2)
-            self.link_overlap_binder = 1 - self.link_overlap4 / (
-                3 * self.link_overlap2**2
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                self.sg_binder = 1 - self.overlap4 / (3 * self.overlap2**2)
+                self.link_overlap_binder = 1 - self.link_overlap4 / (
+                    3 * self.link_overlap2**2
+                )
 
         for key, attr in _PASSTHROUGH_ATTRS.items():
             if key in result:
