@@ -42,6 +42,7 @@ from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
 from ..ops import pallas_sweep3d
+from ..ops import pallas_sweep_tri
 from ..ops import pallas_mega
 from ..ops import pallas_megapair
 from ..ops import pallas_cc
@@ -135,6 +136,8 @@ class Runtime:
     coup_bwd: jax.Array  # f32 [n_disorder, n_spins, n_nb] (J[bwd[i,d], d])
     jgrids: jax.Array | None = None  # f32 [n_disorder, 4|6, L0, lanes] (pallas)
     use_pallas: bool = False  # wide-lattice direct kernel
+    tri: bool = False  # triangular-lattice direct kernel
+    tri_pack: int = 0  # triangular lane-packing factor (0 = off)
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     halo2d: bool = False  # space-mesh halo-exchange 2D kernel
     halo3d: int = 0  # space-mesh halo-exchange 3D kernel lane-pack kp (0=off)
@@ -170,6 +173,12 @@ class Runtime:
             if (on_device and not use_pallas)
             else 0
         )
+        tri = pallas_sweep_tri.supports_tri(lattice) and on_device
+        tri_pack = (
+            pallas_sweep_tri.pack_factor_tri(lattice, n_systems)
+            if (on_device and not tri)
+            else 0
+        )
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
         from ..utils.log import log_once
 
@@ -199,7 +208,11 @@ class Runtime:
                 halo3d = pallas_sweep3d.halo_pack_3d(
                     lattice, n_systems, ns
                 )
-            if not halo2d and not halo3d and (use_pallas or pack_k or kernel3d):
+            if (
+                not halo2d
+                and not halo3d
+                and (use_pallas or pack_k or kernel3d or tri or tri_pack)
+            ):
                 log_once(
                     "'space' mesh axis: falling back to the jnp sweep path "
                     "(lattice/mesh shape outside the halo kernels' support)"
@@ -207,12 +220,14 @@ class Runtime:
             use_pallas = False
             pack_k = 0
             kernel3d = 0
+            tri = False
+            tri_pack = 0
         if mesh is not None and "systems" in mesh.axis_names:
             # systems-sharded mesh: the kernel batch axis must split evenly
             # across the mesh axis (and pack groups must stay shard-local)
             sys_ax = mesh.shape["systems"]
             if n_systems % sys_ax:
-                if use_pallas or pack_k or kernel3d:
+                if use_pallas or pack_k or kernel3d or tri or tri_pack:
                     log_once(
                         f"n_systems={n_systems} does not divide over the "
                         f"{sys_ax}-way 'systems' mesh axis: falling back to "
@@ -221,6 +236,8 @@ class Runtime:
                 use_pallas = False
                 pack_k = 0
                 kernel3d = 0
+                tri = False
+                tri_pack = 0
             else:
                 if pack_k and (n_systems // sys_ax) % pack_k:
                     log_once(
@@ -229,6 +246,13 @@ class Runtime:
                         "falling back to the jnp sweep path"
                     )
                     pack_k = 0
+                if tri_pack and (n_systems // sys_ax) % tri_pack:
+                    log_once(
+                        f"lane-pack factor {tri_pack} does not divide the "
+                        f"per-shard system count {n_systems // sys_ax}: "
+                        "falling back to the jnp sweep path"
+                    )
+                    tri_pack = 0
                 if kernel3d and (n_systems // sys_ax) % kernel3d:
                     log_once(
                         f"3D lane-pack factor {kernel3d} does not divide the "
@@ -261,6 +285,18 @@ class Runtime:
                     c, lattice.shape, pack_k
                 )
             )(coup)
+        elif tri:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep_tri.pack_coupling_grids_tri(
+                    c, lattice.shape
+                )
+            )(coup)
+        elif tri_pack:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep_tri.pack_coupling_grids_tri_packed(
+                    c, lattice.shape, tri_pack
+                )
+            )(coup)
         elif kernel3d:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep3d.pack_coupling_grids_3d(
@@ -272,6 +308,8 @@ class Runtime:
         return cls(
             jgrids=jgrids,
             use_pallas=use_pallas,
+            tri=tri,
+            tri_pack=tri_pack,
             pallas_ok=on_device,
             halo2d=halo2d,
             halo3d=halo3d,
@@ -418,7 +456,7 @@ class LoopProgram:
             <= 8
         )
         self.fuse_measure = (
-            (rt.use_pallas or fuse_3d or rt.halo2d or bool(rt.halo3d))
+            (rt.use_pallas or rt.tri or fuse_3d or rt.halo2d or bool(rt.halo3d))
             and (c is None or c.action == "observe")
             and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
         )
@@ -710,6 +748,10 @@ class LoopProgram:
             sweep = "pallas-2d"
         elif rt.pack_k:
             sweep = f"pallas-2d-packed(k={rt.pack_k})"
+        elif rt.tri:
+            sweep = "pallas-tri"
+        elif rt.tri_pack:
+            sweep = f"pallas-tri-packed(k={rt.tri_pack})"
         elif rt.kernel3d:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
         elif rt.halo2d:
@@ -970,6 +1012,31 @@ class LoopProgram:
                 )
 
             n_out = 1
+        elif rt.tri_pack:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.tri_pack)
+
+            def call(sp, jg, st, sd):
+                return pallas_sweep_tri.sweep_tri_packed(
+                    sp, jg, st, sd, shape=rt.lattice.shape, k=rt.tri_pack,
+                    gibbs=gibbs, interpret=interpret,
+                )
+
+            n_out = 1
+        elif rt.tri:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
+            tri_fn = (
+                pallas_sweep_tri.sweep_tri_fused
+                if self.fuse_measure
+                else pallas_sweep_tri.sweep_tri
+            )
+
+            def call(sp, jg, st, sd):
+                return tri_fn(
+                    sp, jg, st, sd, shape=rt.lattice.shape, gibbs=gibbs,
+                    interpret=interpret,
+                )
+
+            n_out = 3 if self.fuse_measure else 1
         elif self.fuse_measure:
             seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
 
@@ -1883,7 +1950,7 @@ class LoopProgram:
             fused_em = None
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
-            if rt.use_pallas or rt.pack_k or rt.kernel3d:
+            if rt.use_pallas or rt.pack_k or rt.kernel3d or rt.tri or rt.tri_pack:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             elif rt.halo2d:
                 spins, fused_em = self._sweep_phase_halo(spins, sid, keys)
