@@ -31,6 +31,18 @@ JOBS = [
     ("fk", ["benchmarks/fk_ab.py"], 5400),
     ("bench_all", ["benchmarks/bench_all.py"], 7200),
     ("stats", ["tests/tpu_stats_ci.py", "--quick"], 7200),
+    # round-4 batch: new-kernel deciders, current-defaults config refresh
+    # (the 2026-08-19 bench_all ran pre-tri-kernel / mp_event-on), then the
+    # chip-level physics re-validation of the round-3/4 default paths
+    ("tri", ["benchmarks/tri_ab.py"], 3600),
+    ("halo", ["benchmarks/halo_ab.py"], 3600),
+    ("configs_r4", ["benchmarks/driver_configs.py"], 7200),
+    ("binder_sq", ["tests/binder_crossings.py", "--quick", "--only",
+                   "square"], 7200),
+    ("binder_tri", ["tests/binder_crossings.py", "--quick", "--only",
+                    "triangular"], 7200),
+    ("sg_quick", ["tests/spin_glass_crossings.py", "--quick"], 10800),
+    ("qhist_quick", ["tests/overlap_histogram.py", "--quick"], 10800),
 ]
 
 

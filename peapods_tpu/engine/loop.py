@@ -173,10 +173,11 @@ class Runtime:
             if (on_device and not use_pallas)
             else 0
         )
-        tri = pallas_sweep_tri.supports_tri(lattice) and on_device
+        tri_on = on_device and os.environ.get("PEAPODS_DISABLE_TRI") != "1"
+        tri = pallas_sweep_tri.supports_tri(lattice) and tri_on
         tri_pack = (
             pallas_sweep_tri.pack_factor_tri(lattice, n_systems)
-            if (on_device and not tri)
+            if (tri_on and not tri)
             else 0
         )
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
@@ -673,7 +674,13 @@ class LoopProgram:
         # the whole per-interval block — event sweep, pair move, PT,
         # remaining sweeps — in ONE pallas_call on the megapair path.  Same
         # no-stats/update/pairs gate as the interleaved fused event, plus R
-        # even for the static partner layout.  PEAPODS_MP_EVENT=0 reverts.
+        # even for the static partner layout.  OFF by default: the on-chip
+        # interleaved A/B (benchmarks/mp_event_ab.py, 2026-08-19 window)
+        # measured it 4% slower at config 4 (8^3) and 13% slower at config 5
+        # (16^3 full-ladder) than the interleaved fused-event path — the
+        # maskless all-mode-bodies-run design costs more than the dispatch
+        # glue it saves.  PEAPODS_MP_EVENT=1 opts in (kept for re-evaluation
+        # on future kernel changes; bitwise tests cover both paths).
         self.mp_event = (
             self.megapair
             and h is not None
@@ -681,7 +688,7 @@ class LoopProgram:
             and all(m.group_size == 2 for m in h.modes)
             and rt.n_replicas % 2 == 0
             and not (self.collect_overlap or self.observe_overlap)
-            and _os.environ.get("PEAPODS_MP_EVENT") != "0"
+            and _os.environ.get("PEAPODS_MP_EVENT") == "1"
         )
         # Fused FK kernel (ops/pallas_event.py fk_update_batch): the whole
         # SW/Wolff cluster update — bond draws, CC fixed point, cluster

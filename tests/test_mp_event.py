@@ -3,9 +3,11 @@
 The whole per-interval block — event sweep, pair overlap move, PT, remaining
 sweeps — runs in ONE ``pallas_call`` when ``prog.mp_event`` gates on
 (reference sweep order ``simulation/mod.rs:405-796``; per-task moves
-``clusters/overlap.rs:64-144``).  Oracle: the interleaved megapair path
-(``PEAPODS_MP_EVENT=0`` — kernel call A / fused-event kernel / jnp PT mirror
-/ call B), which carries the staged-path physics record.  On the CPU
+``clusters/overlap.rs:64-144``).  Opt-in via ``PEAPODS_MP_EVENT=1`` (the
+on-chip A/B measured it slower than the interleaved path, which is the
+default).  Oracle: the interleaved megapair path (kernel call A /
+fused-event kernel / jnp PT mirror / call B), which carries the
+staged-path physics record.  On the CPU
 interpreter both paths draw identical per-bond uniforms (the stubbed
 hardware PRNG), so trajectories must match BITWISE for every mode:
 houdayer's bonds are deterministic (bitwise on hardware too), jorg/cmr
