@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_sweep import _interp
 from .pallas_megapair import _dims_of, _mp_geometry
 
-__all__ = ["supports_cc_batch", "cc_batch_factors", "connected_components_batch"]
+__all__ = [
+    "supports_cc_batch",
+    "cc_batch_factors",
+    "connected_components_batch",
+    "grid_dims",
+    "dir_shifts",
+]
 
 _ROUNDS_PER_CHECK = 16
 # Max sublane rows per packed tile: fatter tiles amortize per-grid-step
@@ -44,12 +51,217 @@ _ROUNDS_PER_CHECK = 16
 # over-packing regresses heavy-tailed batches.
 _MAX_ROWS = 256
 
+_TRI_2D = np.asarray([[1, 0], [0, 1], [1, -1]], dtype=np.int64)
+
+
+def grid_dims(lattice):
+    """``(l0, l1, l2, n_dirs, tri)`` for kernel-packable lattices, else None.
+
+    Hypercubic 2D/3D map offsets one-to-one onto grid axes; the triangular
+    lattice adds a third bond direction ``[1, -1]`` on the same 2D grid —
+    its neighbor shifts are compositions of the axis shifts
+    (:func:`dir_shifts`), so the packed-tile machinery carries over whole.
+    """
+    dims = _dims_of(lattice)
+    if dims is not None:
+        return dims + (lattice.n_dims, False)
+    if (
+        lattice.n_dims == 2
+        and lattice.offsets.shape == _TRI_2D.shape
+        and np.array_equal(lattice.offsets, _TRI_2D)
+    ):
+        return (lattice.shape[0], lattice.shape[1], 1, 3, True)
+    return None
+
+
+def dir_shifts(shifts, n_dirs, tri):
+    """Per-bond-direction ``(fwd, bwd)`` neighbor-shift closures.
+
+    ``shifts``: the six axis shifts from ``_mp_geometry``.  For the
+    triangular third direction (offset ``[1, -1]``) the forward neighbor of
+    ``(i, j)`` is ``(i+1, j-1)`` — the composition ``jm(ip(x))`` of the
+    wrap-correct axis closures (each wraps its own axis independently, so
+    the composition stays graph-local)."""
+    im, ip, jm, jp, km, kp_ = shifts
+    if tri:
+        return (
+            [ip, jp, lambda x: jm(ip(x))],
+            [im, jm, lambda x: jp(im(x))],
+        )
+    return [ip, jp, kp_][:n_dirs], [im, jm, km][:n_dirs]
+
+
+def make_k_shifts(rows, lanes, l0, l1, l2, row, col):
+    """Seam-corrected shift-by-k closures for the packed-tile layout.
+
+    ``fwd_k(x, axis, k)`` returns the value k steps FORWARD along the grid
+    axis (periodic within each packed graph region); ``bwd_k`` the reverse.
+    Generalizes the stride-1 helpers in ``pallas_megapair`` — each axis
+    wraps independently, so direction shifts (including the triangular
+    diagonal) compose from these.
+    """
+    block = l1 * l2
+    i_coord = jax.lax.rem(row, np.int32(l0))
+    jb = jax.lax.rem(col, np.int32(block))
+    j_coord = jb // np.int32(l2)
+    k_coord = jax.lax.rem(jb, np.int32(l2))
+
+    def fwd_k(x, axis, k):
+        if axis == 0:
+            wrap = i_coord >= np.int32(l0 - k)
+            a = pltpu.roll(x, (rows - k) % rows, 0)
+            b = pltpu.roll(x, (l0 - k) % rows, 0)
+        elif axis == 1:
+            t = k * l2
+            wrap = j_coord >= np.int32(l1 - k)
+            a = pltpu.roll(x, (lanes - t) % lanes, 1)
+            b = pltpu.roll(x, (block - t) % lanes, 1)
+        else:
+            wrap = k_coord >= np.int32(l2 - k)
+            a = pltpu.roll(x, (lanes - k) % lanes, 1)
+            b = pltpu.roll(x, (l2 - k) % lanes, 1)
+        return jnp.where(wrap, b, a)
+
+    def bwd_k(x, axis, k):
+        if axis == 0:
+            wrap = i_coord < np.int32(k)
+            a = pltpu.roll(x, k % rows, 0)
+            b = pltpu.roll(x, (rows + k - l0) % rows, 0)
+        elif axis == 1:
+            t = k * l2
+            wrap = j_coord < np.int32(k)
+            a = pltpu.roll(x, t % lanes, 1)
+            b = pltpu.roll(x, (lanes + t - block) % lanes, 1)
+        else:
+            wrap = k_coord < np.int32(k)
+            a = pltpu.roll(x, k % lanes, 1)
+            b = pltpu.roll(x, (lanes + k - l2) % lanes, 1)
+        return jnp.where(wrap, b, a)
+
+    return fwd_k, bwd_k
+
+
+def _log_strides(l0, l1, l2, n_dirs, tri):
+    """Per-direction power-of-two stride lists for the log-doubling body."""
+    def caps(extent):
+        out = []
+        k = 1
+        while k < extent:
+            out.append(k)
+            k *= 2
+        return out or [1]
+
+    if tri:
+        diag = caps(max(l0, l1))
+        return [caps(l0), caps(l1), diag]
+    return [caps(l0), caps(l1), caps(l2)][:n_dirs]
+
+
+def cc_fixed_point(bonds, init, big, shifts_info, *, n_dirs, tri, log_cc,
+                   rounds_per_check=_ROUNDS_PER_CHECK):
+    """Min-label fixed point over packed graph tiles.
+
+    ``bonds``: per-direction bool forward-bond masks; ``init``: int32 start
+    labels (may carry a -1 Wolff seed flood); ``shifts_info`` =
+    ``(rows, lanes, l0, l1, l2, row, col, shifts)`` with ``shifts`` the six
+    stride-1 closures from ``_mp_geometry``.
+
+    ``log_cc=False``: the classic stride-1 propagation,
+    ``rounds_per_check`` rounds per convergence check.
+
+    ``log_cc=True``: log-doubling run propagation — per direction, a
+    precomputed ladder of run-connectivity masks ``conn_k`` (site connected
+    to its ``+k``-step neighbor through k consecutive active bonds,
+    ``conn_2k = conn_k & shift_k(conn_k)``) lets one pass pull labels
+    across entire straight bond runs in ``log2(extent)`` masked-min steps.
+    Monotone min updates that include the stride-1 move => the SAME fixed
+    point, bitwise, as the classic body; only the round count changes.
+    Wins when runs are long (cold / dense FK graphs, whose diameter-bound
+    round counts dominate mixed-temperature ladders).
+    """
+    rows, lanes, l0, l1, l2, row, col, shifts = shifts_info
+    fwd1, bwd1 = dir_shifts(shifts, n_dirs, tri)
+
+    def shift_mask(f, m):
+        return f(m.astype(jnp.int32)) != 0
+
+    if not log_cc:
+        ab = [shift_mask(bwd1[d], bonds[d]) for d in range(n_dirs)]
+
+        def propagate(lab):
+            new = lab
+            for d in range(n_dirs):
+                lf = jnp.where(bonds[d], fwd1[d](lab), big)
+                lb = jnp.where(ab[d], bwd1[d](lab), big)
+                new = jnp.minimum(new, jnp.minimum(lf, lb))
+            return new
+
+        def body(carry):
+            lab, _ = carry
+            new = lab
+            for _ in range(rounds_per_check):
+                new = propagate(new)
+            return new, jnp.any(new != lab)
+
+        labels, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (init, jnp.bool_(True))
+        )
+        return labels
+
+    fwd_k, bwd_k = make_k_shifts(rows, lanes, l0, l1, l2, row, col)
+
+    def dfwd(x, d, k):
+        if tri and d == 2:
+            # k steps along the diagonal land at (i+k mod l0, j-k mod l1):
+            # reduce per axis — the stride-k helpers only correct a single
+            # wrap, and diagonal strides can exceed the smaller extent
+            return bwd_k(fwd_k(x, 0, k % l0), 1, k % l1)
+        return fwd_k(x, d, k)
+
+    def dbwd(x, d, k):
+        if tri and d == 2:
+            return fwd_k(bwd_k(x, 0, k % l0), 1, k % l1)
+        return bwd_k(x, d, k)
+
+    strides = _log_strides(l0, l1, l2, n_dirs, tri)
+    # run-connectivity ladders (loop-invariant; built once)
+    conn = []
+    for d in range(n_dirs):
+        ladder = []
+        c = bonds[d].astype(jnp.int32)
+        k = 1
+        for s in strides[d]:
+            if s > k:  # double up to this stride
+                c = c & dfwd(c, d, k)
+                k = s
+            ladder.append((s, c != 0, dbwd(c, d, s) != 0))
+        conn.append(ladder)
+
+    def super_round(lab):
+        new = lab
+        for d in range(n_dirs):
+            for s, cf, cb in conn[d]:
+                lf = jnp.where(cf, dfwd(new, d, s), big)
+                lb = jnp.where(cb, dbwd(new, d, s), big)
+                new = jnp.minimum(new, jnp.minimum(lf, lb))
+        return new
+
+    def body(carry):
+        lab, _ = carry
+        new = super_round(lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (init, jnp.bool_(True))
+    )
+    return labels
+
 
 def supports_cc_batch(lattice) -> bool:
-    dims = _dims_of(lattice)
-    if dims is None:
+    g = grid_dims(lattice)
+    if g is None:
         return False
-    l0, l1, l2 = dims
+    l0, l1, l2, _, _ = g
     block = l1 * l2
     kp = 128 // math.gcd(128, block)
     return l0 >= 2 and l1 >= 2 and (kp * block) % 128 == 0 and l0 % 8 == 0
@@ -58,7 +270,7 @@ def supports_cc_batch(lattice) -> bool:
 def cc_batch_factors(lattice, n_graphs):
     """(kp, ks): lane- and sublane-pack factors; the caller pads the batch
     to a multiple of kp*ks."""
-    l0, l1, l2 = _dims_of(lattice)
+    l0, l1, l2, _, _ = grid_dims(lattice)
     block = l1 * l2
     kp = 128 // math.gcd(128, block)
     ks = max(1, _MAX_ROWS // l0)
@@ -87,62 +299,49 @@ def _unpack(x, l0, block, kp, ks):
     )
 
 
-def _cc_batch_kernel(a_ref, out_ref, *, l0, l1, l2, kp, ks, n_dims):
+def _cc_batch_kernel(a_ref, out_ref, *, l0, l1, l2, kp, ks, n_dirs, tri,
+                     log_cc):
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     big = jnp.int32(l0 * block)
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
-    im, ip, jm, jp, km, kp_ = shifts
     # local site index within each packed graph
     init = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
         col, np.int32(block)
     )
-    # per-dim (fwd-gate, fwd-neighbor-shift, bwd-gate, bwd-neighbor-shift):
-    # bond (i, d) connects i and i + e_d; the bond arriving at i from its
-    # -d neighbor is that neighbor's forward bond (a shifted mask).
-    a = [a_ref[0, d] != 0 for d in range(n_dims)]
-    fwd_shift = [ip, jp, kp_][:n_dims]
-    bwd_shift = [im, jm, km][:n_dims]
-    ab = [bwd_shift[d](a_ref[0, d].astype(jnp.int32)) != 0 for d in range(n_dims)]
-
-    def propagate(lab):
-        new = lab
-        for d in range(n_dims):
-            lf = jnp.where(a[d], fwd_shift[d](lab), big)
-            lb = jnp.where(ab[d], bwd_shift[d](lab), big)
-            new = jnp.minimum(new, jnp.minimum(lf, lb))
-        return new
-
-    def body(carry):
-        lab, _ = carry
-        new = lab
-        for _ in range(_ROUNDS_PER_CHECK):
-            new = propagate(new)
-        return new, jnp.any(new != lab)
-
-    labels, _ = jax.lax.while_loop(
-        lambda c: c[1], body, (init, jnp.bool_(True))
+    bonds = [a_ref[0, d] != 0 for d in range(n_dirs)]
+    out_ref[0] = cc_fixed_point(
+        bonds, init, big, (rows, lanes, l0, l1, l2, row, col, shifts),
+        n_dirs=n_dirs, tri=tri, log_cc=log_cc,
     )
-    out_ref[0] = labels
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "kp", "ks", "interpret")
+    jax.jit,
+    static_argnames=("shape", "kp", "ks", "interpret", "tri", "log_cc"),
 )
-def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False):
+def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
+                               tri=False, log_cc=None):
     """Component labels for a batch of bond graphs.
 
     Args:
-        active_fwd: ``bool [B, n_spins, n_dims]`` forward-bond activation
+        active_fwd: ``bool [B, n_spins, n_dirs]`` forward-bond activation
             per graph (B divisible by kp*ks — pad with all-False graphs).
-        shape: static lattice shape (2D or 3D hypercubic).
+        shape: static lattice shape (2D or 3D).
         kp / ks: packing factors from :func:`cc_batch_factors`.
+        tri: 2D triangular offsets (n_dirs = 3, third direction ``[1, -1]``).
+        log_cc: use the log-doubling fixed-point body
+            (:func:`cc_fixed_point`); None reads ``PEAPODS_CC_LOG=1``.
+            Same labels bitwise either way — only the round count changes.
 
     Returns ``int32 [B, n_spins]``, bitwise equal per graph to
     :func:`peapods_tpu.ops.cluster.connected_components`.
     """
+    if log_cc is None:
+        log_cc = os.environ.get("PEAPODS_CC_LOG") == "1"
     shape = tuple(shape)
     n_dims = len(shape)
+    n_dirs = 3 if tri else n_dims
     l0 = shape[0]
     block = int(np.prod(shape[1:]))
     l1 = shape[1]
@@ -153,16 +352,17 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False):
     # [B, n, nd] -> [nd, B, n] -> packed [nd, G, rows, lanes] -> [G, nd, ...]
     a = jnp.moveaxis(active_fwd.astype(jnp.int8), -1, 0)
     packed = jnp.stack(
-        [_pack(a[d], l0, block, kp, ks) for d in range(n_dims)], axis=1
+        [_pack(a[d], l0, block, kp, ks) for d in range(n_dirs)], axis=1
     )
     kernel = functools.partial(
-        _cc_batch_kernel, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims
+        _cc_batch_kernel, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dirs=n_dirs,
+        tri=tri, log_cc=bool(log_cc),
     )
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, n_dims, rows, lanes), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_dirs, rows, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),

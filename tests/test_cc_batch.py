@@ -45,6 +45,48 @@ def test_kernel_matches_jnp_fixed_point(shape):
     np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_j))
 
 
+@pytest.mark.parametrize(
+    "shape,tri", [((8, 8), False), ((8, 8, 8), False),
+                  ((8, 24), True), ((8, 128), True)]
+)
+def test_log_doubling_matches_classic(shape, tri):
+    """The log-doubling fixed-point body (PEAPODS_CC_LOG=1) must produce
+    the SAME labels bitwise as the classic stride-1 body — it only adds
+    monotone min moves along precomputed straight bond runs, so the fixed
+    point is identical; only the round count changes."""
+    import jax
+    import jax.numpy as jnp
+
+    from peapods_tpu.ops.lattice import GEOMETRY_OFFSETS, Lattice
+    from peapods_tpu.ops.geometry import GridOps
+    from peapods_tpu.ops import cluster as cl
+    from peapods_tpu.ops.pallas_cc_batch import (
+        cc_batch_factors,
+        connected_components_batch,
+        supports_cc_batch,
+    )
+
+    offs = GEOMETRY_OFFSETS["triangular"] if tri else None
+    lat = Lattice(list(shape), offs)
+    geom = GridOps.from_lattice(lat)
+    assert supports_cc_batch(lat)
+    kp, ks = cc_batch_factors(lat, 16)
+    b = ((16 + kp * ks - 1) // (kp * ks)) * (kp * ks)
+    rng = np.random.default_rng((hash(shape) + tri) % 2**32)
+    dens = np.linspace(0.0, 1.0, b)[:, None, None]
+    active = jnp.asarray(
+        rng.random((b, lat.n_spins, lat.n_neighbors)) < dens
+    )
+    kw = dict(shape=shape, kp=kp, ks=ks, interpret=True, tri=tri)
+    lab_log = connected_components_batch(active, log_cc=True, **kw)
+    lab_classic = connected_components_batch(active, log_cc=False, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(lab_log), np.asarray(lab_classic)
+    )
+    lab_j = jax.vmap(lambda a: cl.connected_components(a, geom))(active)
+    np.testing.assert_array_equal(np.asarray(lab_log), np.asarray(lab_j))
+
+
 def test_engine_fk_bitwise_vs_jnp_cc(monkeypatch):
     """SW every sweep on a 64^2-class lattice batch: trajectories must be
     bitwise identical with the batch kernel on and off (labels are equal,
