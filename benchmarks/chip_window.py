@@ -36,6 +36,7 @@ JOBS = [
     # chip-level physics re-validation of the round-3/4 default paths
     ("tri", ["benchmarks/tri_ab.py"], 3600),
     ("halo", ["benchmarks/halo_ab.py"], 3600),
+    ("stats_cost", ["benchmarks/stats_ab.py"], 5400),
     ("configs_r4", ["benchmarks/driver_configs.py"], 7200),
     ("binder_sq", ["tests/binder_crossings.py", "--quick", "--only",
                    "square"], 7200),

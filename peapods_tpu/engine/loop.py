@@ -415,6 +415,10 @@ class LoopProgram:
         self.cfg = cfg
         c = cfg.cluster_update
         h = cfg.overlap_cluster
+        # triangular-offsets grid (third bond direction [1, -1]) for the
+        # packed-tile kernels (cc_batch / fused FK / fused events)
+        _gd = pallas_cc_batch.grid_dims(rt.lattice)
+        self._lat_tri = bool(_gd is not None and _gd[4])
         self.collect_fk = c is not None and (c.collect_stats or c.action == "observe")
         self.observe_fk = c is not None and c.action == "observe"
         self.has_pairs = rt.n_pairs > 0
@@ -628,7 +632,10 @@ class LoopProgram:
             rt.pallas_ok
             and h is not None
             and h.action == "update"
-            and not (self.collect_overlap or self.observe_overlap)
+            # collect-only stats keep the fused pair events (labels-out
+            # CSD/top4 in _run_tasks_batched); full observe mode needs the
+            # bond masks and stays staged
+            and not self.observe_overlap
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
             and bool(ev_flat)
         )
@@ -692,12 +699,14 @@ class LoopProgram:
         )
         # Fused FK kernel (ops/pallas_event.py fk_update_batch): the whole
         # SW/Wolff cluster update — bond draws, CC fixed point, cluster
-        # flips — in ONE pallas_call per sweep when nothing collects
-        # labels/CSD/observations (the perf-config case: the 5-mode
-        # harness's SW/Wolff rows).  Per-graph flip draws (coin salts /
-        # Wolff seed) are bitwise the staged path's; per-bond uniforms ride
-        # the hardware PRNG (statistical, like the sweep kernels), with the
-        # injected-uniform entry pinning the decision logic bitwise
+        # flips — in ONE pallas_call per sweep.  collect_stats runs stay on
+        # it too (the kernel emits its resident CC labels and CSD derives
+        # in jnp — fk.rs:86-142 collects inline); only full observe mode
+        # (winding/bond observables need the bond masks) takes the staged
+        # path.  Per-graph flip draws (coin salts / Wolff seed) are bitwise
+        # the staged path's; per-bond uniforms ride the hardware PRNG
+        # (statistical, like the sweep kernels), with the injected-uniform
+        # entry pinning the decision logic bitwise
         # (tests/test_pallas_event.py).  Reference anchor: fk.rs:28-171,
         # which touches each graph once per update.
         cu = cfg.cluster_update
@@ -713,7 +722,7 @@ class LoopProgram:
             rt.pallas_ok
             and cu is not None
             and cu.action == "update"
-            and not (self.collect_fk or self.observe_fk)
+            and not self.observe_fk
             and pallas_cc_batch.supports_cc_batch(rt.lattice)
             and _os.environ.get("PEAPODS_DISABLE_FKKERNEL") != "1"
             and fk_mesh_ok
@@ -780,9 +789,15 @@ class LoopProgram:
             )
             parts.append(f"cc={cc}")
         if getattr(self, "fk_kernel", False):
-            parts.append(f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]})")
+            stats = "+stats" if self.collect_fk else ""
+            parts.append(
+                f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]}){stats}"
+            )
         if getattr(self, "event_kernel", False):
-            parts.append(f"event=fused(kp={self._evb[0]},ks={self._evb[1]})")
+            stats = "+stats" if self.collect_overlap else ""
+            parts.append(
+                f"event=fused(kp={self._evb[0]},ks={self._evb[1]}){stats}"
+            )
         if self.fuse_measure:
             parts.append("fused-measure")
         if rt.mesh is not None and rt.mesh.devices.size > 1:
@@ -1123,7 +1138,7 @@ class LoopProgram:
                     )
                 lab = pallas_cc_batch.connected_components_batch(
                     a, shape=tuple(rt.lattice.shape), kp=kp, ks=ks,
-                    interpret=interp,
+                    interpret=interp, tri=self._lat_tri,
                 )
                 return lab[:nloc]
 
@@ -1322,10 +1337,22 @@ class LoopProgram:
         d = spins.shape[0]
 
         if self.fk_kernel:
-            new_spins, em = self._fk_fused(
-                spins, sid, keys, with_measure=want_em
+            new_spins, em, labels = self._fk_fused(
+                spins, sid, keys, with_measure=want_em,
+                with_labels=self.collect_fk,
             )
-            return new_spins, None, None, em
+            csd_t = None
+            if self.collect_fk:
+                # CSD from the kernel's resident CC labels (fk.rs:86-142
+                # collects inline) — collect-stats runs keep the fused
+                # kernel AND its hardware-PRNG bond stream, so they are
+                # bitwise the production trajectory (the staged path's
+                # threefry twin is no longer forced).
+                csd_sys = jax.vmap(jax.vmap(
+                    lambda lab: cl.csd_histogram(cl.component_counts(lab))
+                ))(labels)  # [d, S, n+1]
+                csd_t = jax.vmap(lambda cs, sd: cs[sd].sum(0))(csd_sys, sid)
+            return new_spins, csd_t, None, em
 
         def bonds_per_disorder(spins_d, sid_d, key_d, coup_d):
             sys_temps = slot_temps_for_systems(sid_d, rt.temps)
@@ -1400,7 +1427,8 @@ class LoopProgram:
         )
         return out + (None,)
 
-    def _fk_fused(self, spins, sid, keys, with_measure=False):
+    def _fk_fused(self, spins, sid, keys, with_measure=False,
+                  with_labels=False):
         """FK update through the fused kernel: one ``pallas_call`` over the
         packed ``[n_disorder * n_systems]`` graph batch (pad/pack/kernel/
         unpack per disorder shard under a mesh, like ``_event_fused``).
@@ -1409,6 +1437,12 @@ class LoopProgram:
         ``kb, kf = split(split(fold_in(key_d, _PH_FK), S)[s])`` — ``kf``
         feeds the bitwise flip scalars; ``kb`` (the staged path's bond-draw
         key) seeds the hardware PRNG stream per tile.
+
+        Returns ``(spins, em_or_None, labels_or_None)``; labels are
+        unpacked ``int32 [d, S, n_spins]`` graph-local min-site-index
+        cluster ids (the Wolff kernel's -1 seed-cluster marker is rewritten
+        to that cluster's min site index, matching the staged path's
+        :func:`~peapods_tpu.ops.cluster.connected_components` convention).
         """
         import os
 
@@ -1467,30 +1501,53 @@ class LoopProgram:
                 words.reshape(g_tiles, tile, 2)[:, :1, :],
                 j,
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
-                with_measure=with_measure,
+                with_measure=with_measure, with_labels=with_labels,
+                tri=self._lat_tri,
             )
+            if not isinstance(out, tuple):
+                out = (out,)
+            parts = [
+                pallas_cc_batch._unpack(out[0], l0, block, kp, ks)[:nloc]
+            ]
             if with_measure:
-                s2, e, m = out
-                return (
-                    pallas_cc_batch._unpack(s2, l0, block, kp, ks)[:nloc],
-                    e.reshape(-1)[:nloc],
-                    m.reshape(-1)[:nloc],
+                parts += [
+                    out[1].reshape(-1)[:nloc], out[2].reshape(-1)[:nloc]
+                ]
+            if with_labels:
+                parts.append(
+                    pallas_cc_batch._unpack(
+                        out[-1], l0, block, kp, ks
+                    )[:nloc]
                 )
-            return (pallas_cc_batch._unpack(out, l0, block, kp, ks)[:nloc],)
+            return tuple(parts)
 
+        n_out = 1 + (2 if with_measure else 0) + (1 if with_labels else 0)
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
             spec = _flat_batch_spec(mesh)
             run_local = jax.shard_map(
                 run_local, mesh=mesh, in_specs=(spec,) * 5,
-                out_specs=(spec,) * (3 if with_measure else 1),
+                out_specs=(spec,) * n_out,
                 check_vma=False,
             )
         out = run_local(s_flat, gscal, gtemp, words, self._fk_j)
         new_spins = out[0].reshape(d, S, n)
+        em = None
         if with_measure:
-            return new_spins, (out[1].reshape(d, S), out[2].reshape(d, S))
-        return new_spins, None
+            em = (out[1].reshape(d, S), out[2].reshape(d, S))
+        labels = None
+        if with_labels:
+            labels = out[-1].reshape(d, S, n)
+            if wolff:
+                # rewrite the kernel's -1 seed-cluster marker to that
+                # cluster's min site index (the staged labels convention)
+                neg = labels == -1
+                idx = jnp.arange(n, dtype=labels.dtype)
+                mn = jnp.min(
+                    jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
+                )
+                labels = jnp.where(neg, mn, labels)
+        return new_spins, em, labels
 
     def _run_tasks_batched(self, mode, tspins, tkeys, with_snapshot):
         """Run one overlap mode over the FULL task batch, with the CC fixed
@@ -1517,14 +1574,41 @@ class LoopProgram:
         flat = lambda x: x.reshape((d * n_tasks,) + x.shape[2:])
         unflat = lambda x: x.reshape((d, n_tasks) + x.shape[1:])
 
-        if self.event_kernel and not (with_stats or with_snapshot):
+        # collect-only stats (CSD + top4) derive from the kernel's resident
+        # CC labels, so they keep the fused pair-event path (the reference
+        # collects inline, overlap.rs:146-339); full observe mode still
+        # needs the bond masks (bond fraction / winding) and snapshots need
+        # the grey labels — both stay staged.
+        collect_only = (
+            with_stats and not self.observe_overlap and not with_snapshot
+        )
+        if self.event_kernel and (not (with_stats or with_snapshot)
+                                  or collect_only):
             if g == 2 and pallas_event.supports_event(rt.lattice, 2):
+                if collect_only:
+                    new_tspins, labels = self._event_fused(
+                        mode, tspins, tkeys, with_labels=True
+                    )
+                    counts = jax.vmap(jax.vmap(cl.component_counts))(labels)
+                    zi = jnp.zeros(labels.shape[:2], jnp.int32)
+                    zb = jnp.zeros(labels.shape[:2], bool)
+                    return ov.OverlapMoveOut(
+                        new_tspins, None, None, None,
+                        jax.vmap(jax.vmap(cl.csd_histogram))(counts),
+                        cl.GraphObservation(
+                            top4=jax.vmap(jax.vmap(cl.top4_sizes))(counts),
+                            active_bonds=zi, winding_x=zb, winding_y=zb,
+                            large_components=zi,
+                        ),
+                    )
                 new_tspins = self._event_fused(mode, tspins, tkeys)
                 return ov.OverlapMoveOut(
                     new_tspins, None, None, None, None, None
                 )
-            if mode.kind == "houdayer" and pallas_event.supports_event_houdn(
-                rt.lattice, g
+            if (
+                mode.kind == "houdayer"
+                and not (with_stats or with_snapshot)
+                and pallas_event.supports_event_houdn(rt.lattice, g)
             ):
                 new_tspins = self._event_fused_houd(mode, tspins, tkeys)
                 return ov.OverlapMoveOut(
@@ -1591,7 +1675,7 @@ class LoopProgram:
             out = out._replace(labels=None, blue_labels=None, counts=None)
         return out
 
-    def _event_fused(self, mode, tspins, tkeys):
+    def _event_fused(self, mode, tspins, tkeys, with_labels=False):
         """Run one pair-task overlap event through the fused kernel
         (ops/pallas_event.py): bonds + CC + flips in one ``pallas_call``.
 
@@ -1599,6 +1683,11 @@ class LoopProgram:
         tensor of the same shape.  Per-task scalars come from the exact
         staged-path key splits; only the per-bond uniforms (jorg/cmr) ride
         the hardware PRNG instead of threefry.
+
+        ``with_labels``: additionally return the stats-graph CC labels
+        ``int32 [d, n_tasks, n_spins]`` (blue labels for CMR), cleaned to
+        the staged min-site-index convention (the Wolff kernel's -1
+        seed-cluster marker is rewritten).
         """
         import os
 
@@ -1645,16 +1734,19 @@ class LoopProgram:
             b_p = pallas_cc_batch._pack(b, l0, block, kp, ks)
             gscal_t = gscal.reshape(g_tiles, tile, 6)
             words_t = words.reshape(g_tiles, tile, 2)[:, :1, :]
-            a2, b2 = pallas_event.overlap_event_batch(
+            out = pallas_event.overlap_event_batch(
                 a_p, b_p, gscal_t, words_t,
                 jt_arg[0] if jt_arg else None,
                 kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
-                interpret=interp,
+                interpret=interp, with_labels=with_labels,
+                tri=self._lat_tri,
             )
-            a2 = pallas_cc_batch._unpack(a2, l0, block, kp, ks)[:nloc]
-            b2 = pallas_cc_batch._unpack(b2, l0, block, kp, ks)[:nloc]
-            return a2, b2
+            return tuple(
+                pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]
+                for o in out
+            )
 
+        n_out = 3 if with_labels else 2
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
             # jt was chunk-packed per shard to match the flat split
@@ -1663,15 +1755,29 @@ class LoopProgram:
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
                 in_specs=(spec,) * (5 - nj),
-                out_specs=(spec, spec),
+                out_specs=(spec,) * n_out,
                 check_vma=False,
             )
-        a2, b2 = (
+        out = (
             run_local(a, b, gscal, words)
             if jt is None
             else run_local(a, b, gscal, words, jt)
         )
-        return jnp.stack([a2, b2], axis=1).reshape(d, n_tasks, 2, n)
+        new_tspins = jnp.stack(out[:2], axis=1).reshape(d, n_tasks, 2, n)
+        if not with_labels:
+            return new_tspins
+        labels = out[2].reshape(d, n_tasks, n)
+        if wolff:
+            # rewrite the -1 seed-cluster marker to that cluster's min site
+            # index (the staged labels convention); tasks whose Wolff seed
+            # search failed have no -1 sites and pass through unchanged
+            neg = labels == -1
+            idx = jnp.arange(n, dtype=labels.dtype)
+            mn = jnp.min(
+                jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
+            )
+            labels = jnp.where(neg, mn, labels)
+        return new_tspins, labels
 
     def _event_fused_houd(self, mode, tspins, tkeys):
         """Houdayer(N) event (even group sizes > 2) through the fused
@@ -1719,6 +1825,7 @@ class LoopProgram:
             outs = pallas_event.houdn_event_batch(
                 packs, gscal.reshape(g_tiles, tile, 6),
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
+                tri=self._lat_tri,
             )
             return tuple(
                 pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]

@@ -273,8 +273,14 @@ def _salted_uniform_i32(labels, s0, s1):
 
 def _event_kernel(
     gscal_ref, a_ref, b_ref, *rest,
-    kind, wolff, injected, l0, l1, l2, kp, ks, n_dims,
+    kind, wolff, injected, with_labels, l0, l1, l2, kp, ks, n_dims,
+    tri=False,
 ):
+    """``with_labels`` additionally writes the STATS-graph CC labels tile —
+    the move's labels for houdayer/jorg, the BLUE labels for CMR (the
+    reference collects CSD/top4 on the blue graph, overlap.rs:146-339; see
+    :func:`peapods_tpu.ops.overlap.cmr_mid`).  Raw: the Wolff seed cluster
+    carries -1 (the engine rewrites it to that cluster's min site index)."""
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     n_spins = l0 * block
@@ -284,12 +290,14 @@ def _event_kernel(
     words_ref = refs.pop(0) if (kind != "houdayer" and not injected) else None
     jt_ref = refs.pop(0) if kind != "houdayer" else None
     u_ref = refs.pop(0) if (injected and kind != "houdayer") else None
+    lab_out = refs.pop() if with_labels else None
     a_out, b_out = refs
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
-    im, ip, jm, jp, km, kp_ = shifts
-    fwd = [ip, jp, kp_][:n_dims]
-    bwd = [im, jm, km][:n_dims]
+    n_dirs = 3 if tri else n_dims
+    from .pallas_cc_batch import dir_shifts
+
+    fwd, bwd = dir_shifts(shifts, n_dirs, tri)
     local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
         col, np.int32(block)
     )
@@ -320,7 +328,7 @@ def _event_kernel(
     def cc(bonds, seed_tile):
         """Min-label fixed point; ``seed_tile`` (or None) floods -1 from the
         per-graph Wolff seed so the seeded component is ``labels == -1``."""
-        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dirs)]
         if seed_tile is None:
             init = local_idx
         else:
@@ -328,7 +336,7 @@ def _event_kernel(
 
         def propagate(lab):
             new = lab
-            for d in range(n_dims):
+            for d in range(n_dirs):
                 lf = jnp.where(bonds[d], fwd[d](lab), big)
                 lb = jnp.where(ab[d], bwd[d](lab), big)
                 new = jnp.minimum(new, jnp.minimum(lf, lb))
@@ -348,9 +356,9 @@ def _event_kernel(
 
     def nonsingleton(bonds):
         inc = bonds[0]
-        for d in range(1, n_dims):
+        for d in range(1, n_dirs):
             inc = inc | bonds[d]
-        for d in range(n_dims):
+        for d in range(n_dirs):
             inc = inc | shift_mask(bwd[d], bonds[d])
         return inc
 
@@ -366,11 +374,11 @@ def _event_kernel(
     if kind in ("houdayer", "jorg"):
         active = (a * b) < 0
         if kind == "houdayer":
-            bonds = [active & shift_mask(fwd[d], active) for d in range(n_dims)]
+            bonds = [active & shift_mask(fwd[d], active) for d in range(n_dirs)]
         else:
             af = a.astype(jnp.float32)
             bonds = []
-            for d in range(n_dims):
+            for d in range(n_dirs):
                 inter = af * fwd[d](af) * jt_ref[0, d]
                 p = 1.0 - jnp.exp(-4.0 * inter)
                 bonds.append(
@@ -386,6 +394,8 @@ def _event_kernel(
             labels = cc(bonds, None)
             coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
             flip = coin & nonsingleton(bonds)
+        if with_labels:
+            lab_out[0] = labels
         a_out[0] = jnp.where(flip, -a, a).astype(jnp.int8)
         b_out[0] = jnp.where(flip, -b, b).astype(jnp.int8)
         return
@@ -393,18 +403,18 @@ def _event_kernel(
     # ---- cmr: blue phase -> joint flip -> red extension -> grey flips
     def sats(av, bv):
         a_s, b_s = [], []
-        for d in range(n_dims):
+        for d in range(n_dirs):
             a_s.append(av * fwd[d](av) * jt_ref[0, d] > 0.0)
             b_s.append(bv * fwd[d](bv) * jt_ref[0, d] > 0.0)
         return a_s, b_s
 
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
-    r = [jnp.exp(-2.0 * jnp.abs(jt_ref[0, d])) for d in range(n_dims)]
+    r = [jnp.exp(-2.0 * jnp.abs(jt_ref[0, d])) for d in range(n_dirs)]
     a_sat, b_sat = sats(af, bf)
     blue = [
         a_sat[d] & b_sat[d] & (uniform() < 1.0 - r[d] * r[d])
-        for d in range(n_dims)
+        for d in range(n_dirs)
     ]
     seed_tile = gval(_SEED)
     if wolff:
@@ -414,13 +424,15 @@ def _event_kernel(
         blue_labels = cc(blue, None)
         coin = _salted_uniform_i32(blue_labels, gval(_S0), gval(_S1)) < 0.5
         blue_flip = coin & nonsingleton(blue)
+    if with_labels:
+        lab_out[0] = blue_labels
     af = jnp.where(blue_flip, -af, af)
     bf = jnp.where(blue_flip, -bf, bf)
 
     a_sat, b_sat = sats(af, bf)
     grey = [
         blue[d] | ((a_sat[d] != b_sat[d]) & (uniform() < 1.0 - r[d]))
-        for d in range(n_dims)
+        for d in range(n_dirs)
     ]
     if wolff:
         grey_labels = cc(grey, seed_tile)
@@ -441,11 +453,15 @@ def _event_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "wolff", "shape", "kp", "ks", "interpret"),
+    static_argnames=(
+        "kind", "wolff", "shape", "kp", "ks", "interpret", "with_labels",
+        "tri",
+    ),
 )
 def overlap_event_batch(
     a_pack, b_pack, gscal, words, jt=None, u=None, *,
-    kind, wolff, shape, kp, ks, interpret=False,
+    kind, wolff, shape, kp, ks, interpret=False, with_labels=False,
+    tri=False,
 ):
     """One fused overlap event over a packed task batch.
 
@@ -459,11 +475,16 @@ def overlap_event_batch(
         jt: ``f32 [G, n_dims, rows, lanes]`` packed J/T (jorg/cmr only).
         u: injected per-bond uniforms ``f32 [G, n_u*n_dims, rows, lanes]``
             (n_u = 1 for jorg, 2 for cmr: blue then red, dim-major within).
+        with_labels: additionally return the packed stats-graph CC labels
+            (``int32 [G, rows, lanes]``; blue labels for CMR, raw Wolff -1
+            seed-cluster marker).
 
-    Returns ``(a_pack, b_pack)`` post-move.
+    Returns ``(a_pack, b_pack)`` post-move (plus packed labels last with
+    ``with_labels``).
     """
     shape = tuple(shape)
     n_dims = len(shape)
+    n_dirs = 3 if tri else n_dims
     l0 = shape[0]
     block = int(np.prod(shape[1:]))
     l1 = shape[1]
@@ -473,8 +494,8 @@ def overlap_event_batch(
     injected = u is not None
     kernel = functools.partial(
         _event_kernel,
-        kind=kind, wolff=wolff, injected=injected,
-        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+        kind=kind, wolff=wolff, injected=injected, with_labels=with_labels,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
     )
     tile = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (0,) * len(dims),
@@ -490,21 +511,28 @@ def overlap_event_batch(
         in_specs.append(smem(1, 2))
         operands.append(words)
     if kind != "houdayer":
-        in_specs.append(tile(n_dims, rows, lanes))
+        in_specs.append(tile(n_dirs, rows, lanes))
         operands.append(jt)
     if injected and kind != "houdayer":
         n_u = u.shape[1]
         in_specs.append(tile(n_u, rows, lanes))
         operands.append(u)
+    out_specs = (tile(rows, lanes), tile(rows, lanes))
+    out_shape = (
+        jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+        jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
+    )
+    if with_labels:
+        out_specs = out_specs + (tile(rows, lanes),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=in_specs,
-        out_specs=(tile(rows, lanes), tile(rows, lanes)),
-        out_shape=(
-            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
-            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(*operands)
     return out
@@ -580,13 +608,19 @@ def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int,
 
 def _fk_kernel(
     gscal_ref, gtemp_ref, s_ref, *rest,
-    wolff, injected, with_measure, l0, l1, l2, kp, ks, n_dims,
+    wolff, injected, with_measure, with_labels, l0, l1, l2, kp, ks, n_dims,
+    tri=False,
 ):
     """Fused FK update: bond draws + CC fixed point + cluster flips on one
     resident tile (fk.rs:28-171 in one pass).  Mirrors ``_event_kernel``'s
     tile machinery for the single-system case (the small geometry/CC
     closures are intentionally repeated rather than threaded through the
-    validated event kernel)."""
+    validated event kernel).
+
+    ``with_labels`` additionally writes the CC labels tile (the already
+    resident fixed-point result, raw: the Wolff seed cluster carries -1)
+    so collect-stats runs can derive CSD/top4 without leaving this kernel
+    for the staged path (fk.rs:86-142 collects stats inline)."""
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     n_spins = l0 * block
@@ -596,15 +630,17 @@ def _fk_kernel(
     words_ref = refs.pop(0) if not injected else None
     j_ref = refs.pop(0)
     u_ref = refs.pop(0) if injected else None
+    lab_out = refs.pop() if with_labels else None
     if with_measure:
         s_out, e_out, m_out = refs
     else:
         (s_out,) = refs
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
-    im, ip, jm, jp, km, kp_ = shifts
-    fwd = [ip, jp, kp_][:n_dims]
-    bwd = [im, jm, km][:n_dims]
+    n_dirs = 3 if tri else n_dims
+    from .pallas_cc_batch import dir_shifts
+
+    fwd, bwd = dir_shifts(shifts, n_dirs, tri)
     local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
         col, np.int32(block)
     )
@@ -638,7 +674,7 @@ def _fk_kernel(
         return f(m.astype(jnp.int32)) != 0
 
     def cc(bonds, seed_tile):
-        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dirs)]
         if seed_tile is None:
             init = local_idx
         else:
@@ -646,7 +682,7 @@ def _fk_kernel(
 
         def propagate(lab):
             new = lab
-            for d in range(n_dims):
+            for d in range(n_dirs):
                 lf = jnp.where(bonds[d], fwd[d](lab), big)
                 lb = jnp.where(ab[d], bwd[d](lab), big)
                 new = jnp.minimum(new, jnp.minimum(lf, lb))
@@ -667,7 +703,7 @@ def _fk_kernel(
     sf = s_ref[0].astype(jnp.float32)
     temp = gtemp()
     bonds = []
-    for d in range(n_dims):
+    for d in range(n_dirs):
         inter = sf * fwd[d](sf) * j_ref[0, d]
         # expression form mirrors cluster.fk_bond_activation exactly so the
         # injected-uniform comparison is bitwise (-2*inter then /T)
@@ -681,6 +717,8 @@ def _fk_kernel(
         labels = cc(bonds, None)
         # FK/SW flips singletons too (fk.rs:153-162) — no incident-bond gate
         flip = _salted_uniform_i32(labels, gval(0), gval(1)) < 0.5
+    if with_labels:
+        lab_out[0] = labels
     sf = jnp.where(flip, -sf, sf)
     s_out[0] = sf.astype(jnp.int8)
 
@@ -689,7 +727,7 @@ def _fk_kernel(
         # energy.rs:92-109): reference order is sweep -> FK -> measure, so
         # the engine can skip its jnp recompute on FK sweeps.
         e_site = sf * fwd[0](sf) * j_ref[0, 0]
-        for d in range(1, n_dims):
+        for d in range(1, n_dirs):
             e_site = e_site + sf * fwd[d](sf) * j_ref[0, d]
         lane_group = col // np.int32(block)
         for c in range(kp):
@@ -710,11 +748,13 @@ def _fk_kernel(
     jax.jit,
     static_argnames=(
         "wolff", "shape", "kp", "ks", "interpret", "with_measure",
+        "with_labels", "tri",
     ),
 )
 def fk_update_batch(
     s_pack, gscal, gtemp, words, j, u=None, *,
     wolff, shape, kp, ks, interpret=False, with_measure=False,
+    with_labels=False, tri=False,
 ):
     """One fused FK cluster update over a packed system batch.
 
@@ -729,11 +769,16 @@ def fk_update_batch(
         j: ``f32 [G, n_dims, rows, lanes]`` packed couplings
             (:func:`pack_fk_j`).
         u: injected per-bond uniforms ``f32 [G, n_dims, rows, lanes]``.
+        with_labels: additionally return the packed CC labels
+            (``int32 [G, rows, lanes]``, raw: the Wolff seed cluster is -1;
+            labels are graph-local min site indices otherwise).
 
-    Returns post-update ``s_pack``.
+    Returns post-update ``s_pack`` (plus ``(e, m)`` with ``with_measure``,
+    plus packed labels last with ``with_labels``).
     """
     shape = tuple(shape)
     n_dims = len(shape)
+    n_dirs = 3 if tri else n_dims
     l0 = shape[0]
     block = int(np.prod(shape[1:]))
     l1 = shape[1]
@@ -744,7 +789,8 @@ def fk_update_batch(
     kernel = functools.partial(
         _fk_kernel,
         wolff=wolff, injected=injected, with_measure=with_measure,
-        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+        with_labels=with_labels,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
     )
     tile = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (0,) * len(dims),
@@ -759,10 +805,10 @@ def fk_update_batch(
     if not injected:
         in_specs.append(smem(1, 2))
         operands.append(words)
-    in_specs.append(tile(n_dims, rows, lanes))
+    in_specs.append(tile(n_dirs, rows, lanes))
     operands.append(j)
     if injected:
-        in_specs.append(tile(n_dims, rows, lanes))
+        in_specs.append(tile(n_dirs, rows, lanes))
         operands.append(u)
     out_specs = tile(rows, lanes)
     out_shape = jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8)
@@ -777,6 +823,14 @@ def fk_update_batch(
             jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.int32),
         )
+    if with_labels:
+        if not isinstance(out_specs, tuple):
+            out_specs = (out_specs,)
+            out_shape = (out_shape,)
+        out_specs = out_specs + (tile(rows, lanes),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -786,9 +840,12 @@ def fk_update_batch(
         interpret=_interp(interpret),
     )(*operands)
     if with_measure:
+        if with_labels:
+            s2, e, m, lab = out
+            return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks), lab
         s2, e, m = out
         return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks)
-    return out
+    return out  # s_pack, or (s_pack, labels) with with_labels
 
 
 # ------------------------------------------------------- Houdayer-N events
@@ -829,6 +886,7 @@ def houdn_scalars(wolff: bool, tspins, tkeys, n_spins: int):
 
 def _houdn_kernel(
     gscal_ref, *rest, wolff, g_size, l0, l1, l2, kp, ks, n_dims,
+    tri=False,
 ):
     """Fused Houdayer(N) move: balanced-site mask -> deterministic bonds ->
     CC -> flip ALL group members on the chosen clusters.  Bonds carry no
@@ -842,9 +900,10 @@ def _houdn_kernel(
     outs = rest[g_size:]
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
-    im, ip, jm, jp, km, kp_ = shifts
-    fwd = [ip, jp, kp_][:n_dims]
-    bwd = [im, jm, km][:n_dims]
+    n_dirs = 3 if tri else n_dims
+    from .pallas_cc_batch import dir_shifts
+
+    fwd, bwd = dir_shifts(shifts, n_dirs, tri)
     local_idx = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
         col, np.int32(block)
     )
@@ -864,8 +923,8 @@ def _houdn_kernel(
     for x in s[1:]:
         tot = tot + x
     active = tot == 0
-    bonds = [active & shift_mask(fwd[d], active) for d in range(n_dims)]
-    ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dims)]
+    bonds = [active & shift_mask(fwd[d], active) for d in range(n_dirs)]
+    ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dirs)]
 
     if wolff:
         seed_tile = gval(_SEED)
@@ -875,7 +934,7 @@ def _houdn_kernel(
 
     def propagate(lab):
         new = lab
-        for d in range(n_dims):
+        for d in range(n_dirs):
             lf = jnp.where(bonds[d], fwd[d](lab), big)
             lb = jnp.where(ab[d], bwd[d](lab), big)
             new = jnp.minimum(new, jnp.minimum(lf, lb))
@@ -896,9 +955,9 @@ def _houdn_kernel(
         flip = labels == -1
     else:
         inc = bonds[0]
-        for d in range(1, n_dims):
+        for d in range(1, n_dirs):
             inc = inc | bonds[d]
-        for d in range(n_dims):
+        for d in range(n_dirs):
             inc = inc | ab[d]
         coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
         flip = coin & inc
@@ -908,10 +967,10 @@ def _houdn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wolff", "shape", "kp", "ks", "interpret"),
+    static_argnames=("wolff", "shape", "kp", "ks", "interpret", "tri"),
 )
 def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
-                      interpret=False):
+                      interpret=False, tri=False):
     """One fused Houdayer(N) event over a packed task batch.
 
     ``s_packs``: tuple of g ``int8 [G, rows, lanes]`` packed replica slots;
@@ -930,7 +989,7 @@ def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
     kernel = functools.partial(
         _houdn_kernel,
         wolff=wolff, g_size=g_size,
-        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims,
+        l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
     )
     tile = pl.BlockSpec(
         (1, rows, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

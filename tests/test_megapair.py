@@ -180,6 +180,61 @@ def test_observe_invariance_through_pt_mirror(sched):
         np.testing.assert_array_equal(np.asarray(obs.state[k]), exp[k], k)
 
 
+@pytest.mark.parametrize("case", range(6))
+def test_observe_invariance_pt_mirror_property(case):
+    """Randomized hardening of the PT-mirror contract: pt_event_jnp must
+    reproduce the kernel's murmur-mixed PT draws for ANY configuration, so
+    a future kernel PT change that isn't hand-mirrored fails here rather
+    than silently skewing observe-mode runs.  Each case draws a random
+    temperature ladder, schedule, replica count, lattice (kp 1 and 2
+    layouts), overlap build mode, and event cadence, then requires the
+    observe run to match the overlap-free run bitwise on spins,
+    system_ids, and every PT diagnostic."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    rng = np.random.default_rng(4200 + case)
+    shape = [(8, 128), (8, 8, 8)][case % 2]
+    n_replicas = int(rng.choice([2, 4]))
+    n_temps = int(rng.integers(2, 5))
+    t_lo = float(rng.uniform(0.6, 1.2))
+    temps = (t_lo * np.cumprod(
+        1.0 + rng.uniform(0.05, 0.6, size=n_temps)
+    )).astype(np.float32)
+    sched = str(rng.choice(["single_random_edge", "full_ladder"]))
+    build = str(rng.choice(["houdayer", "jorg", "cmr", "jorg+cmr"]))
+    interval = int(rng.choice([2, 3]))
+    seed = int(rng.integers(0, 2**31))
+    coup = rng.choice(
+        np.float32([-1, 1]), size=tuple(shape) + (len(shape),)
+    )
+
+    def run(observe):
+        sim = IsingSimulation(list(shape), coup, temps, n_replicas, None,
+                              seed, default_chunk=16, mesh=None)
+        kw = dict(pt_interval=1, pt_schedule=sched, warmup_ratio=0)
+        if observe:
+            kw.update(
+                overlap_cluster_update_interval=interval,
+                overlap_cluster_build_mode=build,
+                overlap_cluster_mode="sw",
+                overlap_cluster_action="observe",
+            )
+        sim.sample(8, "metropolis", **kw)
+        return sim
+
+    plain = run(False)
+    assert _prog(plain).megapair, _prog(plain).describe_plan()
+    obs = run(True)
+    assert _prog(obs).megapair
+    for k in ("spins", "system_ids", "pt_edge_attempts",
+              "pt_edge_acceptances", "pt_round_trips", "pt_trip_state"):
+        np.testing.assert_array_equal(
+            np.asarray(obs.state[k]), np.asarray(plain.state[k]),
+            err_msg=f"case {case} ({shape}, R={n_replicas}, T={n_temps}, "
+                    f"{sched}, {build}, interval={interval}): {k}",
+        )
+
+
 def test_pt_bookkeeping():
     m = glass(7, n_temps=4)
     n_sweeps = 20

@@ -40,7 +40,8 @@ def _task_batch(shape, n_tasks, seed):
     return lat, geom, a, b, tkeys
 
 
-def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None):
+def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None,
+               with_labels=False):
     """Pack a flat task batch and run the fused event kernel on it."""
     shape = tuple(lat.shape)
     n = lat.n_spins
@@ -71,14 +72,18 @@ def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None):
         if u_slots is not None
         else None
     )
-    a2, b2 = pe.overlap_event_batch(
+    out = pe.overlap_event_batch(
         a_p, b_p, gscal.reshape(g, tile, 6),
         words.reshape(g, tile, 2)[:, :1, :], jt, u,
         kind=kind, wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
+        with_labels=with_labels, tri=bool(ccb.grid_dims(lat)[4]),
     )
-    a2 = ccb._unpack(a2, l0, block, kp, ks)[:n_tasks]
-    b2 = ccb._unpack(b2, l0, block, kp, ks)[:n_tasks]
-    return jnp.stack([a2, b2], axis=1)
+    a2 = ccb._unpack(out[0], l0, block, kp, ks)[:n_tasks]
+    b2 = ccb._unpack(out[1], l0, block, kp, ks)[:n_tasks]
+    spins = jnp.stack([a2, b2], axis=1)
+    if with_labels:
+        return spins, ccb._unpack(out[2], l0, block, kp, ks)[:n_tasks]
+    return spins
 
 
 @pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
@@ -176,6 +181,158 @@ def test_cmr_fused_injected_bitwise(shape, wolff):
     np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
 
 
+@pytest.mark.parametrize("kind", ["houdayer", "jorg", "cmr"])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_event_fused_labels_bitwise(kind, wolff):
+    """with_labels must (a) leave the move untouched and (b) emit the
+    stats-graph CC labels (the blue graph for CMR — overlap.rs collects
+    CSD/top4 there) bitwise-equal to the staged jnp CC on the same bonds
+    after the engine's Wolff -1 cleaning."""
+    shape = (8, 16)
+    lat, geom, a, b, tkeys = _task_batch(shape, 4, seed=40 + len(kind))
+    n, nd = lat.n_spins, lat.n_dims
+    rng = np.random.default_rng(41 + len(kind))
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.8, 1.6, a.shape[0]).astype(np.float32))
+    kw = {}
+    if kind == "houdayer":
+        def staged_labels(av, bv, k):
+            bonds, _ = ov.houdayer_bonds(jnp.stack([av, bv]), k, geom)
+            return cl.connected_components(bonds, geom)
+
+        exp = jax.vmap(staged_labels)(a, b, tkeys)
+    elif kind == "jorg":
+        u = jnp.asarray(rng.random((a.shape[0], n, nd)).astype(np.float32))
+
+        def staged_labels(av, bv, k, t, uu):
+            bonds, _ = ov.jorg_bonds(
+                jnp.stack([av, bv]), k, coup, t, geom, u_bond=uu
+            )
+            return cl.connected_components(bonds, geom)
+
+        exp = jax.vmap(staged_labels)(a, b, tkeys, temps, u)
+        kw = dict(jt=_jt_for(lat, coup, temps),
+                  u_slots=[u[..., d] for d in range(nd)])
+    else:
+        u_blue = jnp.asarray(
+            rng.random((a.shape[0], n, nd)).astype(np.float32)
+        )
+        u_red = jnp.asarray(
+            rng.random((a.shape[0], n, nd)).astype(np.float32)
+        )
+
+        def staged_labels(av, bv, k, t, ub):
+            blue, _ = ov.cmr_blue_bonds(
+                jnp.stack([av, bv]), k, coup, t, geom, u_blue=ub
+            )
+            return cl.connected_components(blue, geom)
+
+        exp = jax.vmap(staged_labels)(a, b, tkeys, temps, u_blue)
+        kw = dict(jt=_jt_for(lat, coup, temps),
+                  u_slots=[u_blue[..., d] for d in range(nd)]
+                  + [u_red[..., d] for d in range(nd)])
+
+    plain = _run_fused(lat, a, b, tkeys, kind, wolff, **kw)
+    fused, lab = _run_fused(lat, a, b, tkeys, kind, wolff,
+                            with_labels=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fused))
+    lab = np.array(lab)
+    if wolff:
+        for t in range(lab.shape[0]):
+            neg = lab[t] == -1
+            if neg.any():
+                lab[t][neg] = np.flatnonzero(neg).min()
+    np.testing.assert_array_equal(lab, np.asarray(exp))
+
+
+TRI = [[1, 0], [0, 1], [1, -1]]
+
+
+@pytest.mark.parametrize("wolff", [False, True])
+def test_triangular_kernels_bitwise(wolff):
+    """Triangular offsets through the packed-tile kernels (the third bond
+    direction ``[1, -1]`` is a composition of the axis shifts): batched CC,
+    the fused FK update (injected uniforms), and the fused Houdayer event
+    (deterministic bonds) must each be bitwise the staged jnp path."""
+    lat = Lattice([8, 16], TRI)
+    geom = GridOps.from_lattice(lat)
+    n = lat.n_spins
+    assert ccb.supports_cc_batch(lat) and ccb.grid_dims(lat)[4]
+    rng = np.random.default_rng(77)
+    B = 6
+
+    # batched CC over random 3-direction bond graphs
+    active = jnp.asarray(rng.random((B, n, 3)) < 0.4)
+    kp, ks = ccb.cc_batch_factors(lat, B)
+    pad = (-B) % (kp * ks)
+    a_pad = jnp.concatenate(
+        [active, jnp.zeros((pad, n, 3), bool)], 0
+    )
+    lab = ccb.connected_components_batch(
+        a_pad, shape=(8, 16), kp=kp, ks=ks, interpret=True, tri=True
+    )[:B]
+    exp = jax.vmap(lambda a: cl.connected_components(a, geom))(active)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(exp))
+
+    # fused FK update with injected per-bond uniforms
+    spins = jnp.asarray(rng.choice(np.array([-1, 1], np.int8), size=(B, n)))
+    coup = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.9, 2.4, B).astype(np.float32))
+    u = jnp.asarray(rng.random((B, n, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(7), B)
+    kf = jax.vmap(jax.random.split)(keys)[:, 1]
+
+    def staged_fk(s, t, k, uu):
+        kbv, kfv = jax.random.split(k)
+        act = cl.fk_bond_activation(s, coup, geom, t, kbv, u=uu)
+        labels = cl.connected_components(act, geom)
+        if wolff:
+            seed = jax.random.randint(kfv, (), 0, n)
+            flip = cl.wolff_flip_mask(labels, seed)
+        else:
+            flip = cl.cluster_coin_flip_mask(kfv, labels)
+        return jnp.where(flip, -s, s)
+
+    staged = jax.vmap(staged_fk)(spins, temps, keys, u)
+    fused = _fk_fused(lat, spins, kf, temps, coup, u, wolff)
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
+
+    # fused Houdayer pair event (deterministic bonds -> bitwise everywhere)
+    a = jnp.asarray(rng.choice(np.array([-1, 1], np.int8), size=(B, n)))
+    b = jnp.asarray(rng.choice(np.array([-1, 1], np.int8), size=(B, n)))
+    tkeys = jax.random.split(jax.random.key(9), B)
+    staged_ev = jax.vmap(
+        lambda av, bv, k: ov.houdayer_task(
+            jnp.stack([av, bv]), k, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+    )(a, b, tkeys)
+    fused_ev = _run_fused(lat, a, b, tkeys, "houdayer", wolff)
+    np.testing.assert_array_equal(
+        np.asarray(staged_ev), np.asarray(fused_ev)
+    )
+
+    # fused Joerg pair event with injected per-bond uniforms
+    u2 = jnp.asarray(rng.random((B, n, 3)).astype(np.float32))
+
+    def staged_jorg(av, bv, k, t, uu):
+        ts = jnp.stack([av, bv])
+        bonds, aux = ov.jorg_bonds(ts, k, coup, t, geom, u_bond=uu)
+        labels = cl.connected_components(bonds, geom)
+        return ov.jorg_finish(
+            ts, labels, bonds, aux, geom, wolff=wolff, update=True,
+            with_winding=False, with_stats=False,
+        ).spins
+
+    staged_j = jax.vmap(staged_jorg)(a, b, tkeys, temps, u2)
+    fused_j = _run_fused(
+        lat, a, b, tkeys, "jorg", wolff,
+        jt=_jt_for(lat, coup, temps),
+        u_slots=[u2[..., d] for d in range(3)],
+    )
+    np.testing.assert_array_equal(np.asarray(staged_j), np.asarray(fused_j))
+
+
 def test_salted_uniform_i32_matches_cluster():
     """The kernel's int32 re-expression of the label hash is bitwise the
     uint32 original for every label/salt combination it will see."""
@@ -229,6 +386,59 @@ def test_engine_houdayer_event_bitwise(monkeypatch):
     np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
 
 
+def test_engine_event_kernel_collects_stats(monkeypatch):
+    """collect_cluster_stats keeps the fused pair-event kernel (labels-out
+    CSD/top4); for Houdayer (deterministic bonds) the collected statistics
+    must be BITWISE the staged path's, and collecting must not perturb the
+    trajectory."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="houdayer",
+              collect_cluster_stats=True, warmup_ratio=0)
+    a = _sim((8, 8, 8), 13)
+    ra = a.sample(9, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel and "event=fused" in prog.describe_plan()
+    assert "+stats" in prog.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    b = _sim((8, 8, 8), 13)
+    rb = b.sample(9, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).event_kernel
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["overlap_csd"]), np.asarray(rb["overlap_csd"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["top_cluster_sizes"]),
+        np.asarray(rb["top_cluster_sizes"]),
+    )
+    monkeypatch.delenv("PEAPODS_DISABLE_EVENTKERNEL")
+
+    # collecting must not change the trajectory (labels-out is pure)
+    kw2 = dict(kw)
+    kw2.pop("collect_cluster_stats")
+    c = _sim((8, 8, 8), 13)
+    c.sample(9, "metropolis", **kw2)
+    assert next(iter(c._programs.values())).event_kernel
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(c.state["spins"])
+    )
+
+    # jorg+cmr: fused+stats integrates (hw-PRNG bonds: statistical parity
+    # rides the on-TPU suite); full ladder + both modes like config 5
+    d = _sim((8, 8), 17)
+    rd = d.sample(8, "metropolis", pt_interval=1, pt_schedule="full_ladder",
+                  overlap_cluster_update_interval=2,
+                  overlap_cluster_build_mode="jorg+cmr",
+                  collect_cluster_stats=True, warmup_ratio=0)
+    progd = next(iter(d._programs.values()))
+    assert progd.event_kernel and "+stats" in progd.describe_plan()
+    assert np.isfinite(rd["overlap2"]).all()
+
+
 def test_engine_jorg_cmr_event_runs(monkeypatch):
     """Joerg+CMR through the fused kernel: integrates, spins stay valid.
     (Interpret-mode hardware PRNG is degenerate, so only mechanics here;
@@ -245,13 +455,15 @@ def test_engine_jorg_cmr_event_runs(monkeypatch):
     assert np.isfinite(r["energies"]).all()
 
 
-def test_engine_event_kernel_disabled_when_collecting(monkeypatch):
-    """Collecting cluster stats must route around the fused kernel (it
-    returns no labels); trajectories still valid."""
+def test_engine_event_kernel_disabled_when_observing(monkeypatch):
+    """Full observe mode must route around the fused kernel (bond-fraction
+    and winding observables need the bond masks); collect-only stats keep
+    it (test_engine_event_kernel_collects_stats)."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
     kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
               overlap_cluster_build_mode="houdayer",
-              collect_cluster_stats=True, warmup_ratio=0)
+              overlap_cluster_mode="sw",
+              overlap_cluster_action="observe", warmup_ratio=0)
     s = _sim((8, 16), 17)
     r = s.sample(6, "metropolis", **kw)
     prog = next(iter(s._programs.values()))
@@ -259,10 +471,11 @@ def test_engine_event_kernel_disabled_when_collecting(monkeypatch):
     assert "overlap_csd" in r
 
 
-def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff):
+def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff, with_labels=False):
     """Pack a flat FK system batch and run the fused FK kernel on it."""
     shape = tuple(lat.shape)
-    n, nd = lat.n_spins, lat.n_dims
+    n, nd = lat.n_spins, lat.n_neighbors
+    tri = bool(ccb.grid_dims(lat)[4])
     B = spins.shape[0]
     kp, ks = ccb.cc_batch_factors(lat, B)
     tile = kp * ks
@@ -287,7 +500,14 @@ def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff):
         s_p, gscal.reshape(g, tile, 3), gtemp.reshape(g, tile, 1),
         words, j, u_p,
         wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
+        with_labels=with_labels, tri=tri,
     )
+    if with_labels:
+        s2, lab = out
+        return (
+            ccb._unpack(s2, l0, block, kp, ks)[:B],
+            ccb._unpack(lab, l0, block, kp, ks)[:B],
+        )
     return ccb._unpack(out, l0, block, kp, ks)[:B]
 
 
@@ -329,6 +549,46 @@ def test_fk_fused_injected_bitwise(shape, wolff):
     np.testing.assert_array_equal(np.asarray(staged), np.asarray(fused))
 
 
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+@pytest.mark.parametrize("wolff", [False, True])
+def test_fk_fused_labels_bitwise(shape, wolff):
+    """with_labels must (a) leave the update trajectory untouched and
+    (b) emit labels bitwise-equal to the staged jnp CC on the same bonds
+    once the Wolff -1 seed-cluster marker is rewritten to that cluster's
+    min site index (the engine's cleaning step)."""
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n, nd = lat.n_spins, lat.n_dims
+    B = 6
+    rng = np.random.default_rng(60 + len(shape))
+    spins = jnp.asarray(
+        rng.choice(np.array([-1, 1], np.int8), size=(B, n))
+    )
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.9, 2.4, B).astype(np.float32))
+    u = jnp.asarray(rng.random((B, n, nd)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(7), B)
+    kf = jax.vmap(jax.random.split)(keys)[:, 1]
+
+    def staged_labels(s, t, k, uu):
+        kbv, _ = jax.random.split(k)
+        active = cl.fk_bond_activation(s, coup, geom, t, kbv, u=uu)
+        return cl.connected_components(active, geom)
+
+    exp_lab = jax.vmap(staged_labels)(spins, temps, keys, u)
+    plain = _fk_fused(lat, spins, kf, temps, coup, u, wolff)
+    fused, lab = _fk_fused(lat, spins, kf, temps, coup, u, wolff,
+                           with_labels=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fused))
+    lab = np.array(lab)
+    if wolff:
+        for b in range(B):
+            neg = lab[b] == -1
+            assert neg.any()
+            lab[b][neg] = np.flatnonzero(neg).min()
+    np.testing.assert_array_equal(lab, np.asarray(exp_lab))
+
+
 def test_engine_fk_fused_runs(monkeypatch):
     """SW/Wolff updates through the fused FK kernel: integrates, spins stay
     valid, kill switch routes back to the staged path.  (Interpret-mode
@@ -356,21 +616,47 @@ def test_engine_fk_fused_runs(monkeypatch):
     assert not next(iter(s._programs.values())).fk_kernel
 
 
-def test_engine_fk_kernel_disabled_when_collecting(monkeypatch):
-    """CSD collection / observe mode must route around the fused FK kernel
-    (it returns no labels)."""
+def test_engine_fk_kernel_collects_stats(monkeypatch):
+    """collect_cluster_stats keeps the fused FK kernel (labels-out CSD,
+    fk.rs:86-142 collects inline) WITHOUT perturbing the trajectory; full
+    observe mode still routes to the staged path (it needs the bond
+    masks)."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
     from peapods_tpu.engine.simulation import IsingSimulation
 
     coup = np.ones((2, 8, 8, 2), np.float32)
     temps = np.array([2.269185], np.float32)
-    s = IsingSimulation([8, 8], coup, temps, 1, None, 5, default_chunk=8)
-    r = s.sample(6, "metropolis", cluster_update_interval=2,
-                 cluster_mode="sw", collect_cluster_stats=True,
-                 warmup_ratio=0)
-    prog = next(iter(s._programs.values()))
-    assert not prog.fk_kernel
-    assert "fk_csd" in r
+
+    def run(collect):
+        s = IsingSimulation([8, 8], coup, temps, 1, None, 5, default_chunk=8)
+        r = s.sample(6, "metropolis", cluster_update_interval=2,
+                     cluster_mode="sw", collect_cluster_stats=collect,
+                     warmup_ratio=0)
+        return s, r, next(iter(s._programs.values()))
+
+    s1, r1, p1 = run(True)
+    assert p1.fk_kernel and "+stats" in p1.describe_plan()
+    assert "fk_csd" in r1
+    csd = np.asarray(r1["fk_csd"])
+    # every update contributes exactly its cluster decomposition: sizes sum
+    # to n_spins per recorded update, identically across disorder/temps
+    totals = (csd * np.arange(csd.shape[-1])).sum(-1)
+    assert totals.min() == totals.max() > 0 and totals.max() % 64 == 0
+
+    s0, r0, p0 = run(False)
+    assert p0.fk_kernel and "+stats" not in p0.describe_plan()
+    np.testing.assert_array_equal(
+        np.asarray(s1.state["spins"]), np.asarray(s0.state["spins"])
+    )
+    np.testing.assert_array_equal(r1["energies"], r0["energies"])
+
+    # observe action: staged path (winding/bond observables need bonds)
+    s2 = IsingSimulation([8, 8], coup, temps, 1, None, 5, default_chunk=8)
+    r2 = s2.sample(6, "metropolis", cluster_update_interval=2,
+                   cluster_mode="sw", cluster_action="observe",
+                   warmup_ratio=0)
+    assert not next(iter(s2._programs.values())).fk_kernel
+    assert "fk_csd" in r2
 
 
 @pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])

@@ -139,8 +139,9 @@ def test_engine_tri_packed_path(monkeypatch):
         np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
 
-    # Wolff cluster updates ride the staged jnp FK path on triangular
-    # lattices while the sweep stays on the packed kernel (config 2's mix)
+    # Wolff cluster updates ride the FUSED FK kernel on triangular lattices
+    # too (the third bond direction composes from the axis shifts) while
+    # the sweep stays on the packed kernel — config 2's full mix
     c = sim(11)
     rc = c.sample(
         4, "metropolis", cluster_update_interval=2, cluster_mode="wolff",
@@ -148,7 +149,7 @@ def test_engine_tri_packed_path(monkeypatch):
     )
     progc = next(iter(c._programs.values()))
     assert "pallas-tri-packed(k=8)" in progc.describe_plan()
-    assert not progc.fk_kernel and not progc.cc_batch
+    assert progc.fk_kernel, progc.describe_plan()
     assert np.isfinite(rc["energies"]).all()
 
 
