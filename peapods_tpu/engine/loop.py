@@ -419,6 +419,13 @@ class LoopProgram:
         # packed-tile kernels (cc_batch / fused FK / fused events)
         _gd = pallas_cc_batch.grid_dims(rt.lattice)
         self._lat_tri = bool(_gd is not None and _gd[4])
+        # log-doubling CC fixed-point body in every packed-tile kernel
+        # (same labels bitwise; fewer rounds on long bond runs).  Read once
+        # at program build and passed as a static so in-process A/Bs that
+        # toggle the env between builds get separate compile cache entries.
+        import os as _os
+
+        self.cc_log = _os.environ.get("PEAPODS_CC_LOG") == "1"
         self.collect_fk = c is not None and (c.collect_stats or c.action == "observe")
         self.observe_fk = c is not None and c.action == "observe"
         self.has_pairs = rt.n_pairs > 0
@@ -787,16 +794,19 @@ class LoopProgram:
                     else "jnp"
                 )
             )
+            if self.cc_log and (self.cc_pallas or self.cc_batch):
+                cc += "+log"
             parts.append(f"cc={cc}")
+        log = "+log" if self.cc_log else ""
         if getattr(self, "fk_kernel", False):
             stats = "+stats" if self.collect_fk else ""
             parts.append(
-                f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]}){stats}"
+                f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]}){stats}{log}"
             )
         if getattr(self, "event_kernel", False):
             stats = "+stats" if self.collect_overlap else ""
             parts.append(
-                f"event=fused(kp={self._evb[0]},ks={self._evb[1]}){stats}"
+                f"event=fused(kp={self._evb[0]},ks={self._evb[1]}){stats}{log}"
             )
         if self.fuse_measure:
             parts.append("fused-measure")
@@ -1122,7 +1132,8 @@ class LoopProgram:
         if self.cc_pallas:
             return jax.vmap(
                 lambda a: pallas_cc.connected_components_2d(
-                    a, shape=tuple(rt.lattice.shape), interpret=interp
+                    a, shape=tuple(rt.lattice.shape), interpret=interp,
+                    log_cc=self.cc_log,
                 )
             )(active_flat)
         if self.cc_batch:
@@ -1138,7 +1149,7 @@ class LoopProgram:
                     )
                 lab = pallas_cc_batch.connected_components_batch(
                     a, shape=tuple(rt.lattice.shape), kp=kp, ks=ks,
-                    interpret=interp, tri=self._lat_tri,
+                    interpret=interp, tri=self._lat_tri, log_cc=self.cc_log,
                 )
                 return lab[:nloc]
 
@@ -1502,7 +1513,7 @@ class LoopProgram:
                 j,
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
                 with_measure=with_measure, with_labels=with_labels,
-                tri=self._lat_tri,
+                tri=self._lat_tri, log_cc=self.cc_log,
             )
             if not isinstance(out, tuple):
                 out = (out,)
@@ -1739,7 +1750,7 @@ class LoopProgram:
                 jt_arg[0] if jt_arg else None,
                 kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
                 interpret=interp, with_labels=with_labels,
-                tri=self._lat_tri,
+                tri=self._lat_tri, log_cc=self.cc_log,
             )
             return tuple(
                 pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]
@@ -1825,7 +1836,7 @@ class LoopProgram:
             outs = pallas_event.houdn_event_batch(
                 packs, gscal.reshape(g_tiles, tile, 6),
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
-                tri=self._lat_tri,
+                tri=self._lat_tri, log_cc=self.cc_log,
             )
             return tuple(
                 pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]

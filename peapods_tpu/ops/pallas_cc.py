@@ -44,49 +44,33 @@ def supports_cc(lattice) -> bool:
     )
 
 
-def _cc_kernel(active_ref, out_ref):
+def _cc_kernel(active_ref, out_ref, *, log_cc=False):
     h, w = out_ref.shape[1], out_ref.shape[2]
     big = jnp.int32(h * w)
-    # rolls need 32-bit data on this hardware; mask comparisons come after
-    a0i = active_ref[0, 0].astype(jnp.int32)  # fwd bond i -> i+1 along dim 0
-    a1i = active_ref[0, 1].astype(jnp.int32)  # fwd bond along dim 1
-    a0 = a0i != 0
-    a1 = a1i != 0
-    a0b = pltpu.roll(a0i, 1, 0) != 0  # bond arriving from the row above
-    a1b = pltpu.roll(a1i, 1, 1) != 0
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    init = row * w + col
+    # the single full-tile graph is the degenerate kp=ks=1 packed layout,
+    # so the shared fixed-point body (and its log-doubling variant) applies
+    from .pallas_megapair import _mp_geometry
+    from .pallas_cc_batch import cc_fixed_point
 
-    def propagate(lab):
-        lf0 = jnp.where(a0, pltpu.roll(lab, h - 1, 0), big)
-        lb0 = jnp.where(a0b, pltpu.roll(lab, 1, 0), big)
-        lf1 = jnp.where(a1, pltpu.roll(lab, w - 1, 1), big)
-        lb1 = jnp.where(a1b, pltpu.roll(lab, 1, 1), big)
-        return jnp.minimum(
-            jnp.minimum(lab, jnp.minimum(lf0, lb0)), jnp.minimum(lf1, lb1)
-        )
-
-    def body(carry):
-        lab, _ = carry
-        new = lab
-        for _ in range(_ROUNDS_PER_CHECK):
-            new = propagate(new)
-        return new, jnp.any(new != lab)
-
-    labels, _ = jax.lax.while_loop(
-        lambda c: c[1], body, (init, jnp.bool_(True))
+    bonds = [active_ref[0, d] != 0 for d in range(2)]
+    shifts, _parity, row, col = _mp_geometry(h, w, h, w, 1)
+    init = row * np.int32(w) + col
+    out_ref[0] = cc_fixed_point(
+        bonds, init, big, (h, w, h, w, 1, row, col, shifts),
+        n_dirs=2, tri=False, log_cc=log_cc,
+        rounds_per_check=_ROUNDS_PER_CHECK,
     )
-    out_ref[0] = labels
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def connected_components_2d(active_fwd, *, shape, interpret=False):
+@functools.partial(jax.jit, static_argnames=("shape", "interpret", "log_cc"))
+def connected_components_2d(active_fwd, *, shape, interpret=False,
+                            log_cc=False):
     """Component labels (min site index) of one 2D bond graph.
 
     Args:
         active_fwd: ``bool [n_spins, 2]`` forward-bond activation.
         shape: static ``(H, W)``.
+        log_cc: log-doubling fixed-point body (same labels bitwise).
 
     Returns ``int32 [n_spins]``, bitwise equal to
     :func:`peapods_tpu.ops.cluster.connected_components`.
@@ -94,7 +78,7 @@ def connected_components_2d(active_fwd, *, shape, interpret=False):
     h, w = shape
     a = active_fwd.astype(jnp.int8).T.reshape(2, h, w)
     labels = pl.pallas_call(
-        _cc_kernel,
+        functools.partial(_cc_kernel, log_cc=log_cc),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((1, 2, h, w), lambda i: (i, 0, 0, 0),

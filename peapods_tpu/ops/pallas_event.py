@@ -274,7 +274,7 @@ def _salted_uniform_i32(labels, s0, s1):
 def _event_kernel(
     gscal_ref, a_ref, b_ref, *rest,
     kind, wolff, injected, with_labels, l0, l1, l2, kp, ks, n_dims,
-    tri=False,
+    tri=False, log_cc=False,
 ):
     """``with_labels`` additionally writes the STATS-graph CC labels tile —
     the move's labels for houdayer/jorg, the BLUE labels for CMR (the
@@ -326,33 +326,20 @@ def _event_kernel(
         return f(m.astype(jnp.int32)) != 0
 
     def cc(bonds, seed_tile):
-        """Min-label fixed point; ``seed_tile`` (or None) floods -1 from the
-        per-graph Wolff seed so the seeded component is ``labels == -1``."""
-        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dirs)]
+        """Min-label fixed point (shared body, pallas_cc_batch); ``seed_tile``
+        (or None) floods -1 from the per-graph Wolff seed so the seeded
+        component is ``labels == -1``."""
+        from .pallas_cc_batch import cc_fixed_point
+
         if seed_tile is None:
             init = local_idx
         else:
             init = jnp.where(local_idx == seed_tile, jnp.int32(-1), local_idx)
-
-        def propagate(lab):
-            new = lab
-            for d in range(n_dirs):
-                lf = jnp.where(bonds[d], fwd[d](lab), big)
-                lb = jnp.where(ab[d], bwd[d](lab), big)
-                new = jnp.minimum(new, jnp.minimum(lf, lb))
-            return new
-
-        def body(carry):
-            lab, _ = carry
-            new = lab
-            for _ in range(_ROUNDS_PER_CHECK):
-                new = propagate(new)
-            return new, jnp.any(new != lab)
-
-        labels, _ = jax.lax.while_loop(
-            lambda c: c[1], body, (init, jnp.bool_(True))
+        return cc_fixed_point(
+            bonds, init, big, (rows, lanes, l0, l1, l2, row, col, shifts),
+            n_dirs=n_dirs, tri=tri, log_cc=log_cc,
+            rounds_per_check=_ROUNDS_PER_CHECK,
         )
-        return labels
 
     def nonsingleton(bonds):
         inc = bonds[0]
@@ -455,13 +442,13 @@ def _event_kernel(
     jax.jit,
     static_argnames=(
         "kind", "wolff", "shape", "kp", "ks", "interpret", "with_labels",
-        "tri",
+        "tri", "log_cc",
     ),
 )
 def overlap_event_batch(
     a_pack, b_pack, gscal, words, jt=None, u=None, *,
     kind, wolff, shape, kp, ks, interpret=False, with_labels=False,
-    tri=False,
+    tri=False, log_cc=False,
 ):
     """One fused overlap event over a packed task batch.
 
@@ -496,6 +483,7 @@ def overlap_event_batch(
         _event_kernel,
         kind=kind, wolff=wolff, injected=injected, with_labels=with_labels,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
+        log_cc=log_cc,
     )
     tile = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (0,) * len(dims),
@@ -609,7 +597,7 @@ def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int,
 def _fk_kernel(
     gscal_ref, gtemp_ref, s_ref, *rest,
     wolff, injected, with_measure, with_labels, l0, l1, l2, kp, ks, n_dims,
-    tri=False,
+    tri=False, log_cc=False,
 ):
     """Fused FK update: bond draws + CC fixed point + cluster flips on one
     resident tile (fk.rs:28-171 in one pass).  Mirrors ``_event_kernel``'s
@@ -670,35 +658,18 @@ def _fk_kernel(
             return u
         return _hw_uniform((rows, lanes))
 
-    def shift_mask(f, m):
-        return f(m.astype(jnp.int32)) != 0
-
     def cc(bonds, seed_tile):
-        ab = [shift_mask(bwd[d], bonds[d]) for d in range(n_dirs)]
+        from .pallas_cc_batch import cc_fixed_point
+
         if seed_tile is None:
             init = local_idx
         else:
             init = jnp.where(local_idx == seed_tile, jnp.int32(-1), local_idx)
-
-        def propagate(lab):
-            new = lab
-            for d in range(n_dirs):
-                lf = jnp.where(bonds[d], fwd[d](lab), big)
-                lb = jnp.where(ab[d], bwd[d](lab), big)
-                new = jnp.minimum(new, jnp.minimum(lf, lb))
-            return new
-
-        def body(carry):
-            lab, _ = carry
-            new = lab
-            for _ in range(_ROUNDS_PER_CHECK):
-                new = propagate(new)
-            return new, jnp.any(new != lab)
-
-        labels, _ = jax.lax.while_loop(
-            lambda c: c[1], body, (init, jnp.bool_(True))
+        return cc_fixed_point(
+            bonds, init, big, (rows, lanes, l0, l1, l2, row, col, shifts),
+            n_dirs=n_dirs, tri=tri, log_cc=log_cc,
+            rounds_per_check=_ROUNDS_PER_CHECK,
         )
-        return labels
 
     sf = s_ref[0].astype(jnp.float32)
     temp = gtemp()
@@ -748,13 +719,13 @@ def _fk_kernel(
     jax.jit,
     static_argnames=(
         "wolff", "shape", "kp", "ks", "interpret", "with_measure",
-        "with_labels", "tri",
+        "with_labels", "tri", "log_cc",
     ),
 )
 def fk_update_batch(
     s_pack, gscal, gtemp, words, j, u=None, *,
     wolff, shape, kp, ks, interpret=False, with_measure=False,
-    with_labels=False, tri=False,
+    with_labels=False, tri=False, log_cc=False,
 ):
     """One fused FK cluster update over a packed system batch.
 
@@ -791,6 +762,7 @@ def fk_update_batch(
         wolff=wolff, injected=injected, with_measure=with_measure,
         with_labels=with_labels,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
+        log_cc=log_cc,
     )
     tile = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (0,) * len(dims),
@@ -886,7 +858,7 @@ def houdn_scalars(wolff: bool, tspins, tkeys, n_spins: int):
 
 def _houdn_kernel(
     gscal_ref, *rest, wolff, g_size, l0, l1, l2, kp, ks, n_dims,
-    tri=False,
+    tri=False, log_cc=False,
 ):
     """Fused Houdayer(N) move: balanced-site mask -> deterministic bonds ->
     CC -> flip ALL group members on the chosen clusters.  Bonds carry no
@@ -932,23 +904,12 @@ def _houdn_kernel(
     else:
         init = local_idx
 
-    def propagate(lab):
-        new = lab
-        for d in range(n_dirs):
-            lf = jnp.where(bonds[d], fwd[d](lab), big)
-            lb = jnp.where(ab[d], bwd[d](lab), big)
-            new = jnp.minimum(new, jnp.minimum(lf, lb))
-        return new
+    from .pallas_cc_batch import cc_fixed_point
 
-    def body(carry):
-        lab, _ = carry
-        new = lab
-        for _ in range(_ROUNDS_PER_CHECK):
-            new = propagate(new)
-        return new, jnp.any(new != lab)
-
-    labels, _ = jax.lax.while_loop(
-        lambda c: c[1], body, (init, jnp.bool_(True))
+    labels = cc_fixed_point(
+        bonds, init, big, (rows, lanes, l0, l1, l2, row, col, shifts),
+        n_dirs=n_dirs, tri=tri, log_cc=log_cc,
+        rounds_per_check=_ROUNDS_PER_CHECK,
     )
 
     if wolff:
@@ -967,10 +928,12 @@ def _houdn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wolff", "shape", "kp", "ks", "interpret", "tri"),
+    static_argnames=(
+        "wolff", "shape", "kp", "ks", "interpret", "tri", "log_cc",
+    ),
 )
 def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
-                      interpret=False, tri=False):
+                      interpret=False, tri=False, log_cc=False):
     """One fused Houdayer(N) event over a packed task batch.
 
     ``s_packs``: tuple of g ``int8 [G, rows, lanes]`` packed replica slots;
@@ -990,6 +953,7 @@ def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
         _houdn_kernel,
         wolff=wolff, g_size=g_size,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
+        log_cc=log_cc,
     )
     tile = pl.BlockSpec(
         (1, rows, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -90,8 +90,11 @@ def test_log_doubling_matches_classic(shape, tri):
 def test_engine_fk_bitwise_vs_jnp_cc(monkeypatch):
     """SW every sweep on a 64^2-class lattice batch: trajectories must be
     bitwise identical with the batch kernel on and off (labels are equal,
-    so flips, stats, and spins all follow)."""
+    so flips, stats, and spins all follow).  The fused FK kernel is
+    disabled so both arms actually exercise the STAGED path whose CC body
+    this test compares (collect runs default to the fused kernel now)."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PEAPODS_DISABLE_FKKERNEL", "1")
     from peapods_tpu.engine.simulation import IsingSimulation
 
     def sim(seed):
@@ -105,7 +108,7 @@ def test_engine_fk_bitwise_vs_jnp_cc(monkeypatch):
     a = sim(5)
     ra = a.sample(8, "metropolis", **kw)
     prog = next(iter(a._programs.values()))
-    assert prog.cc_batch and not prog.cc_pallas
+    assert prog.cc_batch and not prog.cc_pallas and not prog.fk_kernel
 
     monkeypatch.setenv("PEAPODS_DISABLE_CCBATCH", "1")
     b = sim(5)
@@ -122,8 +125,10 @@ def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
     """Jorg+CMR overlap moves (two CC rounds per CMR event) routed through
     the batch kernel must reproduce the jnp-CC trajectory bitwise — labels
     are equal, and the staged task kernels draw identically to the
-    monolithic ones."""
+    monolithic ones.  The fused event kernel is disabled so both arms
+    exercise the STAGED path whose CC body this test compares."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
     from peapods_tpu.engine.simulation import IsingSimulation
 
     def sim(seed):
@@ -141,7 +146,7 @@ def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
     a = sim(7)
     ra = a.sample(20, "metropolis", **kw)
     prog = next(iter(a._programs.values()))
-    assert prog.cc_batch
+    assert prog.cc_batch and not prog.event_kernel
 
     monkeypatch.setenv("PEAPODS_DISABLE_CCBATCH", "1")
     b = sim(7)
@@ -156,6 +161,49 @@ def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
         np.asarray(ra["overlap_csd"]), np.asarray(rb["overlap_csd"])
     )
     np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
+
+
+def test_engine_log_cc_trajectory_invariant(monkeypatch):
+    """PEAPODS_CC_LOG=1 swaps the CC fixed-point body inside the fused FK
+    kernel, the fused event kernel, and the batched CC — labels are the
+    same fixed point bitwise and the body consumes no randomness, so the
+    whole trajectory (spins, CSDs) must be unchanged."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    def run(shape, kw, seed, n_sweeps):
+        rng = np.random.default_rng(seed)
+        coup = rng.choice(
+            np.float32([-1, 1]), size=(2,) + shape + (len(shape),)
+        )
+        temps = np.geomspace(1.0, 2.4, 2).astype(np.float32)
+        sim = IsingSimulation(list(shape), coup, temps, 2, None, seed,
+                              default_chunk=8, mesh=None)
+        r = sim.sample(n_sweeps, "metropolis", **kw)
+        prog = next(iter(sim._programs.values()))
+        return np.asarray(sim.state["spins"]), r, prog
+
+    fk_kw = dict(cluster_update_interval=2, cluster_mode="sw",
+                 collect_cluster_stats=True, pt_interval=1, warmup_ratio=0)
+    ev_kw = dict(pt_interval=1, overlap_cluster_update_interval=2,
+                 overlap_cluster_build_mode="houdayer",
+                 collect_cluster_stats=True, warmup_ratio=0)
+
+    sp_a, ra, prog_a = run((8, 24), fk_kw, 11, 4)
+    ev_a, rea, eprog_a = run((8, 24), ev_kw, 13, 4)
+    assert prog_a.fk_kernel and eprog_a.event_kernel
+    assert "+log" not in prog_a.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_CC_LOG", "1")
+    sp_b, rb, prog_b = run((8, 24), fk_kw, 11, 4)
+    ev_b, reb, eprog_b = run((8, 24), ev_kw, 13, 4)
+    assert prog_b.cc_log and "+log" in prog_b.describe_plan()
+    assert "+log" in eprog_b.describe_plan()
+
+    np.testing.assert_array_equal(sp_a, sp_b)
+    np.testing.assert_array_equal(ev_a, ev_b)
+    np.testing.assert_array_equal(ra["fk_csd"], rb["fk_csd"])
+    np.testing.assert_array_equal(rea["overlap_csd"], reb["overlap_csd"])
 
 
 def test_engine_fk_observe_bitwise(monkeypatch):
