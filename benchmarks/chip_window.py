@@ -44,6 +44,10 @@ JOBS = [
                     "triangular"], 7200),
     ("sg_quick", ["tests/spin_glass_crossings.py", "--quick"], 10800),
     ("qhist_quick", ["tests/overlap_histogram.py", "--quick"], 10800),
+    # round-4 late batch: log-doubling CC rollout decision; triangular
+    # config-2 A/B rerun now that the FK phase rides the fused kernel
+    ("cc_log", ["benchmarks/cc_log_ab.py"], 5400),
+    ("tri2", ["benchmarks/tri_ab.py"], 3600),
 ]
 
 

@@ -331,14 +331,15 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
         kp / ks: packing factors from :func:`cc_batch_factors`.
         tri: 2D triangular offsets (n_dirs = 3, third direction ``[1, -1]``).
         log_cc: use the log-doubling fixed-point body
-            (:func:`cc_fixed_point`); None reads ``PEAPODS_CC_LOG=1``.
+            (:func:`cc_fixed_point`); None reads ``PEAPODS_CC_LOG``
+            (default on; ``0`` reverts to the classic stride-1 body).
             Same labels bitwise either way — only the round count changes.
 
     Returns ``int32 [B, n_spins]``, bitwise equal per graph to
     :func:`peapods_tpu.ops.cluster.connected_components`.
     """
     if log_cc is None:
-        log_cc = os.environ.get("PEAPODS_CC_LOG") == "1"
+        log_cc = os.environ.get("PEAPODS_CC_LOG", "1") != "0"
     shape = tuple(shape)
     n_dims = len(shape)
     n_dirs = 3 if tri else n_dims

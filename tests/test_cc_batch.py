@@ -164,11 +164,13 @@ def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
 
 
 def test_engine_log_cc_trajectory_invariant(monkeypatch):
-    """PEAPODS_CC_LOG=1 swaps the CC fixed-point body inside the fused FK
-    kernel, the fused event kernel, and the batched CC — labels are the
-    same fixed point bitwise and the body consumes no randomness, so the
-    whole trajectory (spins, CSDs) must be unchanged."""
+    """PEAPODS_CC_LOG toggles the CC fixed-point body inside the fused FK
+    kernel, the fused event kernel, and the batched CC (log-doubling is
+    the default; ``0`` reverts) — labels are the same fixed point bitwise
+    and the body consumes no randomness, so the whole trajectory (spins,
+    CSDs) must be unchanged."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PEAPODS_CC_LOG", "0")
     from peapods_tpu.engine.simulation import IsingSimulation
 
     def run(shape, kw, seed, n_sweeps):

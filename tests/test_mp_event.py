@@ -28,7 +28,7 @@ def _interpret(monkeypatch):
 
 
 def _run(monkeypatch, mp_event, shape, n_replicas, n_temps, modes, cmode,
-         pt_full, n_disorder=1, sweeps=4, interval=2, seed=11):
+         pt_full, n_disorder=1, sweeps=4, interval=2, seed=11, temps=None):
     from peapods_tpu.engine.simulation import IsingSimulation
 
     monkeypatch.setenv("PEAPODS_MP_EVENT", mp_event)
@@ -38,7 +38,8 @@ def _run(monkeypatch, mp_event, shape, n_replicas, n_temps, modes, cmode,
     )
     if n_disorder == 1:
         coup = coup[0]
-    temps = np.geomspace(0.9, 2.2, n_temps).astype(np.float32)
+    if temps is None:
+        temps = np.geomspace(0.9, 2.2, n_temps).astype(np.float32)
     sim = IsingSimulation(list(shape), coup, temps, n_replicas, None, seed,
                           default_chunk=sweeps)
     res = sim.sample(
@@ -85,6 +86,36 @@ def test_fused_event_matches_interleaved_path(
         r1["per_disorder"]["parallel_tempering"]["edge_acceptances"],
         r0["per_disorder"]["parallel_tempering"]["edge_acceptances"],
     )
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_pt_mirror_property(monkeypatch, case):
+    """Randomized de-risk of the hand-mirrored PT salts: the in-kernel PT
+    (mp_event=1 runs PT inside the megapair kernel around the event) and
+    the jnp mirror (mp_event=0 runs ``pt_event_jnp`` between kernel calls)
+    must stay bitwise-equal for RANDOM temperature ladders, both PT
+    schedules, and R in {2, 4} — the kernel scalar path and the mirror
+    each hard-code the salt formula ``(pass*n_edges + e)*R + r``, so any
+    future kernel PT change that is not hand-mirrored diverges here
+    within a few sweeps (draws feed accept/reject at every edge)."""
+    rng = np.random.default_rng(1000 + case)
+    n_replicas = int(rng.choice([2, 4]))
+    n_temps = int(rng.choice([2, 3]))
+    pt_full = bool(case % 2)
+    temps = np.sort(rng.uniform(0.5, 3.0, n_temps)).astype(np.float32)
+    seed = int(rng.integers(1, 2**30))
+    kw = dict(shape=(8, 128), n_replicas=n_replicas, n_temps=n_temps,
+              modes="houdayer", cmode="wolff", pt_full=pt_full,
+              temps=temps, seed=seed, sweeps=4, interval=2)
+    s1, r1, p1 = _run(monkeypatch, "1", **kw)
+    assert p1.mp_event
+    s0, r0, p0 = _run(monkeypatch, "0", **kw)
+    assert not p0.mp_event
+    np.testing.assert_array_equal(s1, s0)
+    pt1 = r1["per_disorder"]["parallel_tempering"]
+    pt0 = r0["per_disorder"]["parallel_tempering"]
+    for k in ("edge_attempts", "edge_acceptances", "round_trips"):
+        np.testing.assert_array_equal(pt1[k], pt0[k])
 
 
 def test_fused_event_under_disorder_mesh(monkeypatch):
