@@ -31,10 +31,8 @@ SMOKE = "--smoke" in sys.argv  # tiny CPU-interpret pass: script validity
 
 
 def _set(flag):
-    if flag == "1":
-        os.environ["PEAPODS_CC_LOG"] = "1"
-    else:
-        os.environ.pop("PEAPODS_CC_LOG", None)
+    # "0" must be set explicitly (the log body is the default now)
+    os.environ["PEAPODS_CC_LOG"] = flag
 
 
 def build_fk(flag, n_realizations, n_sweeps):
@@ -45,6 +43,24 @@ def build_fk(flag, n_realizations, n_sweeps):
         (8, 24) if SMOKE else (64, 64),
         temperatures=np.geomspace(0.1, 10, 2 if SMOKE else 16),
         n_disorder=n_realizations,
+        seed=3,
+    )
+    kw = dict(cluster_update_interval=1, cluster_mode="sw",
+              warmup_ratio=0.0)
+    model.sample(n_sweeps, "metropolis", **kw)
+    return model, kw
+
+
+def build_fk_tc(flag, n_realizations, n_sweeps):
+    """Config 3: 256^2 SW at T_c — spanning clusters, the most
+    diameter-bound CC workload (single graph per sweep, kp=ks=1)."""
+    _set(flag)
+    from peapods_tpu import Ising
+
+    t_c = 2.0 / np.log(1.0 + np.sqrt(2.0))
+    model = Ising(
+        (8, 128) if SMOKE else (256, 256),
+        temperatures=np.array([t_c], np.float32),
         seed=3,
     )
     kw = dict(cluster_update_interval=1, cluster_mode="sw",
@@ -73,24 +89,26 @@ def build_event(flag, n_realizations, n_sweeps):
     return model, kw
 
 
+ARMS = ("0", "1", "2", "4")  # classic, and log body at k rounds/check
+
+
 def bench(section, builder, n_realizations, n_sweeps):
-    arms = {f: builder(f, n_realizations, n_sweeps) for f in ("0", "1")}
+    arms = {f: builder(f, n_realizations, n_sweeps) for f in ARMS}
     _set("0")
-    times = {"0": [], "1": []}
+    times = {f: [] for f in ARMS}
     for _ in range(REPS):
         for tag, (model, kw) in arms.items():
             t0 = time.perf_counter()
             model.sample(n_sweeps, "metropolis", **kw)
             times[tag].append((time.perf_counter() - t0) / n_sweeps * 1e3)
-    classic = float(np.median(times["0"]))
-    logd = float(np.median(times["1"]))
+    med = {f: float(np.median(times[f])) for f in ARMS}
     print(json.dumps({
         "section": "cc_log_ab", "case": section,
-        "classic_ms_per_sweep": round(classic, 3),
-        "log_ms_per_sweep": round(logd, 3),
-        "speedup": round(classic / logd, 2),
-        "raw_classic": [round(x, 3) for x in times["0"]],
-        "raw_log": [round(x, 3) for x in times["1"]],
+        "ms_per_sweep": {f: round(med[f], 3) for f in ARMS},
+        "speedup_vs_classic": {
+            f: round(med["0"] / med[f], 2) for f in ARMS if f != "0"
+        },
+        "raw": {f: [round(x, 3) for x in times[f]] for f in ARMS},
     }), flush=True)
 
 
@@ -106,10 +124,12 @@ def main():
         global REPS
         REPS = 1
         bench("fk_sw_64sq", build_fk, 2, 4)
+        bench("fk_256_tc", build_fk_tc, 1, 2)
         bench("event_cfg5", build_event, 2, 4)
         return
     bench("fk_sw_64sq", build_fk, 32 if quick else 128,
           64 if quick else 256)
+    bench("fk_256_tc", build_fk_tc, 1, 64 if quick else 256)
     bench("event_cfg5", build_event, 8, 100 if quick else 500)
 
 

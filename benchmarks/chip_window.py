@@ -48,6 +48,11 @@ JOBS = [
     # config-2 A/B rerun now that the FK phase rides the fused kernel
     ("cc_log", ["benchmarks/cc_log_ab.py"], 5400),
     ("tri2", ["benchmarks/tri_ab.py"], 3600),
+    # super-rounds-per-check sweep (classic/1/2/4 incl. the 256^2 T_c
+    # case) + SW-dynamics autocorrelation through the fused-FK defaults
+    # (last validated on the round-2 cluster path)
+    ("cc_rpc", ["benchmarks/cc_log_ab.py"], 7200),
+    ("autocorr", ["tests/autocorrelation_scaling.py", "--quick"], 7200),
 ]
 
 

@@ -422,12 +422,15 @@ class LoopProgram:
         # log-doubling CC fixed-point body in every packed-tile kernel
         # (same labels bitwise; fewer rounds on long bond runs).  Default ON
         # since the 2026-08-19 chip A/B (benchmarks/cc_log_ab.py: fused-FK
-        # SW 64^2 1.11x, event cfg5 1.04x); PEAPODS_CC_LOG=0 reverts.  Read
+        # SW 64^2 1.11x, event cfg5 1.04x); PEAPODS_CC_LOG=0 reverts, and
+        # an int k > 1 runs k super rounds per convergence check.  Read
         # once at program build and passed as a static so in-process A/Bs
         # that toggle the env between builds compile separately.
         import os as _os
 
-        self.cc_log = _os.environ.get("PEAPODS_CC_LOG", "1") != "0"
+        self.cc_log = pallas_cc_batch.parse_cc_log(
+            _os.environ.get("PEAPODS_CC_LOG", "1")
+        )
         self.collect_fk = c is not None and (c.collect_stats or c.action == "observe")
         self.observe_fk = c is not None and c.action == "observe"
         self.has_pairs = rt.n_pairs > 0
@@ -797,9 +800,12 @@ class LoopProgram:
                 )
             )
             if self.cc_log and (self.cc_pallas or self.cc_batch):
-                cc += "+log"
+                cc += "+log" if self.cc_log == 1 else f"+log{self.cc_log}"
             parts.append(f"cc={cc}")
-        log = "+log" if self.cc_log else ""
+        log = (
+            "" if not self.cc_log
+            else ("+log" if self.cc_log == 1 else f"+log{self.cc_log}")
+        )
         if getattr(self, "fk_kernel", False):
             stats = "+stats" if self.collect_fk else ""
             parts.append(

@@ -45,6 +45,16 @@ __all__ = [
     "dir_shifts",
 ]
 
+def parse_cc_log(v):
+    """``PEAPODS_CC_LOG`` -> int: 0 = classic stride-1 body, k >= 1 =
+    log-doubling body with k super rounds per convergence check (``1``
+    and any non-numeric truthy value mean 1, the default)."""
+    v = (v or "").strip()
+    if v == "0":
+        return 0
+    return max(1, int(v)) if v.isdigit() else 1
+
+
 _ROUNDS_PER_CHECK = 16
 # Max sublane rows per packed tile: fatter tiles amortize per-grid-step
 # overhead, but every graph in a tile pays the tile-max round count, so
@@ -169,7 +179,8 @@ def cc_fixed_point(bonds, init, big, shifts_info, *, n_dirs, tri, log_cc,
     ``log_cc=False``: the classic stride-1 propagation,
     ``rounds_per_check`` rounds per convergence check.
 
-    ``log_cc=True``: log-doubling run propagation — per direction, a
+    ``log_cc`` truthy (int k >= 1): log-doubling run propagation, k super
+    rounds per convergence check — per direction, a
     precomputed ladder of run-connectivity masks ``conn_k`` (site connected
     to its ``+k``-step neighbor through k consecutive active bonds,
     ``conn_2k = conn_k & shift_k(conn_k)``) lets one pass pull labels
@@ -248,7 +259,13 @@ def cc_fixed_point(bonds, init, big, shifts_info, *, n_dirs, tri, log_cc,
 
     def body(carry):
         lab, _ = carry
-        new = super_round(lab)
+        new = lab
+        # int-valued log_cc = super-rounds per convergence check (the
+        # any() reduction forces a pipeline sync, same economics as the
+        # classic body's 16-round amortization, but each super round is
+        # ~log2(extent) x costlier, so the sweet spot is small)
+        for _ in range(max(1, int(log_cc))):
+            new = super_round(new)
         return new, jnp.any(new != lab)
 
     labels, _ = jax.lax.while_loop(
@@ -330,16 +347,17 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
         shape: static lattice shape (2D or 3D).
         kp / ks: packing factors from :func:`cc_batch_factors`.
         tri: 2D triangular offsets (n_dirs = 3, third direction ``[1, -1]``).
-        log_cc: use the log-doubling fixed-point body
-            (:func:`cc_fixed_point`); None reads ``PEAPODS_CC_LOG``
-            (default on; ``0`` reverts to the classic stride-1 body).
-            Same labels bitwise either way — only the round count changes.
+        log_cc: int k — use the log-doubling fixed-point body with k
+            super rounds per convergence check (:func:`cc_fixed_point`);
+            0 reverts to the classic stride-1 body; None reads
+            ``PEAPODS_CC_LOG`` (default 1).  Same labels bitwise either
+            way — only the round count changes.
 
     Returns ``int32 [B, n_spins]``, bitwise equal per graph to
     :func:`peapods_tpu.ops.cluster.connected_components`.
     """
     if log_cc is None:
-        log_cc = os.environ.get("PEAPODS_CC_LOG", "1") != "0"
+        log_cc = parse_cc_log(os.environ.get("PEAPODS_CC_LOG", "1"))
     shape = tuple(shape)
     n_dims = len(shape)
     n_dirs = 3 if tri else n_dims
@@ -357,7 +375,7 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
     )
     kernel = functools.partial(
         _cc_batch_kernel, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dirs=n_dirs,
-        tri=tri, log_cc=bool(log_cc),
+        tri=tri, log_cc=int(log_cc),
     )
     out = pl.pallas_call(
         kernel,

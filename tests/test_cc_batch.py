@@ -78,10 +78,15 @@ def test_log_doubling_matches_classic(shape, tri):
         rng.random((b, lat.n_spins, lat.n_neighbors)) < dens
     )
     kw = dict(shape=shape, kp=kp, ks=ks, interpret=True, tri=tri)
-    lab_log = connected_components_batch(active, log_cc=True, **kw)
-    lab_classic = connected_components_batch(active, log_cc=False, **kw)
+    lab_log = connected_components_batch(active, log_cc=1, **kw)
+    lab_classic = connected_components_batch(active, log_cc=0, **kw)
     np.testing.assert_array_equal(
         np.asarray(lab_log), np.asarray(lab_classic)
+    )
+    # k super rounds per convergence check: same fixed point bitwise
+    lab_log4 = connected_components_batch(active, log_cc=4, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(lab_log4), np.asarray(lab_classic)
     )
     lab_j = jax.vmap(lambda a: cl.connected_components(a, geom))(active)
     np.testing.assert_array_equal(np.asarray(lab_log), np.asarray(lab_j))

@@ -69,8 +69,15 @@ def main():
     lines += [f"- {r.strip()}" for r in results] or ["- (no results parsed)"]
     lines.append(f"- overall: {'PASSED' if ok else 'FAILED'}")
     lines.append("")
-    with open(REPO / "VALIDATION.md", "a") as f:
-        f.write("\n".join(lines))
+    block = "\n".join(lines)
+    ledger = REPO / "VALIDATION.md"
+    # idempotent per day+outcome: a retried chip window must not stack
+    # identical blocks (it did on 2026-08-19)
+    if block in ledger.read_text():
+        print("VALIDATION.md already has this exact block — not re-appending")
+        return 0 if ok else 1
+    with open(ledger, "a") as f:
+        f.write(block)
     print(f"VALIDATION.md updated ({'PASSED' if ok else 'FAILED'})")
     return 0 if ok else 1
 
