@@ -420,17 +420,20 @@ class LoopProgram:
         _gd = pallas_cc_batch.grid_dims(rt.lattice)
         self._lat_tri = bool(_gd is not None and _gd[4])
         # log-doubling CC fixed-point body in every packed-tile kernel
-        # (same labels bitwise; fewer rounds on long bond runs).  Default ON
-        # since the 2026-08-19 chip A/B (benchmarks/cc_log_ab.py: fused-FK
-        # SW 64^2 1.11x, event cfg5 1.04x); PEAPODS_CC_LOG=0 reverts, and
-        # an int k > 1 runs k super rounds per convergence check.  Read
-        # once at program build and passed as a static so in-process A/Bs
-        # that toggle the env between builds compile separately.
+        # (same labels bitwise; fewer rounds on long bond runs).  Default:
+        # auto by lattice extent (2026-08-19 chip rpc sweep: 1.11x on the
+        # 64^2 FK batch, 0.86x on 256^2 SW at T_c — auto_cc_log);
+        # PEAPODS_CC_LOG forces 0 (classic) or k >= 1 (k super rounds per
+        # convergence check).  Read once at program build and passed as a
+        # static so in-process A/Bs that toggle the env between builds
+        # compile separately.
         import os as _os
 
         self.cc_log = pallas_cc_batch.parse_cc_log(
-            _os.environ.get("PEAPODS_CC_LOG", "1")
+            _os.environ.get("PEAPODS_CC_LOG")
         )
+        if self.cc_log is None:
+            self.cc_log = pallas_cc_batch.auto_cc_log(rt.lattice.shape)
         self.collect_fk = c is not None and (c.collect_stats or c.action == "observe")
         self.observe_fk = c is not None and c.action == "observe"
         self.has_pairs = rt.n_pairs > 0

@@ -46,13 +46,26 @@ __all__ = [
 ]
 
 def parse_cc_log(v):
-    """``PEAPODS_CC_LOG`` -> int: 0 = classic stride-1 body, k >= 1 =
-    log-doubling body with k super rounds per convergence check (``1``
-    and any non-numeric truthy value mean 1, the default)."""
+    """``PEAPODS_CC_LOG`` -> int or None: 0 = classic stride-1 body,
+    k >= 1 = log-doubling body with k super rounds per convergence
+    check, None = auto (unset/``auto``: pick by lattice extent,
+    :func:`auto_cc_log`)."""
     v = (v or "").strip()
+    if v in ("", "auto"):
+        return None
     if v == "0":
         return 0
     return max(1, int(v)) if v.isdigit() else 1
+
+
+def auto_cc_log(shape):
+    """Auto body choice by lattice extent (2026-08-19 chip rpc sweep):
+    log-doubling wins on small-extent packed graph tiles (64^2 FK batch
+    1.11x) but LOSES on large single-graph tiles (256^2 SW at T_c
+    0.86x — super rounds cost ~log2(extent) masked mins each, and the
+    percolation-threshold clusters are winding, not straight), so the
+    default is log (k=1) iff the longest lattice extent fits 128."""
+    return 1 if max(shape) <= 128 else 0
 
 
 _ROUNDS_PER_CHECK = 16
@@ -350,14 +363,17 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
         log_cc: int k — use the log-doubling fixed-point body with k
             super rounds per convergence check (:func:`cc_fixed_point`);
             0 reverts to the classic stride-1 body; None reads
-            ``PEAPODS_CC_LOG`` (default 1).  Same labels bitwise either
-            way — only the round count changes.
+            ``PEAPODS_CC_LOG`` (default: auto by lattice extent,
+            :func:`auto_cc_log`).  Same labels bitwise either way —
+            only the round count changes.
 
     Returns ``int32 [B, n_spins]``, bitwise equal per graph to
     :func:`peapods_tpu.ops.cluster.connected_components`.
     """
     if log_cc is None:
-        log_cc = parse_cc_log(os.environ.get("PEAPODS_CC_LOG", "1"))
+        log_cc = parse_cc_log(os.environ.get("PEAPODS_CC_LOG"))
+        if log_cc is None:
+            log_cc = auto_cc_log(shape)
     shape = tuple(shape)
     n_dims = len(shape)
     n_dirs = 3 if tri else n_dims

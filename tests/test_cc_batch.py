@@ -168,6 +168,20 @@ def test_engine_overlap_bitwise_vs_jnp_cc(monkeypatch):
     np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
 
 
+def test_cc_log_auto_and_parse():
+    """Env parsing and the extent-gated auto default (chip rpc sweep
+    2026-08-19: log wins on small-extent packed tiles, loses on 256^2
+    single-graph tiles)."""
+    from peapods_tpu.ops.pallas_cc_batch import auto_cc_log, parse_cc_log
+
+    assert parse_cc_log(None) is None and parse_cc_log("auto") is None
+    assert parse_cc_log("0") == 0
+    assert parse_cc_log("1") == 1 and parse_cc_log("4") == 4
+    assert parse_cc_log("yes") == 1
+    assert auto_cc_log((64, 64)) == 1 and auto_cc_log((8, 128)) == 1
+    assert auto_cc_log((256, 256)) == 0 and auto_cc_log((16, 16, 16)) == 1
+
+
 def test_engine_log_cc_trajectory_invariant(monkeypatch):
     """PEAPODS_CC_LOG toggles the CC fixed-point body inside the fused FK
     kernel, the fused event kernel, and the batched CC (log-doubling is
