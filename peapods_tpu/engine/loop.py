@@ -194,20 +194,22 @@ class Runtime:
             # rides the jnp path, whose roll stencils auto-partition with
             # XLA halo collectives.
             ns = mesh.shape["space"]
+            # a 'systems' axis composes with 'space': the halo ring runs
+            # per systems-shard (the batch just splits), so the only extra
+            # requirement is an even systems split (and, in 3D, kp-groups
+            # staying shard-local — halo_pack_3d gets the LOCAL count)
+            sys_ax = dict(mesh.shape).get("systems", 1)
+            sys_ok = n_systems % sys_ax == 0
             halo2d = (
                 on_device
                 and use_pallas
-                and "systems" not in mesh.axis_names
+                and sys_ok
                 and lattice.shape[0] % ns == 0
                 and (lattice.shape[0] // ns) % 8 == 0
             )
-            if (
-                not halo2d
-                and on_device
-                and "systems" not in mesh.axis_names
-            ):
+            if not halo2d and on_device and sys_ok:
                 halo3d = pallas_sweep3d.halo_pack_3d(
-                    lattice, n_systems, ns
+                    lattice, n_systems // sys_ax, ns
                 )
             if (
                 not halo2d
@@ -1247,8 +1249,9 @@ class LoopProgram:
 
         names = mesh.axis_names
         dis = "disorder" if "disorder" in names else None
-        batch = P(dis)
-        spins_spec = P(dis, None, "space")
+        sys_ = "systems" if "systems" in names else None
+        batch = P(dis, sys_)
+        spins_spec = P(dis, sys_, "space")
         call = jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -1327,8 +1330,9 @@ class LoopProgram:
 
         names = mesh.axis_names
         dis = "disorder" if "disorder" in names else None
-        batch = P(dis)
-        spins_spec = P(dis, None, "space")
+        sys_ = "systems" if "systems" in names else None
+        batch = P(dis, sys_)
+        spins_spec = P(dis, sys_, "space")
         call = jax.shard_map(
             shard_fn,
             mesh=mesh,

@@ -275,3 +275,45 @@ def test_halo_fused_measure_matches_jnp_recompute(monkeypatch, dim):
     np.testing.assert_allclose(r_f["energies"], r_j["energies"], rtol=3e-5,
                                atol=1e-6)
     np.testing.assert_allclose(r_f["mags2"], r_j["mags2"], rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_engine_halo_under_systems_x_space_mesh(monkeypatch, dim):
+    """A 'systems' axis composes with 'space': the halo ring runs per
+    systems-shard and the seed words are a sharded lookup table, so the
+    systems x space trajectory must be BITWISE the space-only one (same
+    global seeds, same space-shard folds — the systems split changes no
+    PRNG stream and no per-system reduction)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    if dim == "2d":
+        shape = [32, 128]
+        rng = np.random.default_rng(31)
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 128, 2))
+    else:
+        shape = [16, 8, 16]
+        rng = np.random.default_rng(37)
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 16, 8, 16, 3))
+    temps = np.geomspace(1.2, 2.8, 2).astype(np.float32)
+
+    def run(mesh):
+        sim = IsingSimulation(shape, coup, temps, 2, None, 5,
+                              default_chunk=8, mesh=mesh)
+        sim.sample(8, "metropolis", pt_interval=1, warmup_ratio=0)
+        prog = next(iter(sim._programs.values()))
+        return sim, prog
+
+    a, prog_a = run(make_mesh(4, ("systems", "space")))
+    want = "pallas-2d-halo" if dim == "2d" else "pallas-3d-halo"
+    assert want in prog_a.describe_plan(), prog_a.describe_plan()
+    b, prog_b = run(make_mesh(2, ("space",)))
+    assert want in prog_b.describe_plan()
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]), np.asarray(b.state["system_ids"])
+    )
