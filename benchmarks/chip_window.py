@@ -53,6 +53,8 @@ JOBS = [
     # (last validated on the round-2 cluster path)
     ("cc_rpc", ["benchmarks/cc_log_ab.py"], 7200),
     ("autocorr", ["tests/autocorrelation_scaling.py", "--quick"], 7200),
+    # end-of-round refresh through the final defaults (auto CC body)
+    ("bench_final", ["benchmarks/bench_all.py"], 7200),
 ]
 
 
