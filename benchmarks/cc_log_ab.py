@@ -89,7 +89,9 @@ def build_event(flag, n_realizations, n_sweeps):
     return model, kw
 
 
-ARMS = ("0", "1", "2", "4")  # classic, and log body at k rounds/check
+ARMS = tuple(
+    (os.environ.get("PEAPODS_CC_AB_ARMS") or "0,1,2,4").split(",")
+)  # classic, log body at k rounds/check, and/or "mix" (hybrid)
 
 
 def bench(section, builder, n_realizations, n_sweeps):

@@ -55,6 +55,9 @@ JOBS = [
     ("autocorr", ["tests/autocorrelation_scaling.py", "--quick"], 7200),
     # end-of-round refresh through the final defaults (auto CC body)
     ("bench_final", ["benchmarks/bench_all.py"], 7200),
+    # hybrid CC body (classic rounds + one super round per check block):
+    # the 256^2 T_c case is the decision target
+    ("cc_mix", ["benchmarks/cc_log_ab.py"], 7200),
 ]
 
 
@@ -102,6 +105,8 @@ def main():
         env = dict(os.environ)
         if name == "stats":
             env["PEAPODS_TPU_STATS"] = "1"
+        if name == "cc_mix":
+            env["PEAPODS_CC_AB_ARMS"] = "0,1,mix"
         t0 = time.time()
         try:
             r = subprocess.run(

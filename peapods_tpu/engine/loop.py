@@ -794,6 +794,12 @@ class LoopProgram:
         else:
             sweep = "jnp"
         parts = [f"sweep={sweep}"]
+
+        def _log_tag(k):
+            if not k:
+                return ""
+            return {1: "+log", -1: "+logmix"}.get(k, f"+log{k}")
+
         if self.cfg.cluster_update is not None or self.cfg.overlap_cluster:
             cc = (
                 "pallas"
@@ -805,12 +811,9 @@ class LoopProgram:
                 )
             )
             if self.cc_log and (self.cc_pallas or self.cc_batch):
-                cc += "+log" if self.cc_log == 1 else f"+log{self.cc_log}"
+                cc += _log_tag(self.cc_log)
             parts.append(f"cc={cc}")
-        log = (
-            "" if not self.cc_log
-            else ("+log" if self.cc_log == 1 else f"+log{self.cc_log}")
-        )
+        log = _log_tag(self.cc_log)
         if getattr(self, "fk_kernel", False):
             stats = "+stats" if self.collect_fk else ""
             parts.append(

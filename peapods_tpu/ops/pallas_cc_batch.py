@@ -48,11 +48,14 @@ __all__ = [
 def parse_cc_log(v):
     """``PEAPODS_CC_LOG`` -> int or None: 0 = classic stride-1 body,
     k >= 1 = log-doubling body with k super rounds per convergence
-    check, None = auto (unset/``auto``: pick by lattice extent,
+    check, -1 (``mix``) = classic rounds with one super round per check
+    block, None = auto (unset/``auto``: pick by lattice extent,
     :func:`auto_cc_log`)."""
     v = (v or "").strip()
     if v in ("", "auto"):
         return None
+    if v in ("mix", "-1"):
+        return -1
     if v == "0":
         return 0
     return max(1, int(v)) if v.isdigit() else 1
@@ -202,6 +205,12 @@ def cc_fixed_point(bonds, init, big, shifts_info, *, n_dirs, tri, log_cc,
     point, bitwise, as the classic body; only the round count changes.
     Wins when runs are long (cold / dense FK graphs, whose diameter-bound
     round counts dominate mixed-temperature ladders).
+
+    ``log_cc = -1`` ("mix"): hybrid — each check block runs
+    ``rounds_per_check - 1`` classic stride-1 rounds plus ONE super round,
+    so long straight runs still collapse every block at ~1/16th the
+    super-round spend.  Every body is a monotone min schedule containing
+    the stride-1 move, so all three converge to the identical fixed point.
     """
     rows, lanes, l0, l1, l2, row, col, shifts = shifts_info
     fwd1, bwd1 = dir_shifts(shifts, n_dirs, tri)
@@ -270,16 +279,37 @@ def cc_fixed_point(bonds, init, big, shifts_info, *, n_dirs, tri, log_cc,
                 new = jnp.minimum(new, jnp.minimum(lf, lb))
         return new
 
-    def body(carry):
-        lab, _ = carry
-        new = lab
-        # int-valued log_cc = super-rounds per convergence check (the
-        # any() reduction forces a pipeline sync, same economics as the
-        # classic body's 16-round amortization, but each super round is
-        # ~log2(extent) x costlier, so the sweet spot is small)
-        for _ in range(max(1, int(log_cc))):
-            new = super_round(new)
-        return new, jnp.any(new != lab)
+    if int(log_cc) < 0:
+        # hybrid: classic rounds with one super round per check block
+        ab = [shift_mask(bwd1[d], bonds[d]) for d in range(n_dirs)]
+
+        def propagate(lab):
+            new = lab
+            for d in range(n_dirs):
+                lf = jnp.where(bonds[d], fwd1[d](lab), big)
+                lb = jnp.where(ab[d], bwd1[d](lab), big)
+                new = jnp.minimum(new, jnp.minimum(lf, lb))
+            return new
+
+        def body(carry):
+            lab, _ = carry
+            new = super_round(lab)
+            for _ in range(rounds_per_check - 1):
+                new = propagate(new)
+            return new, jnp.any(new != lab)
+
+    else:
+
+        def body(carry):
+            lab, _ = carry
+            new = lab
+            # int-valued log_cc = super-rounds per convergence check (the
+            # any() reduction forces a pipeline sync, same economics as the
+            # classic body's 16-round amortization, but each super round is
+            # ~log2(extent) x costlier, so the sweet spot is small)
+            for _ in range(max(1, int(log_cc))):
+                new = super_round(new)
+            return new, jnp.any(new != lab)
 
     labels, _ = jax.lax.while_loop(
         lambda c: c[1], body, (init, jnp.bool_(True))

@@ -88,6 +88,11 @@ def test_log_doubling_matches_classic(shape, tri):
     np.testing.assert_array_equal(
         np.asarray(lab_log4), np.asarray(lab_classic)
     )
+    # hybrid (classic rounds + one super round per check): same fixed point
+    lab_mix = connected_components_batch(active, log_cc=-1, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(lab_mix), np.asarray(lab_classic)
+    )
     lab_j = jax.vmap(lambda a: cl.connected_components(a, geom))(active)
     np.testing.assert_array_equal(np.asarray(lab_log), np.asarray(lab_j))
 
@@ -177,6 +182,7 @@ def test_cc_log_auto_and_parse():
     assert parse_cc_log(None) is None and parse_cc_log("auto") is None
     assert parse_cc_log("0") == 0
     assert parse_cc_log("1") == 1 and parse_cc_log("4") == 4
+    assert parse_cc_log("mix") == -1 and parse_cc_log("-1") == -1
     assert parse_cc_log("yes") == 1
     assert auto_cc_log((64, 64)) == 1 and auto_cc_log((8, 128)) == 1
     assert auto_cc_log((256, 256)) == 0 and auto_cc_log((16, 16, 16)) == 1
