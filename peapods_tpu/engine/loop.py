@@ -140,6 +140,7 @@ class Runtime:
     tri_pack: int = 0  # triangular lane-packing factor (0 = off)
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     halo2d: bool = False  # space-mesh halo-exchange 2D kernel
+    halo2d_k: int = 0  # lane-packed (W < 128) 2D halo kernel factor (0=off)
     halo3d: int = 0  # space-mesh halo-exchange 3D kernel lane-pack kp (0=off)
     pack_k: int = 0  # lane-packing factor for narrow lattices (0 = off)
     kernel3d: int = 0  # 3D kernel lane-pack factor kp >= 1 (0 = off)
@@ -184,6 +185,7 @@ class Runtime:
         from ..utils.log import log_once
 
         halo2d = False
+        halo2d_k = 0
         halo3d = 0
         if mesh is not None and "space" in mesh.axis_names:
             # spatial decomposition: the spin axis itself is sharded (row
@@ -200,19 +202,25 @@ class Runtime:
             # staying shard-local — halo_pack_3d gets the LOCAL count)
             sys_ax = dict(mesh.shape).get("systems", 1)
             sys_ok = n_systems % sys_ax == 0
-            halo2d = (
-                on_device
-                and use_pallas
-                and sys_ok
-                and lattice.shape[0] % ns == 0
+            rows_ok = (
+                lattice.shape[0] % ns == 0
                 and (lattice.shape[0] // ns) % 8 == 0
             )
-            if not halo2d and on_device and sys_ok:
+            halo2d = on_device and use_pallas and sys_ok and rows_ok
+            if not halo2d and on_device and sys_ok and rows_ok:
+                # narrow (W < 128) lattices: lane-packed halo kernel with
+                # the packed kernel's seam-corrected rolls (pack groups
+                # stay shard-local under a systems axis)
+                halo2d_k = pallas_sweep.pack_factor(
+                    lattice, n_systems // sys_ax
+                )
+            if not halo2d and not halo2d_k and on_device and sys_ok:
                 halo3d = pallas_sweep3d.halo_pack_3d(
                     lattice, n_systems // sys_ax, ns
                 )
             if (
                 not halo2d
+                and not halo2d_k
                 and not halo3d
                 and (use_pallas or pack_k or kernel3d or tri or tri_pack)
             ):
@@ -276,6 +284,12 @@ class Runtime:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep.pack_coupling_grids(c, lattice.shape)
             )(coup)
+        elif halo2d_k:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep.pack_coupling_grids_packed(
+                    c, lattice.shape, halo2d_k
+                )
+            )(coup)
         elif halo3d:
             jgrids = jax.vmap(
                 lambda c: pallas_sweep3d.pack_coupling_grids_3d(
@@ -315,6 +329,7 @@ class Runtime:
             tri_pack=tri_pack,
             pallas_ok=on_device,
             halo2d=halo2d,
+            halo2d_k=halo2d_k,
             halo3d=halo3d,
             pack_k=pack_k,
             kernel3d=kernel3d,
@@ -789,6 +804,8 @@ class LoopProgram:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
         elif rt.halo2d:
             sweep = "pallas-2d-halo"
+        elif rt.halo2d_k:
+            sweep = f"pallas-2d-halo-packed(k={rt.halo2d_k})"
         elif rt.halo3d:
             sweep = f"pallas-3d-halo(kp={rt.halo3d})"
         else:
@@ -1216,17 +1233,25 @@ class LoopProgram:
         hl = h // ns
         gibbs = self.cfg.sweep_mode == "gibbs"
         measure = self.fuse_measure
+        pack = rt.halo2d_k  # lane-packed narrow-lattice variant (0 = direct)
         interpret = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
         sys_temps = jax.vmap(lambda si: slot_temps_for_systems(si, rt.temps))(sid)
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, _PH_SWEEP))(keys)
-        seeds = pallas_sweep.make_seeds(skeys, rt.n_systems)
+        seeds = pallas_sweep.make_seeds(
+            skeys, rt.n_systems // pack if pack else rt.n_systems
+        )
         fwd = [(j, (j + 1) % ns) for j in range(ns)]
         bwd = [(j, (j - 1) % ns) for j in range(ns)]
 
         def shard_fn(sp, jg, st, sd):
             idx = jax.lax.axis_index("space").astype(jnp.int32)
             off = (idx * hl) * jnp.ones((1, 1), jnp.int32)
-            s4 = sp.reshape(sp.shape[0], sp.shape[1], hl, w)
+            if pack:
+                s4 = jax.vmap(
+                    lambda s: pallas_sweep.pack_spins(s, (hl, w), pack)
+                )(sp)  # [d, g, hl, pack*w]
+            else:
+                s4 = sp.reshape(sp.shape[0], sp.shape[1], hl, w)
             # independent PRNG stream per (shard, color) pass
             sd = sd ^ ((idx + 1) * jnp.int32(-1640531527))
             em = ()
@@ -1234,6 +1259,13 @@ class LoopProgram:
                 sdc = sd ^ jnp.int32((-2048144789, 1779033703)[color])
                 hup = jax.lax.ppermute(s4[:, :, hl - 1:, :], "space", fwd)
                 hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
+                if pack:
+                    s4 = pallas_sweep.sweep_2d_halo_color_packed(
+                        s4, jg, st, sdc, hup, hdn, off,
+                        shape_local=(hl, w), k=pack, color=color,
+                        gibbs=gibbs, interpret=interpret,
+                    )
+                    continue
                 out = pallas_sweep.sweep_2d_halo_color(
                     s4, jg, st, sdc, hup, hdn, off,
                     shape_local=(hl, w), color=color, gibbs=gibbs,
@@ -1248,6 +1280,11 @@ class LoopProgram:
                     )
                 else:
                     s4 = out
+            if pack:
+                sp_out = jax.vmap(
+                    lambda s: pallas_sweep.unpack_spins(s, (hl, w), pack)
+                )(s4)
+                return (sp_out.reshape(sp.shape),)
             return (s4.reshape(sp.shape),) + em
 
         names = mesh.axis_names
@@ -2095,7 +2132,7 @@ class LoopProgram:
             sweep_scope.__enter__()
             if rt.use_pallas or rt.pack_k or rt.kernel3d or rt.tri or rt.tri_pack:
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
-            elif rt.halo2d:
+            elif rt.halo2d or rt.halo2d_k:
                 spins, fused_em = self._sweep_phase_halo(spins, sid, keys)
             elif rt.halo3d:
                 spins, fused_em = self._sweep_phase_halo3d(spins, sid, keys)

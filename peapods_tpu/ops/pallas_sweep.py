@@ -36,6 +36,8 @@ __all__ = [
     "sweep_2d_fused",
     "sweep_2d_halo_color",
     "sweep_2d_halo_color_injected",
+    "sweep_2d_halo_color_packed",
+    "sweep_2d_halo_color_packed_injected",
     "sweep_2d_injected",
     "sweep_2d_packed",
     "sweep_2d_two_sub_injected",
@@ -506,6 +508,167 @@ def sweep_2d_halo_color_injected(spins, jgrids, sys_temps, uniforms, hup,
         interpret=_interp(interpret),
     )(
         jnp.zeros((1, 2 * n_systems), jnp.int32),
+        sys_temps[None],
+        off,
+        spins[None],
+        jgrids[None],
+        hup[None],
+        hdn[None],
+        uniforms[None],
+    )
+    return out[0]
+
+
+def _kernel_color_halo_packed(seed_ref, temp_ref, off_ref, spins_ref,
+                              jgrids_ref, hup_ref, hdn_ref, out_ref, *,
+                              gibbs, color, w, k, u_injected=False,
+                              u_ref=None):
+    """Lane-packed variant of ``_kernel_color_halo``: k narrow (W < 128)
+    systems side-by-side per kernel instance, each owning a [Hl, W] row
+    band.  Vertical neighbors at the band edges arrive as PACKED halo rows
+    (packing is column-only, so the neighbor shard's edge row of the same
+    group is exactly this group's halo); horizontal neighbors are the
+    packed kernel's seam-corrected within-system rolls.  One color per
+    call, global parity via the band's first-row offset."""
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    if not u_injected:
+        _seed_prng(seed_ref, d_idx, grp)
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    s = spins_ref[0, 0].astype(jnp.float32)  # [Hl, k*w]
+    jg = jgrids_ref[0]
+    hup = hup_ref[0, 0].astype(jnp.float32)  # [1, k*w]
+    hdn = hdn_ref[0, 0].astype(jnp.float32)
+    h_dim, kw = s.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h_dim, kw), 1)
+    parity = (row + off_ref[0, 0] + col % w) & 1
+    at_left_edge = (col % w) == 0
+    at_right_edge = (col % w) == (w - 1)
+
+    inv_half_t = jnp.zeros((h_dim, kw), jnp.float32)
+    for j in range(k):
+        t_j = temp_ref[d_idx, grp * k + j]
+        inv_half_t = jnp.where((col // w) == j, 1.0 / (0.5 * t_j), inv_half_t)
+
+    def lane_left(x):
+        base = pltpu.roll(x, 1, 1)
+        wrap = pltpu.roll(x, kw - (w - 1), 1)
+        return jnp.where(at_left_edge, wrap, base)
+
+    def lane_right(x):
+        base = pltpu.roll(x, kw - 1, 1)
+        wrap = pltpu.roll(x, w - 1, 1)
+        return jnp.where(at_right_edge, wrap, base)
+
+    up = jnp.where(row == 0, hup, pltpu.roll(s, 1, 0))
+    down = jnp.where(row == h_dim - 1, hdn, pltpu.roll(s, h_dim - 1, 0))
+    field = (
+        up * jg[0]
+        + down * jg[1]
+        + lane_left(s) * jg[2]
+        + lane_right(s) * jg[3]
+    )
+    x = -s * field * inv_half_t
+    u = u_ref[0, 0] if u_injected else _hw_uniform(s.shape)
+    if gibbs:
+        p = jax.nn.sigmoid(x)
+    else:
+        p = keep * jnp.exp(jnp.minimum(x, 0.0))
+    flip = (u < p) & (parity == color)
+    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape_local", "k", "color", "gibbs", "interpret"),
+)
+def sweep_2d_halo_color_packed(spins, jgrids, sys_temps, seeds, hup, hdn,
+                               off, *, shape_local, k, color, gibbs=False,
+                               interpret=False):
+    """One color pass over lane-packed local row bands.
+
+    Args:
+        spins: ``int8 [n_d, g, Hl, k*W]`` packed local bands
+            (:func:`pack_spins` applied per disorder to the band).
+        jgrids: ``f32 [n_d, 4, Hl, k*W]`` local rows of the TILED
+            per-system grids (:func:`pack_coupling_grids_packed`).
+        sys_temps: ``f32 [n_d, n_systems]``; system ``g*k + j`` sits at
+            columns ``[j*W, (j+1)*W)`` of group g.
+        seeds: ``int32 [n_d, 2*g]`` (fold shard index and color in before
+            calling).
+        hup/hdn: ``int8 [n_d, g, 1, k*W]`` packed halo rows.
+        off: ``int32 [1, 1]`` global first-row index of this band.
+    """
+    hl, w = shape_local
+    n_d, g = spins.shape[:2]
+    kernel = functools.partial(
+        _kernel_color_halo_packed, gibbs=gibbs, color=color, w=w, k=k,
+    )
+    band_spec = pl.BlockSpec((1, 1, hl, k * w), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band_spec,
+            pl.BlockSpec((1, 4, hl, k * w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, k * w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, k * w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct((n_d, g, hl, k * w), jnp.int8),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
+    return out
+
+
+def sweep_2d_halo_color_packed_injected(spins, jgrids, sys_temps, uniforms,
+                                        hup, hdn, off, *, shape_local, k,
+                                        color, gibbs=False, interpret=False):
+    """Test-only packed halo-color pass with caller-supplied uniforms
+    (``f32 [g, Hl, k*W]``); single realization."""
+    hl, w = shape_local
+    g = spins.shape[0]
+    kernel = functools.partial(
+        _kernel_color_halo_packed, gibbs=gibbs, color=color, w=w, k=k,
+        u_injected=True,
+    )
+
+    def wrapped(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+                hdn_ref, u_ref, out_ref):
+        kernel(seed_ref, temp_ref, off_ref, spins_ref, jg_ref, hup_ref,
+               hdn_ref, out_ref, u_ref=u_ref)
+
+    band_spec = pl.BlockSpec((1, 1, hl, k * w), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        wrapped,
+        grid=(1, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band_spec,
+            pl.BlockSpec((1, 4, hl, k * w), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, k * w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, k * w), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            band_spec,
+        ],
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct((1, g, hl, k * w), jnp.int8),
+        interpret=_interp(interpret),
+    )(
+        jnp.zeros((1, 2 * g), jnp.int32),
         sys_temps[None],
         off,
         spins[None],

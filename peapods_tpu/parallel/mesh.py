@@ -117,7 +117,11 @@ def shard_runtime(rt, mesh):
         # halo-kernel grids are full-lattice ([d, 4, H, W] for 2D,
         # [d, 6, L0, kp*block] for 3D) -> shard the row/plane axis with the
         # spins; kernel grids otherwise ride the disorder axis
-        halo = getattr(rt, "halo2d", False) or getattr(rt, "halo3d", 0)
+        halo = (
+            getattr(rt, "halo2d", False)
+            or getattr(rt, "halo2d_k", 0)
+            or getattr(rt, "halo3d", 0)
+        )
         spec = (
             P(dis, None, space, None)
             if (space is not None and halo)

@@ -278,7 +278,7 @@ def test_halo_fused_measure_matches_jnp_recompute(monkeypatch, dim):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("dim", ["2d", "3d"])
+@pytest.mark.parametrize("dim", ["2d", "2dp", "3d"])
 def test_engine_halo_under_systems_x_space_mesh(monkeypatch, dim):
     """A 'systems' axis composes with 'space': the halo ring runs per
     systems-shard and the seed words are a sharded lookup table, so the
@@ -293,6 +293,10 @@ def test_engine_halo_under_systems_x_space_mesh(monkeypatch, dim):
         shape = [32, 128]
         rng = np.random.default_rng(31)
         coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 128, 2))
+    elif dim == "2dp":  # lane-packed narrow lattice (halo2d_k = 2)
+        shape = [32, 64]
+        rng = np.random.default_rng(43)
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 64, 2))
     else:
         shape = [16, 8, 16]
         rng = np.random.default_rng(37)
@@ -307,7 +311,11 @@ def test_engine_halo_under_systems_x_space_mesh(monkeypatch, dim):
         return sim, prog
 
     a, prog_a = run(make_mesh(4, ("systems", "space")))
-    want = "pallas-2d-halo" if dim == "2d" else "pallas-3d-halo"
+    want = {
+        "2d": "pallas-2d-halo",
+        "2dp": "pallas-2d-halo-packed(k=2)",
+        "3d": "pallas-3d-halo",
+    }[dim]
     assert want in prog_a.describe_plan(), prog_a.describe_plan()
     b, prog_b = run(make_mesh(2, ("space",)))
     assert want in prog_b.describe_plan()
@@ -316,4 +324,106 @@ def test_engine_halo_under_systems_x_space_mesh(monkeypatch, dim):
     )
     np.testing.assert_array_equal(
         np.asarray(a.state["system_ids"]), np.asarray(b.state["system_ids"])
+    )
+
+
+@pytest.mark.parametrize("color", [0, 1])
+def test_injected_packed_kernel_matches_full_lattice_reference(color):
+    """Shard-by-shard lane-packed halo kernel == full-lattice single-color
+    pass, per packed system (narrow W < 128 lattices under the space
+    mesh; seam-corrected rolls + packed halo rows)."""
+    from peapods_tpu.ops.pallas_sweep import (
+        pack_coupling_grids,
+        pack_coupling_grids_packed,
+        pack_spins,
+        unpack_spins,
+        sweep_2d_halo_color_packed_injected,
+    )
+
+    h, w, k, ns = 16, 64, 2, 2
+    hl = h // ns
+    rng = np.random.default_rng(9)
+    s = rng.choice(np.int8([-1, 1]), size=(k, h, w))
+    coup = rng.choice(np.float32([-1, 1]), size=(h * w, 2))
+    jg1 = np.asarray(pack_coupling_grids(jnp.asarray(coup), (h, w)))
+    jgp = np.asarray(
+        pack_coupling_grids_packed(jnp.asarray(coup), (h, w), k)
+    )
+    u = rng.random((k, h, w)).astype(np.float32)
+    temps = np.float32([1.3, 2.1])
+
+    expected = np.stack([
+        _jnp_color_pass(
+            s[j].astype(np.float64), jg1, 1.0 / (0.5 * temps[j]), u[j],
+            color,
+        ).astype(np.int8)
+        for j in range(k)
+    ])
+
+    out = np.empty_like(s)
+    for shard in range(ns):
+        band = slice(shard * hl, (shard + 1) * hl)
+        packed = np.asarray(pack_spins(
+            jnp.asarray(s[:, band].reshape(k, hl * w)), (hl, w), k
+        ))  # [1, hl, k*w]
+        u_packed = np.asarray(pack_spins(
+            jnp.asarray(u[:, band].reshape(k, hl * w)), (hl, w), k
+        ))
+        hup = np.concatenate(
+            [s[j, (shard * hl - 1) % h] for j in range(k)]
+        )[None, None]  # [1, 1, k*w] packed halo row
+        hdn = np.concatenate(
+            [s[j, ((shard + 1) * hl) % h] for j in range(k)]
+        )[None, None]
+        res = sweep_2d_halo_color_packed_injected(
+            jnp.asarray(packed),
+            jnp.asarray(jgp[:, band]),
+            jnp.asarray(temps),
+            jnp.asarray(u_packed),
+            jnp.asarray(hup),
+            jnp.asarray(hdn),
+            jnp.full((1, 1), shard * hl, jnp.int32),
+            shape_local=(hl, w),
+            k=k,
+            color=color,
+            interpret=True,
+        )
+        out[:, band] = np.asarray(unpack_spins(
+            jnp.asarray(res), (hl, w), k
+        )).reshape(k, hl, w)
+    np.testing.assert_array_equal(out, expected)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_engine_packed_halo_under_space_mesh(monkeypatch):
+    """Narrow (W < 128) lattices keep a Pallas fast path under the space
+    mesh via the lane-packed halo kernel."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    def sim(seed):
+        rng = np.random.default_rng(41)
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 64, 2))
+        temps = np.geomspace(1.5, 3.0, 2).astype(np.float32)
+        return IsingSimulation(
+            [32, 64], coup, temps, 1, None, seed, default_chunk=8,
+            mesh=make_mesh(2, ("space",)),
+        )
+
+    a = sim(5)
+    ra = a.sample(8, "metropolis", pt_interval=1, warmup_ratio=0)
+    prog = next(iter(a._programs.values()))
+    assert a.rt.halo2d_k == 2
+    assert "pallas-2d-halo-packed(k=2)" in prog.describe_plan()
+    assert np.isfinite(ra["mags2"]).all()
+    sid = np.asarray(a.state["system_ids"]).reshape(-1)
+    assert sorted(sid.tolist()) == list(range(2))
+
+    # determinism across chunkings
+    b = sim(5)
+    b.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    b.sample(4, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
