@@ -493,7 +493,10 @@ class LoopProgram:
             <= 8
         )
         self.fuse_measure = (
-            (rt.use_pallas or rt.tri or fuse_3d or rt.halo2d or bool(rt.halo3d))
+            (
+                rt.use_pallas or rt.tri or fuse_3d or rt.halo2d
+                or bool(rt.halo2d_k) or bool(rt.halo3d)
+            )
             and (c is None or c.action == "observe")
             and _os.environ.get("PEAPODS_DISABLE_FUSE") != "1"
         )
@@ -1260,11 +1263,21 @@ class LoopProgram:
                 hup = jax.lax.ppermute(s4[:, :, hl - 1:, :], "space", fwd)
                 hdn = jax.lax.ppermute(s4[:, :, :1, :], "space", bwd)
                 if pack:
-                    s4 = pallas_sweep.sweep_2d_halo_color_packed(
+                    outp = pallas_sweep.sweep_2d_halo_color_packed(
                         s4, jg, st, sdc, hup, hdn, off,
                         shape_local=(hl, w), k=pack, color=color,
-                        gibbs=gibbs, interpret=interpret,
+                        gibbs=gibbs,
+                        with_measure=measure and color == 1,
+                        interpret=interpret,
                     )
+                    if measure and color == 1:
+                        s4, e_part, m_part = outp
+                        em = (
+                            jax.lax.psum(e_part, "space") / np.float32(h * w),
+                            jax.lax.psum(m_part, "space"),
+                        )
+                    else:
+                        s4 = outp
                     continue
                 out = pallas_sweep.sweep_2d_halo_color(
                     s4, jg, st, sdc, hup, hdn, off,
@@ -1284,7 +1297,7 @@ class LoopProgram:
                 sp_out = jax.vmap(
                     lambda s: pallas_sweep.unpack_spins(s, (hl, w), pack)
                 )(s4)
-                return (sp_out.reshape(sp.shape),)
+                return (sp_out.reshape(sp.shape),) + em
             return (s4.reshape(sp.shape),) + em
 
         names = mesh.axis_names

@@ -520,16 +520,22 @@ def sweep_2d_halo_color_injected(spins, jgrids, sys_temps, uniforms, hup,
 
 
 def _kernel_color_halo_packed(seed_ref, temp_ref, off_ref, spins_ref,
-                              jgrids_ref, hup_ref, hdn_ref, out_ref, *,
+                              jgrids_ref, hup_ref, hdn_ref, out_ref, *rest,
                               gibbs, color, w, k, u_injected=False,
-                              u_ref=None):
+                              u_ref=None, with_measure=False):
     """Lane-packed variant of ``_kernel_color_halo``: k narrow (W < 128)
     systems side-by-side per kernel instance, each owning a [Hl, W] row
     band.  Vertical neighbors at the band edges arrive as PACKED halo rows
     (packing is column-only, so the neighbor shard's edge row of the same
     group is exactly this group's halo); horizontal neighbors are the
     packed kernel's seam-corrected within-system rolls.  One color per
-    call, global parity via the band's first-row offset."""
+    call, global parity via the band's first-row offset.
+
+    ``with_measure`` (color-1 pass only): additionally emit the band's RAW
+    per-system positive forward-bond energy / spin sums (``rest`` =
+    ``(e_ref, m_ref)``, lane-group masked reductions) — each bond counted
+    once at its odd endpoint, exact globally after the engine's psum over
+    ``space``."""
     d_idx = pl.program_id(0)
     grp = pl.program_id(1)
     if not u_injected:
@@ -576,16 +582,29 @@ def _kernel_color_halo_packed(seed_ref, temp_ref, off_ref, spins_ref,
     else:
         p = keep * jnp.exp(jnp.minimum(x, 0.0))
     flip = (u < p) & (parity == color)
-    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+    s_new = jnp.where(flip, -s, s)
+    out_ref[0, 0] = s_new.astype(jnp.int8)
+    if with_measure:
+        e_ref, m_ref = rest
+        # odd flips leave the odd sites' field (all-even neighbors) intact
+        e_site = jnp.where(parity == 1, s_new * field, 0.0)
+        for j in range(k):
+            msk = (col // w) == j
+            e_ref[d_idx, grp * k + j] = jnp.where(msk, e_site, 0.0).sum()
+            m_ref[d_idx, grp * k + j] = (
+                jnp.where(msk, s_new, 0.0).sum().astype(jnp.int32)
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape_local", "k", "color", "gibbs", "interpret"),
+    static_argnames=(
+        "shape_local", "k", "color", "gibbs", "with_measure", "interpret"
+    ),
 )
 def sweep_2d_halo_color_packed(spins, jgrids, sys_temps, seeds, hup, hdn,
                                off, *, shape_local, k, color, gibbs=False,
-                               interpret=False):
+                               with_measure=False, interpret=False):
     """One color pass over lane-packed local row bands.
 
     Args:
@@ -602,11 +621,26 @@ def sweep_2d_halo_color_packed(spins, jgrids, sys_temps, seeds, hup, hdn,
     """
     hl, w = shape_local
     n_d, g = spins.shape[:2]
+    assert not (with_measure and color != 1)
     kernel = functools.partial(
         _kernel_color_halo_packed, gibbs=gibbs, color=color, w=w, k=k,
+        with_measure=with_measure,
     )
     band_spec = pl.BlockSpec((1, 1, hl, k * w), lambda d, i: (d, i, 0, 0),
                              memory_space=pltpu.VMEM)
+    out_specs = band_spec
+    out_shape = jax.ShapeDtypeStruct((n_d, g, hl, k * w), jnp.int8)
+    if with_measure:
+        out_specs = (
+            band_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n_d, g * k), jnp.float32),
+            jax.ShapeDtypeStruct((n_d, g * k), jnp.int32),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(n_d, g),
@@ -622,8 +656,8 @@ def sweep_2d_halo_color_packed(spins, jgrids, sys_temps, seeds, hup, hdn,
             pl.BlockSpec((1, 1, 1, k * w), lambda d, i: (d, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=band_spec,
-        out_shape=jax.ShapeDtypeStruct((n_d, g, hl, k * w), jnp.int8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(seeds, sys_temps, off, spins, jgrids, hup, hdn)
     return out

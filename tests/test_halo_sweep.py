@@ -235,7 +235,7 @@ def test_engine_halo3d_path_under_space_mesh(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("dim", ["2d", "3d"])
+@pytest.mark.parametrize("dim", ["2d", "2dp", "3d"])
 def test_halo_fused_measure_matches_jnp_recompute(monkeypatch, dim):
     """Under fuse_measure the halo kernels emit per-shard raw (e, m) sums
     psum'd over 'space'; with PT off the trajectory is identical to the
@@ -250,10 +250,16 @@ def test_halo_fused_measure_matches_jnp_recompute(monkeypatch, dim):
     if dim == "2d":
         shape, ns = [32, 128], 4
         coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 128, 2))
+    elif dim == "2dp":  # lane-packed narrow lattice (halo2d_k = 2)
+        shape, ns = [32, 64], 2
+        coup = rng.choice(np.float32([-1, 1]), size=(1, 32, 64, 2))
     else:
         shape, ns = [16, 8, 16], 2
         coup = rng.choice(np.float32([-1, 1]), size=(1, 16, 8, 16, 3))
-    temps = np.geomspace(1.4, 2.6, 3).astype(np.float32)
+    # the packed case needs an even system count (pack groups of k=2)
+    temps = np.geomspace(1.4, 2.6, 4 if dim == "2dp" else 3).astype(
+        np.float32
+    )
 
     def run(fuse):
         if not fuse:
