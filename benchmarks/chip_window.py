@@ -58,6 +58,8 @@ JOBS = [
     # hybrid CC body (classic rounds + one super round per check block):
     # the 256^2 T_c case is the decision target
     ("cc_mix", ["benchmarks/cc_log_ab.py"], 7200),
+    # lane-packed 2D halo kernel overhead bound (space=1, late round 4)
+    ("halo_packed", ["benchmarks/halo_ab.py"], 5400),
 ]
 
 

@@ -74,6 +74,9 @@ def main():
     print("devices:", jax.devices(), flush=True)
     bench("2d_256", (256, 256), 16, n_sweeps)
     bench("3d_16", (16, 16, 16), 16, n_sweeps)
+    # lane-packed narrow lattice: halo arm = packed halo kernel (k=2),
+    # direct arm = the unsharded lane-packed kernel
+    bench("2d_64_packed", (256, 64), 16, n_sweeps)
 
 
 if __name__ == "__main__":
