@@ -60,6 +60,13 @@ JOBS = [
     ("cc_mix", ["benchmarks/cc_log_ab.py"], 7200),
     # lane-packed 2D halo kernel overhead bound (space=1, late round 4)
     ("halo_packed", ["benchmarks/halo_ab.py"], 5400),
+    # BCC/FCC sweep kernels (late round 4): A/B vs the jnp roll path +
+    # Binder re-validation through the kernel at the L=8 sizes
+    ("diag", ["benchmarks/diag_ab.py"], 5400),
+    ("binder_bcc", ["tests/binder_crossings.py", "--quick", "--only",
+                    "bcc"], 7200),
+    ("binder_fcc", ["tests/binder_crossings.py", "--quick", "--only",
+                    "fcc"], 7200),
 ]
 
 

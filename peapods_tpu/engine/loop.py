@@ -42,6 +42,7 @@ from ..ops.measure import overlap_dots, per_slot_values, slot_temps_for_systems
 from ..ops.sweep import mc_sweep
 from ..ops import pallas_sweep
 from ..ops import pallas_sweep3d
+from ..ops import pallas_sweep_diag
 from ..ops import pallas_sweep_tri
 from ..ops import pallas_mega
 from ..ops import pallas_megapair
@@ -138,6 +139,8 @@ class Runtime:
     use_pallas: bool = False  # wide-lattice direct kernel
     tri: bool = False  # triangular-lattice direct kernel
     tri_pack: int = 0  # triangular lane-packing factor (0 = off)
+    diag: int = 0  # BCC/FCC kernel lane-pack factor kp (0 = off)
+    diag_kind: str = ""  # "bcc" / "fcc" when diag is active
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     halo2d: bool = False  # space-mesh halo-exchange 2D kernel
     halo2d_k: int = 0  # lane-packed (W < 128) 2D halo kernel factor (0=off)
@@ -182,6 +185,18 @@ class Runtime:
             else 0
         )
         kernel3d = pallas_sweep3d.pack_factor_3d(lattice, n_systems) if on_device else 0
+        diag_kind = (
+            (pallas_sweep_diag.diag_kind(lattice) or "")
+            if (on_device and os.environ.get("PEAPODS_DISABLE_DIAG") != "1")
+            else ""
+        )
+        diag = (
+            pallas_sweep_diag.pack_factor_diag(lattice, n_systems)
+            if diag_kind
+            else 0
+        )
+        if not diag:
+            diag_kind = ""
         from ..utils.log import log_once
 
         halo2d = False
@@ -222,7 +237,8 @@ class Runtime:
                 not halo2d
                 and not halo2d_k
                 and not halo3d
-                and (use_pallas or pack_k or kernel3d or tri or tri_pack)
+                and (use_pallas or pack_k or kernel3d or tri or tri_pack
+                     or diag)
             ):
                 log_once(
                     "'space' mesh axis: falling back to the jnp sweep path "
@@ -233,12 +249,15 @@ class Runtime:
             kernel3d = 0
             tri = False
             tri_pack = 0
+            diag = 0
+            diag_kind = ""
         if mesh is not None and "systems" in mesh.axis_names:
             # systems-sharded mesh: the kernel batch axis must split evenly
             # across the mesh axis (and pack groups must stay shard-local)
             sys_ax = mesh.shape["systems"]
             if n_systems % sys_ax:
-                if use_pallas or pack_k or kernel3d or tri or tri_pack:
+                if (use_pallas or pack_k or kernel3d or tri or tri_pack
+                        or diag):
                     log_once(
                         f"n_systems={n_systems} does not divide over the "
                         f"{sys_ax}-way 'systems' mesh axis: falling back to "
@@ -249,6 +268,8 @@ class Runtime:
                 kernel3d = 0
                 tri = False
                 tri_pack = 0
+                diag = 0
+                diag_kind = ""
             else:
                 if pack_k and (n_systems // sys_ax) % pack_k:
                     log_once(
@@ -271,6 +292,14 @@ class Runtime:
                         "falling back to the jnp sweep path"
                     )
                     kernel3d = 0
+                if diag and (n_systems // sys_ax) % diag:
+                    log_once(
+                        f"BCC/FCC lane-pack factor {diag} does not divide "
+                        f"the per-shard system count {n_systems // sys_ax}: "
+                        "falling back to the jnp sweep path"
+                    )
+                    diag = 0
+                    diag_kind = ""
         # sublane packing: stack ks systems per 3D kernel instance (fewer,
         # fatter grid steps — small lattices are otherwise pipeline-bound);
         # shard-local system counts must stay divisible
@@ -320,6 +349,12 @@ class Runtime:
                     c, tuple(lattice.shape), kernel3d, k3_rows
                 )
             )(coup)
+        elif diag:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep_diag.pack_coupling_grids_diag(
+                    c, tuple(lattice.shape), diag_kind, diag
+                )
+            )(coup)
         else:
             jgrids = None
         return cls(
@@ -327,6 +362,8 @@ class Runtime:
             use_pallas=use_pallas,
             tri=tri,
             tri_pack=tri_pack,
+            diag=diag,
+            diag_kind=diag_kind,
             pallas_ok=on_device,
             halo2d=halo2d,
             halo2d_k=halo2d_k,
@@ -492,9 +529,13 @@ class LoopProgram:
             // (rt.kernel3d * rt.kernel3d_rows)
             <= 8
         )
+        fuse_diag = (
+            rt.diag > 0
+            and (rt.n_systems // sys_shards) // rt.diag <= 8
+        )
         self.fuse_measure = (
             (
-                rt.use_pallas or rt.tri or fuse_3d or rt.halo2d
+                rt.use_pallas or rt.tri or fuse_3d or fuse_diag or rt.halo2d
                 or bool(rt.halo2d_k) or bool(rt.halo3d)
             )
             and (c is None or c.action == "observe")
@@ -805,6 +846,8 @@ class LoopProgram:
             sweep = f"pallas-tri-packed(k={rt.tri_pack})"
         elif rt.kernel3d:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
+        elif rt.diag:
+            sweep = f"pallas-{rt.diag_kind}(kp={rt.diag})"
         elif rt.halo2d:
             sweep = "pallas-2d-halo"
         elif rt.halo2d_k:
@@ -1066,6 +1109,22 @@ class LoopProgram:
                 return fn(
                     sp, jg, st, sd, shape=tuple(rt.lattice.shape),
                     kp=rt.kernel3d, ks=rt.kernel3d_rows, gibbs=gibbs,
+                    interpret=interpret,
+                )
+
+            n_out = 3 if self.fuse_measure else 1
+        elif rt.diag:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.diag)
+            diag_fn = (
+                pallas_sweep_diag.sweep_diag_fused
+                if self.fuse_measure
+                else pallas_sweep_diag.sweep_diag
+            )
+
+            def call(sp, jg, st, sd):
+                return diag_fn(
+                    sp, jg, st, sd, shape=tuple(rt.lattice.shape),
+                    kind=rt.diag_kind, kp=rt.diag, gibbs=gibbs,
                     interpret=interpret,
                 )
 
@@ -2143,7 +2202,8 @@ class LoopProgram:
             fused_em = None
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
-            if rt.use_pallas or rt.pack_k or rt.kernel3d or rt.tri or rt.tri_pack:
+            if (rt.use_pallas or rt.pack_k or rt.kernel3d or rt.tri
+                    or rt.tri_pack or rt.diag):
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             elif rt.halo2d or rt.halo2d_k:
                 spins, fused_em = self._sweep_phase_halo(spins, sid, keys)

@@ -1,0 +1,380 @@
+"""Pallas TPU kernel: fused multicolor Metropolis/Gibbs sweep, BCC/FCC lattices.
+
+The reference runs every named geometry through the same flat
+neighbor-table sweep at native speed (``/root/reference/spin-sim/src/mcmc/
+sweep.rs:51-97`` with the BCC/FCC offsets from ``geometry/offsets.rs:
+4-20``); this module closes the last geometries without a TPU kernel the
+same way :mod:`.pallas_sweep_tri` closed triangular: the 3D packed-tile
+layout of :mod:`.pallas_sweep3d` (``[L0, kp*L1*L2]`` — i on sublanes, the
+(j, k) plane j-major on lanes, kp systems lane-packed) with each DIAGONAL
+forward offset composed from the existing seam-corrected axis shifts.
+
+Offsets (cubic coordinates; see ``ops/lattice.py GEOMETRY_OFFSETS``):
+
+    BCC: (1,1,1) (1,1,-1) (1,-1,1) (1,-1,-1)     -> 8 neighbors
+    FCC: (1,1,0) (1,0,1) (0,1,1) (1,-1,0) (1,0,-1) (0,1,-1) -> 12
+
+Coloring: every BCC offset flips i-parity and nothing else reaches inside
+an i-plane, so the greedy coloring is ``color = i % 2`` (2 colors);
+every FCC offset flips i-parity or j-parity, giving
+``color = 2*(i % 2) + j % 2`` (4 colors).  Both formulas are asserted
+against the lattice's actual greedy coloring (a lattice that deviates —
+odd extents — simply skips this kernel), so the site schedule matches
+:func:`peapods_tpu.ops.sweep.mc_sweep` exactly: one masked pass per color
+with a fresh uniform grid each pass, lazy-Metropolis/Gibbs acceptance.
+
+Couplings arrive as ``2 * n_nb`` pre-shifted grids — for each forward
+offset ``o_d``: ``g[2d][p] = J_d[p - o_d]`` (the bond arriving from the
+backward neighbor) and ``g[2d+1][p] = J_d[p]`` (the own forward bond) — so
+the field is pure elementwise work against the composed-shift neighbor
+values, and the fused post-sweep energy sums each forward bond once at its
+owner site.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import METROPOLIS_LAZINESS
+from .pallas_sweep import _hw_uniform, _interp, _seed_prng
+from .pallas_sweep3d import (
+    _lane_shift_fns,
+    _packed_inv_half_t,
+    _per_system_sums,
+    pack_rows_3d,
+    unpack_rows_3d,
+)
+
+__all__ = [
+    "diag_kind",
+    "pack_factor_diag",
+    "pack_coupling_grids_diag",
+    "sweep_diag",
+    "sweep_diag_fused",
+    "sweep_diag_injected",
+    "N_COLORS_DIAG",
+]
+
+_BCC = np.array([[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]])
+_FCC = np.array(
+    [[1, 1, 0], [1, 0, 1], [0, 1, 1], [1, -1, 0], [1, 0, -1], [0, 1, -1]]
+)
+N_COLORS_DIAG = {"bcc": 2, "fcc": 4}
+_OFFSETS = {"bcc": _BCC, "fcc": _FCC}
+
+
+def _color_formula(kind, shape):
+    i, j, _k = np.indices(shape)
+    if kind == "bcc":
+        return (i % 2).astype(np.int32)
+    return (2 * (i % 2) + j % 2).astype(np.int32)
+
+
+def diag_kind(lattice):
+    """``"bcc"`` / ``"fcc"`` when this kernel family serves the lattice
+    (3D, matching named offsets, 8-divisible L0, and a greedy coloring
+    equal to the periodic formula the kernel rebuilds from iotas), else
+    ``None``."""
+    if lattice.n_dims != 3 or lattice.shape[0] % 8:
+        return None
+    for kind, offs in _OFFSETS.items():
+        if lattice.offsets.shape == offs.shape and np.array_equal(
+            lattice.offsets, offs
+        ):
+            break
+    else:
+        return None
+    if lattice.n_colors != N_COLORS_DIAG[kind]:
+        return None
+    formula = _color_formula(kind, tuple(lattice.shape))
+    if not np.array_equal(lattice.colors.reshape(lattice.shape), formula):
+        return None
+    return kind
+
+
+def pack_factor_diag(lattice, n_systems) -> int:
+    """Lane-pack factor kp >= 1 (0 = kernel unsupported); the
+    :func:`.pallas_sweep3d.pack_factor_3d` rules on the BCC/FCC offsets."""
+    if diag_kind(lattice) is None:
+        return 0
+    block = lattice.shape[1] * lattice.shape[2]
+    if block < 8:
+        return 0
+    kp = 128 // math.gcd(128, block)
+    return kp if n_systems % kp == 0 else 0
+
+
+def pack_coupling_grids_diag(coup_fwd, shape, kind, kp):
+    """``f32 [2*n_nb, L0, kp*L1*L2]`` pre-shifted coupling grids.
+
+    ``g[2d][p] = J_d[p - o_d]`` (arriving bond), ``g[2d+1][p] = J_d[p]``
+    (own forward bond); lane-packed systems of one realization share the
+    couplings, so the grids tile along the lane axis.
+    """
+    l0, l1, l2 = shape
+    offs = _OFFSETS[kind]
+    grids = []
+    for d in range(offs.shape[0]):
+        jd = coup_fwd[:, d].reshape(l0, l1, l2)
+        bwd = jnp.roll(jd, tuple(int(x) for x in offs[d]), axis=(0, 1, 2))
+        grids.append(bwd.reshape(l0, l1 * l2))
+        grids.append(jd.reshape(l0, l1 * l2))
+    return jnp.tile(jnp.stack(grids), (1, 1, kp))
+
+
+def _neighbor_fns(l0, l1, l2, col, block, kind):
+    """Per-offset (fwd, bwd) neighbor-value closures on the packed tile,
+    composed from the seam-corrected axis shifts."""
+    (jm, jp, km, kp_), _ = _lane_shift_fns(col, block, l1, l2)
+
+    def im(x):  # x[i-1, ...]
+        return pltpu.roll(x, 1, 0)
+
+    def ip(x):  # x[i+1, ...]
+        return pltpu.roll(x, l0 - 1, 0)
+
+    ident = lambda x: x
+    i_step = {-1: im, 0: ident, 1: ip}
+    j_step = {-1: jm, 0: ident, 1: jp}
+    k_step = {-1: km, 0: ident, 1: kp_}
+
+    fns = []
+    for di, dj, dk in _OFFSETS[kind]:
+        def make(di=di, dj=dj, dk=dk):
+            def fwd(x):  # value at p + o
+                return i_step[di](j_step[dj](k_step[dk](x)))
+
+            def bwd(x):  # value at p - o
+                return i_step[-di](j_step[-dj](k_step[-dk](x)))
+
+            return fwd, bwd
+
+        fns.append(make())
+    return fns
+
+
+def _body_diag(s, jg, inv_half_t, uniform_for_color, *, gibbs, kind, l0, l1,
+               l2, with_energy=False):
+    """Multicolor update of one ``[L0, kp*L1*L2]`` tile.
+
+    ``with_energy=True`` additionally returns the per-site positive
+    forward-bond energy contributions of the post-sweep state (each
+    forward bond counted once at its owner site), which the caller
+    reduces per packed system.
+    """
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    rows, lanes = s.shape
+    block = l1 * l2
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    cb = col % block
+    j_coord = cb // l2
+    if kind == "bcc":
+        color = row & 1
+    else:
+        color = 2 * (row & 1) + (j_coord & 1)
+    fns = _neighbor_fns(l0, l1, l2, col, block, kind)
+
+    for c in range(N_COLORS_DIAG[kind]):
+        field = jnp.zeros_like(s)
+        for d, (fwd, bwd) in enumerate(fns):
+            field = field + bwd(s) * jg[2 * d] + fwd(s) * jg[2 * d + 1]
+        x = -s * field * inv_half_t
+        u = uniform_for_color(c)
+        if gibbs:
+            p = jax.nn.sigmoid(x)
+        else:
+            p = keep * jnp.exp(jnp.minimum(x, 0.0))
+        flip = (u < p) & (color == c)
+        s = jnp.where(flip, -s, s)
+    if with_energy:
+        e_site = jnp.zeros_like(s)
+        for d, (fwd, _bwd) in enumerate(fns):
+            e_site = e_site + fwd(s) * jg[2 * d + 1]
+        return s, s * e_site
+    return s
+
+
+def _kernel_diag(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
+                 gibbs, kind, l0, l1, l2, kp):
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    _seed_prng(seed_ref, d_idx, grp)
+    s = spins_ref[0, 0].astype(jnp.float32)
+    rows, lanes = s.shape
+    block = l1 * l2
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[d_idx, grp * kp + c],
+        rows, lanes, l0, block, kp, 1,
+    )
+    out_ref[0, 0] = _body_diag(
+        s, jgrids_ref[0], inv_half_t, lambda c: _hw_uniform(s.shape),
+        gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2,
+    ).astype(jnp.int8)
+
+
+def _kernel_diag_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref,
+                       e_ref, m_ref, *, gibbs, kind, l0, l1, l2, kp,
+                       n_spins):
+    """Sweep + fused per-system energy/magnetization (same contract as the
+    other fused sweep kernels: no cluster update between sweep and
+    measurement)."""
+    d_idx = pl.program_id(0)
+    grp = pl.program_id(1)
+    _seed_prng(seed_ref, d_idx, grp)
+    s = spins_ref[0, 0].astype(jnp.float32)
+    rows, lanes = s.shape
+    block = l1 * l2
+    inv_half_t = _packed_inv_half_t(
+        lambda c: temp_ref[d_idx, grp * kp + c],
+        rows, lanes, l0, block, kp, 1,
+    )
+    s, e_site = _body_diag(
+        s, jgrids_ref[0], inv_half_t, lambda c: _hw_uniform(s.shape),
+        gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2, with_energy=True,
+    )
+    out_ref[0, 0] = s.astype(jnp.int8)
+    e_sys = _per_system_sums(e_site, l0, block, kp, 1)
+    m_sys = _per_system_sums(s, l0, block, kp, 1)
+    for c in range(kp):
+        e_ref[d_idx, grp * kp + c] = e_sys[c] / np.float32(n_spins)
+        m_ref[d_idx, grp * kp + c] = m_sys[c].astype(jnp.int32)
+
+
+def _diag_call(kernel, spins, jgrids, sys_temps, seeds, shape, kp,
+               extra_out=(), interpret=False):
+    l0, l1, l2 = shape
+    block = l1 * l2
+    lanes = kp * block
+    n_d, n_systems = spins.shape[:2]
+    g = n_systems // kp
+    n_grids = jgrids.shape[1]
+    packed = jax.vmap(lambda s: pack_rows_3d(s, l0, block, kp, 1))(spins)
+    out_specs = pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_d, g, l0, lanes), jnp.int8)
+    if extra_out:
+        out_specs = (out_specs,) + tuple(
+            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in extra_out
+        )
+        out_shape = (out_shape,) + tuple(extra_out)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_d, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_grids, l0, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, packed, jgrids)
+    unpack = lambda o: jax.vmap(
+        lambda x: unpack_rows_3d(x, l0, block, kp, 1)
+    )(o)
+    if extra_out:
+        return (unpack(out[0]),) + tuple(out[1:])
+    return unpack(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "kind", "kp", "gibbs", "interpret")
+)
+def sweep_diag(spins, jgrids, sys_temps, seeds, *, shape, kind, kp,
+               gibbs=False, interpret=False):
+    """Full multicolor BCC/FCC sweep of every (realization, system).
+
+    Args:
+        spins: ``int8 [n_disorder, n_systems, n_spins]`` (n_systems % kp
+            == 0).
+        jgrids: ``f32 [n_disorder, 2*n_nb, L0, kp*L1*L2]``
+            (:func:`pack_coupling_grids_diag`).
+        sys_temps: ``f32 [n_disorder, n_systems]``.
+        seeds: ``int32 [n_disorder, 2*n_groups]``
+            (:func:`.pallas_sweep.make_seeds`).
+        shape: static ``(L0, L1, L2)``; kind: ``"bcc"`` / ``"fcc"``.
+    """
+    l0, l1, l2 = shape
+    kernel = functools.partial(
+        _kernel_diag, gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2, kp=kp
+    )
+    return _diag_call(kernel, spins, jgrids, sys_temps, seeds, shape, kp,
+                      interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "kind", "kp", "gibbs", "interpret")
+)
+def sweep_diag_fused(spins, jgrids, sys_temps, seeds, *, shape, kind, kp,
+                     gibbs=False, interpret=False):
+    """Sweep + measurement in one kernel; returns ``(spins, e, m)`` like
+    the other fused sweep kernels (e normalized per spin)."""
+    l0, l1, l2 = shape
+    n_d, n_systems = spins.shape[:2]
+    kernel = functools.partial(
+        _kernel_diag_fused, gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2,
+        kp=kp, n_spins=l0 * l1 * l2,
+    )
+    extra = (
+        jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
+        jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
+    )
+    return _diag_call(kernel, spins, jgrids, sys_temps, seeds, shape, kp,
+                      extra_out=extra, interpret=interpret)
+
+
+def sweep_diag_injected(spins, jgrids, sys_temps, uniforms, *, shape, kind,
+                        kp, gibbs=False, interpret=False):
+    """Test-only variant with caller-supplied uniforms (``f32 [g, n_colors,
+    L0, kp*block]`` packed like the spins); single realization."""
+    l0, l1, l2 = shape
+    block = l1 * l2
+    lanes = kp * block
+    n_systems = spins.shape[0]
+    g = n_systems // kp
+    n_colors = N_COLORS_DIAG[kind]
+    n_grids = jgrids.shape[0]
+
+    def kernel(temp_ref, spins_ref, jg_ref, u_ref, out_ref):
+        grp = pl.program_id(1)
+        s = spins_ref[0, 0].astype(jnp.float32)
+        inv_half_t = _packed_inv_half_t(
+            lambda c: temp_ref[0, grp * kp + c],
+            l0, lanes, l0, block, kp, 1,
+        )
+        out_ref[0, 0] = _body_diag(
+            s, jg_ref[0], inv_half_t, lambda c: u_ref[0, 0, c],
+            gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2,
+        ).astype(jnp.int8)
+
+    packed = pack_rows_3d(spins, l0, block, kp, 1)[None]
+    band = pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band,
+            pl.BlockSpec((1, n_grids, l0, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_colors, l0, lanes),
+                         lambda d, i: (d, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((1, g, l0, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(sys_temps[None], packed, jgrids[None], uniforms[None])
+    return unpack_rows_3d(out[0], l0, block, kp, 1)
