@@ -492,3 +492,30 @@ def test_disorder_by_space_mesh_halo3d(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("kind", ["bcc", "fcc"])
+def test_diag_kernel_under_disorder_mesh(monkeypatch, kind):
+    """BCC/FCC sweep kernels under a disorder mesh: sharded == unsharded
+    bitwise (the kernel rides the generic shard_map wrap like the other
+    packed sweep kernels)."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+    from peapods_tpu.ops.lattice import GEOMETRY_OFFSETS
+
+    offs = GEOMETRY_OFFSETS[kind]
+    rng = np.random.default_rng(13)
+    coup = rng.choice(np.float32([-1, 1]), size=(4, 8, 8, 8, len(offs)))
+    temps = np.geomspace(2.0, 8.0, 2).astype(np.float32)
+
+    runs = []
+    for mesh in (make_mesh(4), None):
+        sim = IsingSimulation([8, 8, 8], coup, temps, 1, offs, 7,
+                              default_chunk=4, mesh=mesh)
+        r = sim.sample(4, "metropolis", pt_interval=2, warmup_ratio=0)
+        assert sim.rt.diag == 2 and sim.rt.diag_kind == kind
+        runs.append((np.asarray(sim.state["spins"]), np.asarray(r["mags2"])))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
