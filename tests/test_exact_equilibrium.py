@@ -122,3 +122,46 @@ def test_overlap_moves_preserve_equilibrium(build, cmode):
     )
     assert abs(m.energies_avg[0] - e_exact) < 0.05, (build, cmode)
     assert abs(m.overlap2[0] - q2_exact) < 0.05, (build, cmode)
+
+
+def _enumerate_lattice(shape, geometry):
+    """Exact (E, M) over all states of a tiny named-geometry ferromagnet,
+    built from the Lattice's own forward-neighbor tables so wrap-induced
+    double bonds (extent-2 dims under diagonal offsets) are mirrored
+    exactly."""
+    from peapods_tpu.ops.lattice import GEOMETRY_OFFSETS, Lattice
+
+    lat = Lattice(list(shape), GEOMETRY_OFFSETS[geometry])
+    n = lat.n_spins
+    assert n <= 16
+    states = (((np.arange(2**n)[:, None] >> np.arange(n)[None, :]) & 1) * 2 - 1)
+    bi = np.repeat(np.arange(n), lat.n_neighbors)
+    bj = lat.fwd.reshape(-1)
+    E = (states[:, bi] * states[:, bj]).sum(1).astype(np.float64)
+    M = states.sum(1).astype(np.float64)
+    return E, M, n
+
+
+@pytest.mark.parametrize(
+    "geometry,kw",
+    [
+        ("bcc", {}),
+        ("bcc", dict(cluster_update_interval=1, cluster_mode="sw")),
+        ("fcc", {}),
+    ],
+    ids=["bcc-metropolis", "bcc-sw", "fcc-metropolis"],
+)
+def test_diagonal_geometry_exact(geometry, kw):
+    """2x2x4 BCC / FCC ferromagnet vs full enumeration — pins the diagonal
+    offset geometry semantics (neighbor tables, wrap double-bonds) that the
+    Binder crossings only test statistically.  The BCC/FCC Pallas kernels
+    are bitwise the jnp path under shared uniforms
+    (tests/test_pallas_sweep_diag.py), so this oracle covers them too."""
+    E, M, n = _enumerate_lattice((2, 2, 4), geometry)
+    T = 4.0 if geometry == "bcc" else 5.0
+    e_ex, m2_ex = exact_em(E, M, T, n=n)
+    m = Ising((2, 2, 4), geometry=geometry,
+              temperatures=np.array([T], dtype=np.float32), seed=11)
+    m.sample(8000, warmup_ratio=0.25, **kw)
+    assert abs(m.energies_avg[0] - e_ex) < 0.05
+    assert abs(m.mags2[0] - m2_ex) < 0.06
