@@ -661,9 +661,12 @@ def _mp_kernel(
         # permutation (positions (2p, 2p+1) are the static partner layout),
         # the move runs on resident tiles, and the inverse permutation
         # restores replica order.  Mode selection is maskless control flow:
-        # every mode body always runs (uniform draw streams) and only the
-        # selected mode's flips apply — no lax.cond around the CC
-        # while_loops.
+        # every mode body always runs its elementwise work (so the uniform
+        # draw streams are identical whichever mode is selected) and only
+        # the selected mode's flips apply — no lax.cond around the CC
+        # while_loops.  The expensive part IS gated: each mode's CC
+        # while_loop seeds its continue flag with the mode-select scalar,
+        # so an unselected mode's fixed point runs zero rounds (see ev_cc).
         if ev_kinds:
             b_local_g = (
                 jax.lax.rem(row_g, np.int32(rows)) // np.int32(l0)
@@ -750,9 +753,17 @@ def _mp_kernel(
                         )
                 return st
 
-            def ev_cc(bonds, seed_tile):
+            def ev_cc(bonds, seed_tile, gate):
                 """Min-label fixed point over the even pair regions (rolls
-                are region-confined by the seam-corrected shift helpers)."""
+                are region-confined by the seam-corrected shift helpers).
+
+                ``gate`` (scalar bool: this mode is the round-robin
+                selection) seeds the while_loop's continue flag, so an
+                UNSELECTED mode's fixed point starts converged and its body
+                never runs — the mode's uniform draws (which precede CC)
+                still happen, keeping every draw stream identical, and its
+                labels feed only flips that ``ev_apply`` nulls, so the
+                selected trajectory is bitwise unchanged."""
                 ab = [shift_mask(ev_bwd[d], bonds[d]) for d in range(n_dims)]
                 if seed_tile is None:
                     init = local_site
@@ -778,7 +789,7 @@ def _mp_kernel(
                     return new, jnp.any(new != lab)
 
                 labels, _ = jax.lax.while_loop(
-                    lambda c: c[1], cc_body, (init, jnp.bool_(True))
+                    lambda c: c[1], cc_body, (init, gate)
                 )
                 return labels
 
@@ -856,10 +867,10 @@ def _mp_kernel(
                     for d in range(n_dims)
                 ]
                 if ev_wolff:
-                    labels = ev_cc(bonds, wolff_seed_tile(g0, active))
+                    labels = ev_cc(bonds, wolff_seed_tile(g0, active), gate)
                     flip = labels == -1
                 else:
-                    labels = ev_cc(bonds, None)
+                    labels = ev_cc(bonds, None, gate)
                     coin = _salted_uniform_i32(
                         labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
                     ) < 0.5
@@ -885,10 +896,10 @@ def _mp_kernel(
                         & shift_mask(ev_fwd[d], active)
                     )
                 if ev_wolff:
-                    labels = ev_cc(bonds, wolff_seed_tile(g0, active))
+                    labels = ev_cc(bonds, wolff_seed_tile(g0, active), gate)
                     flip = labels == -1
                 else:
-                    labels = ev_cc(bonds, None)
+                    labels = ev_cc(bonds, None, gate)
                     coin = _salted_uniform_i32(
                         labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
                     ) < 0.5
@@ -920,10 +931,10 @@ def _mp_kernel(
                 ]
                 seed_tile = pbcast(g0, _EV_SEED) if ev_wolff else None
                 if ev_wolff:
-                    blue_labels = ev_cc(blue, seed_tile)
+                    blue_labels = ev_cc(blue, seed_tile, gate)
                     bflip = (blue_labels == -1) & even_mask
                 else:
-                    blue_labels = ev_cc(blue, None)
+                    blue_labels = ev_cc(blue, None, gate)
                     coin = _salted_uniform_i32(
                         blue_labels, pbcast(g0, _EV_S0), pbcast(g0, _EV_S1)
                     ) < 0.5
@@ -943,13 +954,13 @@ def _mp_kernel(
                     for d in range(n_dims)
                 ]
                 if ev_wolff:
-                    grey_labels = ev_cc(grey, seed_tile)
+                    grey_labels = ev_cc(grey, seed_tile, gate)
                     in_grey = (grey_labels == -1) & even_mask
                     kq = pbcast(g0, _EV_K)
                     flip_a = in_grey & ((kq & 1) != 0)
                     flip_b = in_grey & ((kq & 2) != 0)
                 else:
-                    grey_labels = ev_cc(grey, None)
+                    grey_labels = ev_cc(grey, None, gate)
                     u = _salted_uniform_i32(
                         grey_labels, pbcast(g0, _EV_S2), pbcast(g0, _EV_S3)
                     )
