@@ -760,10 +760,14 @@ class LoopProgram:
         # even for the static partner layout.  OFF by default: the on-chip
         # interleaved A/B (benchmarks/mp_event_ab.py, 2026-08-19 window)
         # measured it 4% slower at config 4 (8^3) and 13% slower at config 5
-        # (16^3 full-ladder) than the interleaved fused-event path — the
-        # maskless all-mode-bodies-run design costs more than the dispatch
-        # glue it saves.  PEAPODS_MP_EVENT=1 opts in (kept for re-evaluation
-        # on future kernel changes; bitwise tests cover both paths).
+        # (16^3 full-ladder) than the interleaved fused-event path.  Gating
+        # unselected modes' CC fixed points (ev_cc gate) halved the config-5
+        # gap (re-measured 0.99x / 0.93x later the same window), but the
+        # remaining structural cost (per-mode elementwise bodies + the
+        # in-kernel permute/energy re-derivation) still loses to the
+        # interleaved path.  PEAPODS_MP_EVENT=1 opts in (kept for
+        # re-evaluation on future kernel changes; bitwise tests cover both
+        # paths).
         self.mp_event = (
             self.megapair
             and h is not None
