@@ -650,19 +650,47 @@ class LoopProgram:
             and _os.environ.get("PEAPODS_DISABLE_CCBATCH") != "1"
             and cc_mesh_ok
         )
-        if (
-            rt.pallas_ok
-            and pallas_cc_batch.supports_cc_batch(rt.lattice)
-            and not self.cc_batch
+        # Banded CC under a 'space' mesh: the graphs themselves are split
+        # across devices, so neither packed-tile kernel applies — but the
+        # jnp CC under GSPMD pays a halo collective per roll per propagation
+        # round.  connected_components_banded keeps the fixed point local
+        # and exchanges two halo label rows per outer round (bitwise the
+        # unsharded labeling; tests/test_cluster.py).  PEAPODS_CC_BAND=0
+        # reverts to the XLA-partitioned jnp path.
+        self.cc_band = (
+            rt.mesh is not None
+            and "space" in rt.mesh.axis_names
             and not self.cc_pallas
-            and not cc_mesh_ok
+            and not self.cc_batch
+            and (cfg.cluster_update is not None or h is not None)
+            and cl.banded_supports(rt.geom)
+            and _os.environ.get("PEAPODS_CC_BAND") != "0"
+        )
+        self._cc_band_b = (
+            int(
+                np.prod(
+                    [
+                        rt.mesh.shape[a]
+                        for a in ("disorder", "systems")
+                        if a in rt.mesh.axis_names
+                    ],
+                    dtype=np.int64,
+                )
+            )
+            if self.cc_band
+            else 1
+        )
+        if (
+            rt.mesh is not None
+            and "space" in rt.mesh.axis_names
+            and not self.cc_band
             and (cfg.cluster_update is not None or h is not None)
         ):
             from ..utils.log import log_once as _log_once
 
             _log_once(
                 "space-sharded mesh: cluster labeling uses the jnp CC path "
-                "(the batched CC kernel needs whole graphs per shard)"
+                "(banded CC disabled or geometry unsupported)"
             )
         n_mesh = 1 if rt.mesh is None else rt.mesh.devices.size
         self._ccb = (
@@ -874,7 +902,11 @@ class LoopProgram:
                 else (
                     f"pallas-batch(kp={self._ccb[0]},ks={self._ccb[1]})"
                     if self.cc_batch
-                    else "jnp"
+                    else (
+                        "jnp-banded"
+                        if getattr(self, "cc_band", False)
+                        else "jnp"
+                    )
                 )
             )
             if self.cc_log and (self.cc_pallas or self.cc_batch):
@@ -1270,6 +1302,27 @@ class LoopProgram:
                     call, mesh=mesh, in_specs=spec,
                     out_specs=spec, check_vma=False,
                 )
+            return call(active_flat)
+        mesh = rt.mesh
+        if (
+            getattr(self, "cc_band", False)
+            and active_flat.shape[0] % self._cc_band_b == 0
+        ):
+            from jax.sharding import PartitionSpec as P
+
+            batch = tuple(
+                a for a in ("disorder", "systems") if a in mesh.axis_names
+            )
+            call = jax.shard_map(
+                lambda a: cl.connected_components_banded(
+                    a, rt.geom, axis="space",
+                    sync_axes=tuple(mesh.axis_names),
+                ),
+                mesh=mesh,
+                in_specs=P(batch if batch else None, "space", None),
+                out_specs=P(batch if batch else None, "space"),
+                check_vma=False,
+            )
             return call(active_flat)
         return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(
             active_flat

@@ -37,7 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "banded_supports",
     "connected_components",
+    "connected_components_banded",
     "component_counts",
     "csd_histogram",
     "top4_sizes",
@@ -180,6 +182,169 @@ def connected_components(active_fwd, geom):
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
     return labels
+
+
+def banded_supports(geom) -> bool:
+    """The banded CC handles every offset whose dim-0 component is in
+    {-1, 0, 1} — true for all built-in geometries (square, triangular,
+    cubic, BCC, FCC): one halo row per side covers every seam read."""
+    return all(abs(o[0]) <= 1 for o in geom.offsets)
+
+
+def connected_components_banded(active_fwd, geom, *, axis="space",
+                                sync_axes=None):
+    """Exact CC labels on a lattice band-sharded along dim 0 (SPMD body —
+    call under ``jax.shard_map`` with dim 0 split over mesh axis ``axis``).
+
+    The reference never shards one lattice (its union-find is sequential,
+    clusters/utils.rs); under this framework's ``space`` mesh the plain
+    :func:`connected_components` is correct but lets GSPMD insert a halo
+    collective-permute for BOTH roll directions of EVERY offset in EVERY
+    propagation round (~4.n_neighbors collectives per 16-round check block).
+    This version keeps the fixed point local and exchanges exactly two halo
+    label rows per OUTER round:
+
+        outer round:  ppermute the band-edge label rows (2 collectives)
+                      -> local min-label fixed point with the halo rows
+                         held constant (seam reads use the halos)
+                      -> psum'd converged? (labels everywhere unchanged
+                         by a pass that started from fresh halos)
+
+    Every step is the plain propagation step evaluated on true bonds with
+    labels that were valid at an earlier time, so updates stay monotone
+    non-increasing and bounded by the true component minima — the outer
+    fixed point is exactly the unsharded labeling, bitwise (label values
+    are GLOBAL site indices; ``n_shards == 1`` degenerates to the plain
+    function).  Stale halos only delay propagation: a component spanning k
+    shards converges in <= k+1 outer rounds.
+
+    Args:
+        active_fwd: ``bool [B, n_local, n_neighbors]`` — this shard's row
+            band of forward-bond activations, flat local site axis.
+        geom: :class:`~peapods_tpu.ops.geometry.GridOps` of the GLOBAL
+            lattice (``geom.shape[0]`` must divide by the mesh axis size).
+        axis: mesh axis name the lattice's dim 0 is split over.
+        sync_axes: axis name(s) for the outer-loop convergence reduction.
+            MUST cover every axis of the enclosing mesh when it has more
+            than ``axis`` (e.g. ``("disorder", "space")``): independent
+            lattice rings otherwise disagree on outer-loop trip counts and
+            their collective-permutes deadlock the SPMD executor (observed
+            on the CPU backend's all-device rendezvous).  Converged rings
+            just idle through the extra rounds — labels are at their fixed
+            point, so nothing changes.  Defaults to ``axis``.
+
+    Returns:
+        ``int32 [B, n_local]`` global min-site-index component labels.
+    """
+    shape = geom.shape
+    rest = shape[1:]
+    rest_n = int(np.prod(rest, dtype=np.int64)) if rest else 1
+    n_batch, n_local, n_nb = active_fwd.shape
+    hl = n_local // rest_n
+    ns = shape[0] // hl
+    idx = jax.lax.axis_index(axis).astype(jnp.int32)
+    big = jnp.int32(geom.n_spins)
+    nxt_perm = [((j + 1) % ns, j) for j in range(ns)]  # receive next's row 0
+    prv_perm = [((j - 1) % ns, j) for j in range(ns)]  # receive prev's last
+
+    band = (hl,) + tuple(rest)
+
+    def broll(x, shifts):
+        """Local circular shift of a band grid ``[B, b0, *rest]`` (b0 is hl
+        for fields, 1 for halo rows — the modulo drops no-op axes either
+        way; dim-0 crossings are the callers' seam overwrites)."""
+        axes, sh = [], []
+        for a, s in enumerate(shifts):
+            if s % x.shape[1 + a] != 0:
+                axes.append(1 + a)
+                sh.append(s)
+        return jnp.roll(x, sh, axis=tuple(axes)) if axes else x
+
+    def read_fwd(x, d, hx_next, hx_prev):
+        """``y[i] = x[i + offsets[d]]`` on the band, seam rows from halos."""
+        o = geom.offsets[d]
+        y = broll(x, [-oi for oi in o])
+        if o[0] == 0:
+            return y
+        orest = [-oi for oi in o[1:]]
+        if o[0] == 1:
+            return jnp.concatenate(
+                [y[:, : hl - 1], broll(hx_next, [0] + orest)], axis=1
+            )
+        return jnp.concatenate(
+            [broll(hx_prev, [0] + orest), y[:, 1:]], axis=1
+        )
+
+    def read_bwd(x, d, hx_next, hx_prev):
+        """``y[i] = x[i - offsets[d]]`` on the band, seam rows from halos."""
+        o = geom.offsets[d]
+        y = broll(x, list(o))
+        if o[0] == 0:
+            return y
+        orest = [0] + list(o[1:])
+        if o[0] == 1:
+            return jnp.concatenate(
+                [broll(hx_prev, orest), y[:, 1:]], axis=1
+            )
+        return jnp.concatenate(
+            [y[:, : hl - 1], broll(hx_next, orest)], axis=1
+        )
+
+    def halos(xg):
+        return (
+            jax.lax.ppermute(xg[:, :1], axis, nxt_perm),
+            jax.lax.ppermute(xg[:, hl - 1 : hl], axis, prv_perm),
+        )
+
+    # Bond masks are CC-constant: one halo exchange for all directions.
+    ag = active_fwd.reshape((n_batch,) + band + (n_nb,))
+    am_next, am_prev = halos(ag)
+    af = [ag[..., d] for d in range(n_nb)]
+    ab = [
+        read_bwd(af[d], d, am_next[..., d], am_prev[..., d])
+        for d in range(n_nb)
+    ]
+
+    init = (
+        jnp.arange(n_local, dtype=jnp.int32) + idx * jnp.int32(hl * rest_n)
+    ).reshape((1,) + band)
+    init = jnp.broadcast_to(init, (n_batch,) + band)
+
+    def propagate(lab, hl_next, hl_prev):
+        new = lab
+        for d in range(n_nb):
+            lf = jnp.where(af[d], read_fwd(lab, d, hl_next, hl_prev), big)
+            lb = jnp.where(ab[d], read_bwd(lab, d, hl_next, hl_prev), big)
+            new = jnp.minimum(new, jnp.minimum(lf, lb))
+        return new
+
+    def outer_body(carry):
+        lab, _ = carry
+        hl_next, hl_prev = halos(lab)
+
+        def inner_body(c):
+            l, _ = c
+            new = l
+            for _ in range(16):
+                new = propagate(new, hl_next, hl_prev)
+            return new, jnp.any(new != l)
+
+        new, _ = jax.lax.while_loop(
+            lambda c: c[1], inner_body, (lab, jnp.array(True))
+        )
+        changed = (
+            jax.lax.psum(
+                jnp.any(new != lab).astype(jnp.int32),
+                axis if sync_axes is None else sync_axes,
+            )
+            > 0
+        )
+        return new, changed
+
+    labels, _ = jax.lax.while_loop(
+        lambda c: c[1], outer_body, (init, jnp.array(True))
+    )
+    return labels.reshape(n_batch, n_local)
 
 
 def component_counts(labels):

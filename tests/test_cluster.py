@@ -121,3 +121,71 @@ def test_find_seed_masks_off_when_no_eligible_site():
     assert not bool(found)
     seed, found = cl.find_seed(key, jnp.ones(32, bool))
     assert bool(found)
+
+
+def test_connected_components_banded_matches_unsharded():
+    """Banded CC (space-mesh shard_map body: local fixed point + two halo
+    label rows per outer round) is bitwise the plain labeling on every
+    geometry, including hl=1 bands (BCC on 8 shards) where every row is a
+    seam row."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import PartitionSpec as P
+
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ([16, 16], None, 4),
+        ([8, 8], [[1, 0], [0, 1], [1, -1]], 4),
+        ([8, 8, 8], None, 2),
+        ([8, 8, 8], [[1, 1, 0], [1, 0, 1], [0, 1, 1],
+                     [1, -1, 0], [1, 0, -1], [0, 1, -1]], 4),
+        ([8, 8, 8], [[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]], 8),
+    ]
+    for shape, offsets, ns in cases:
+        lat = Lattice(shape, offsets)
+        geom = GridOps.from_lattice(lat)
+        assert cl.banded_supports(geom)
+        mesh = make_mesh(ns, ("space",))
+        call = jax.shard_map(
+            lambda a: cl.connected_components_banded(a, geom, axis="space"),
+            mesh=mesh, in_specs=P(None, "space", None),
+            out_specs=P(None, "space"), check_vma=False,
+        )
+        if ns <= 4:
+            # disorder x space: independent lattice rings per disorder row
+            # MUST sync the outer loop over the whole mesh, or differing
+            # trip counts deadlock the collective rendezvous (sync_axes).
+            mesh2 = make_mesh(2 * ns, ("disorder", "space"))
+            call2 = jax.shard_map(
+                lambda a: cl.connected_components_banded(
+                    a, geom, axis="space", sync_axes=("disorder", "space"),
+                ),
+                mesh=mesh2, in_specs=P("disorder", "space", None),
+                out_specs=P("disorder", "space"), check_vma=False,
+            )
+            active2 = jnp.asarray(
+                rng.random((4, lat.n_spins, lat.n_neighbors)) < 0.5
+            )
+            ref2 = jax.vmap(lambda a: cl.connected_components(a, geom))(
+                active2
+            )
+            np.testing.assert_array_equal(
+                np.asarray(call2(active2)), np.asarray(ref2),
+                err_msg=f"shape={shape} disorder-x-space ns={ns}",
+            )
+        for p in (0.15, 0.5, 0.9):
+            active = jnp.asarray(
+                rng.random((3, lat.n_spins, lat.n_neighbors)) < p
+            )
+            ref = jax.vmap(lambda a: cl.connected_components(a, geom))(
+                active
+            )
+            np.testing.assert_array_equal(
+                np.asarray(call(active)), np.asarray(ref),
+                err_msg=f"shape={shape} ns={ns} p={p}",
+            )
