@@ -664,6 +664,11 @@ class LoopProgram:
             and not self.cc_batch
             and (cfg.cluster_update is not None or h is not None)
             and cl.banded_supports(rt.geom)
+            # whole-row bands only: shard_map splits dim 0 of the grid, and
+            # connected_components_banded reshapes each shard to full rows —
+            # non-divisible extents must keep the GSPMD jnp path (which
+            # tolerates uneven sharding) rather than fail at trace time.
+            and rt.lattice.shape[0] % rt.mesh.shape["space"] == 0
             and _os.environ.get("PEAPODS_CC_BAND") != "0"
         )
         self._cc_band_b = (
@@ -1324,6 +1329,17 @@ class LoopProgram:
                 check_vma=False,
             )
             return call(active_flat)
+        if getattr(self, "cc_band", False):
+            # The plan string advertises cc=jnp-banded; make the per-call
+            # fallback (batch not divisible over the disorder/systems axes,
+            # e.g. odd overlap-task counts) visible rather than silent.
+            from ..utils.log import log_once as _log_once
+
+            _log_once(
+                "banded CC: graph batch of "
+                f"{active_flat.shape[0]} does not divide the mesh batch "
+                f"factor {self._cc_band_b}; this call uses the plain jnp CC"
+            )
         return jax.vmap(lambda a: cl.connected_components(a, rt.geom))(
             active_flat
         )

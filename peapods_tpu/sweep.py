@@ -73,7 +73,9 @@ def _cumulative_overlap_ratio(per_sample_hist):
 
     x_mean = x.mean(0)
     x_median = np.median(x, 0)
-    ratio = np.where(x_mean > 0, x_median / x_mean, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # np.where evaluates both branches; mask the divide itself.
+        ratio = np.where(x_mean > 0, x_median / x_mean, 0.0)
     return q_grid, ratio, x_mean, x_median
 
 
