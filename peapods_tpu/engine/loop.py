@@ -48,6 +48,7 @@ from ..ops import pallas_mega
 from ..ops import pallas_megapair
 from ..ops import pallas_cc
 from ..ops import pallas_cc_batch
+from ..ops import pallas_cc_band
 from ..ops import pallas_event
 from ..utils.profiling import phase_scope
 from .config import SimConfig
@@ -685,6 +686,17 @@ class LoopProgram:
             if self.cc_band
             else 1
         )
+        # Pallas band-local body inside the banded CC (round 5): the
+        # per-shard inner fixed point runs as one packed tile (band + its
+        # two halo rows) at packed-tile-kernel speed; the outer
+        # ppermute/psum structure (and the labeling, bitwise) is unchanged.
+        # PEAPODS_CC_BAND_PALLAS=0 keeps the jnp inner body.
+        self.cc_band_pallas = (
+            self.cc_band
+            and rt.pallas_ok
+            and pallas_cc_band.band_supports_pallas(rt.geom)
+            and _os.environ.get("PEAPODS_CC_BAND_PALLAS") != "0"
+        )
         if (
             rt.mesh is not None
             and "space" in rt.mesh.axis_names
@@ -740,11 +752,13 @@ class LoopProgram:
         ev_eligible = (
             rt.pallas_ok
             and h is not None
-            and h.action == "update"
-            # collect-only stats keep the fused pair events (labels-out
-            # CSD/top4 in _run_tasks_batched); full observe mode needs the
-            # bond masks and stays staged
-            and not self.observe_overlap
+            # update runs flip in-kernel; collect-only stats derive
+            # CSD/top4 from the kernel's labels; full observe mode derives
+            # bond-fraction/winding from the kernel's labels + bond masks
+            # and discards the flipped spins (observe mutates nothing) —
+            # all three keep the hardware-PRNG production graph stream.
+            # Snapshot runs still need the grey labels and stay staged
+            # (per-call, in _run_tasks_batched).
             and _os.environ.get("PEAPODS_DISABLE_EVENTKERNEL") != "1"
             and bool(ev_flat)
         )
@@ -840,12 +854,25 @@ class LoopProgram:
             and _os.environ.get("PEAPODS_DISABLE_FKKERNEL") != "1"
             and fk_mesh_ok
         )
+        # Full observe mode also rides the fused kernel: the kernel emits
+        # its resident CC labels AND bond masks, the engine discards the
+        # flipped spins (observe mutates nothing, fk.rs:140-142), and
+        # bond-fraction/winding derive in jnp from the kernel outputs — so
+        # the observed graphs are drawn by the production hardware-PRNG
+        # mechanism, not the staged path's threefry twin.
+        self.fk_kernel_obs = (
+            rt.pallas_ok
+            and self.observe_fk
+            and pallas_cc_batch.supports_cc_batch(rt.lattice)
+            and _os.environ.get("PEAPODS_DISABLE_FKKERNEL") != "1"
+            and fk_mesh_ok
+        )
         self._fkb = (
             pallas_cc_batch.cc_batch_factors(
                 rt.lattice,
                 max(1, rt.n_disorder * rt.n_systems // n_mesh),
             )
-            if self.fk_kernel
+            if (self.fk_kernel or self.fk_kernel_obs)
             else None
         )
         self._fk_j = (
@@ -853,7 +880,7 @@ class LoopProgram:
                 rt.couplings, rt.n_systems, tuple(rt.lattice.shape),
                 *self._fkb, n_chunks=n_mesh,
             )
-            if self.fk_kernel
+            if (self.fk_kernel or self.fk_kernel_obs)
             else None
         )
         self._chunk_cache = {}
@@ -908,9 +935,13 @@ class LoopProgram:
                     f"pallas-batch(kp={self._ccb[0]},ks={self._ccb[1]})"
                     if self.cc_batch
                     else (
-                        "jnp-banded"
-                        if getattr(self, "cc_band", False)
-                        else "jnp"
+                        "pallas-banded"
+                        if getattr(self, "cc_band_pallas", False)
+                        else (
+                            "jnp-banded"
+                            if getattr(self, "cc_band", False)
+                            else "jnp"
+                        )
                     )
                 )
             )
@@ -918,13 +949,21 @@ class LoopProgram:
                 cc += _log_tag(self.cc_log)
             parts.append(f"cc={cc}")
         log = _log_tag(self.cc_log)
-        if getattr(self, "fk_kernel", False):
-            stats = "+stats" if self.collect_fk else ""
+        if getattr(self, "fk_kernel", False) or getattr(
+            self, "fk_kernel_obs", False
+        ):
+            stats = (
+                "+obs" if self.observe_fk
+                else ("+stats" if self.collect_fk else "")
+            )
             parts.append(
                 f"fk=fused(kp={self._fkb[0]},ks={self._fkb[1]}){stats}{log}"
             )
         if getattr(self, "event_kernel", False):
-            stats = "+stats" if self.collect_overlap else ""
+            stats = (
+                "+obs" if self.observe_overlap
+                else ("+stats" if self.collect_overlap else "")
+            )
             parts.append(
                 f"event=fused(kp={self._evb[0]},ks={self._evb[1]}){stats}{log}"
             )
@@ -1318,10 +1357,13 @@ class LoopProgram:
             batch = tuple(
                 a for a in ("disorder", "systems") if a in mesh.axis_names
             )
+            interp = os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
             call = jax.shard_map(
                 lambda a: cl.connected_components_banded(
                     a, rt.geom, axis="space",
                     sync_axes=tuple(mesh.axis_names),
+                    pallas=getattr(self, "cc_band_pallas", False),
+                    interpret=interp, log_cc=self.cc_log,
                 ),
                 mesh=mesh,
                 in_specs=P(batch if batch else None, "space", None),
@@ -1547,23 +1589,52 @@ class LoopProgram:
         update = cfgc.action == "update"
         d = spins.shape[0]
 
-        if self.fk_kernel:
-            new_spins, em, labels = self._fk_fused(
+        if self.fk_kernel or self.fk_kernel_obs:
+            observe = self.fk_kernel_obs
+            new_spins, em, labels, masks = self._fk_fused(
                 spins, sid, keys, with_measure=want_em,
-                with_labels=self.collect_fk,
+                with_labels=self.collect_fk, with_masks=observe,
             )
+            if observe:
+                # observe mutates nothing (fk.rs:140-142): keep the
+                # original spins; the kernel's flip work is discarded
+                new_spins = spins
             csd_t = None
+            obs_delta = None
             if self.collect_fk:
                 # CSD from the kernel's resident CC labels (fk.rs:86-142
-                # collects inline) — collect-stats runs keep the fused
-                # kernel AND its hardware-PRNG bond stream, so they are
-                # bitwise the production trajectory (the staged path's
-                # threefry twin is no longer forced).
-                csd_sys = jax.vmap(jax.vmap(
-                    lambda lab: cl.csd_histogram(cl.component_counts(lab))
-                ))(labels)  # [d, S, n+1]
+                # collects inline) — collect-stats AND observe runs keep
+                # the fused kernel and its hardware-PRNG bond stream, so
+                # the collected graphs are the production mechanism's (the
+                # staged path's threefry twin is no longer forced).
+                counts = jax.vmap(jax.vmap(cl.component_counts))(labels)
+                csd_sys = jax.vmap(jax.vmap(cl.csd_histogram))(counts)
                 csd_t = jax.vmap(lambda cs, sd: cs[sd].sum(0))(csd_sys, sid)
-            return new_spins, csd_t, None, em
+            if observe:
+                # bond-fraction/winding from the kernel's bond masks; the
+                # per-slot -> per-temp reduction mirrors the staged path
+                obs_sys = jax.vmap(jax.vmap(
+                    lambda act, cnt, lab: cl.graph_observation(
+                        act, cnt, lab, rt.geom, self.with_winding
+                    )
+                ))(masks, counts, labels)
+
+                def slot_obs(obs_d, sid_d, csd_td):
+                    slot = lambda x: jnp.swapaxes(x[sid_d], 0, 1)
+                    obs_slot = cl.GraphObservation(
+                        top4=slot(obs_d.top4),
+                        active_bonds=slot(obs_d.active_bonds),
+                        winding_x=slot(obs_d.winding_x),
+                        winding_y=slot(obs_d.winding_y),
+                        large_components=slot(obs_d.large_components),
+                    )
+                    return _sum_slots_obs(
+                        obs_slot, csd_td, rt.n_replicas, rt.n_spins,
+                        rt.lattice.n_neighbors,
+                    )
+
+                obs_delta = jax.vmap(slot_obs)(obs_sys, sid, csd_t)
+            return new_spins, csd_t, obs_delta, em
 
         def bonds_per_disorder(spins_d, sid_d, key_d, coup_d):
             sys_temps = slot_temps_for_systems(sid_d, rt.temps)
@@ -1639,7 +1710,7 @@ class LoopProgram:
         return out + (None,)
 
     def _fk_fused(self, spins, sid, keys, with_measure=False,
-                  with_labels=False):
+                  with_labels=False, with_masks=False):
         """FK update through the fused kernel: one ``pallas_call`` over the
         packed ``[n_disorder * n_systems]`` graph batch (pad/pack/kernel/
         unpack per disorder shard under a mesh, like ``_event_fused``).
@@ -1649,11 +1720,13 @@ class LoopProgram:
         feeds the bitwise flip scalars; ``kb`` (the staged path's bond-draw
         key) seeds the hardware PRNG stream per tile.
 
-        Returns ``(spins, em_or_None, labels_or_None)``; labels are
-        unpacked ``int32 [d, S, n_spins]`` graph-local min-site-index
-        cluster ids (the Wolff kernel's -1 seed-cluster marker is rewritten
-        to that cluster's min site index, matching the staged path's
-        :func:`~peapods_tpu.ops.cluster.connected_components` convention).
+        Returns ``(spins, em_or_None, labels_or_None, masks_or_None)``;
+        labels are unpacked ``int32 [d, S, n_spins]`` graph-local
+        min-site-index cluster ids (the Wolff kernel's -1 seed-cluster
+        marker is rewritten to that cluster's min site index, matching the
+        staged path's :func:`~peapods_tpu.ops.cluster.connected_components`
+        convention); masks (``with_masks``, the full-observe path) are the
+        kernel's FK bond activations ``bool [d, S, n_spins, n_dirs]``.
         """
         import os
 
@@ -1713,26 +1786,43 @@ class LoopProgram:
                 j,
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
                 with_measure=with_measure, with_labels=with_labels,
+                with_masks=with_masks,
                 tri=self._lat_tri, log_cc=self.cc_log,
             )
             if not isinstance(out, tuple):
                 out = (out,)
+            out = list(out)
             parts = [
-                pallas_cc_batch._unpack(out[0], l0, block, kp, ks)[:nloc]
+                pallas_cc_batch._unpack(out.pop(0), l0, block, kp, ks)[:nloc]
             ]
             if with_measure:
                 parts += [
-                    out[1].reshape(-1)[:nloc], out[2].reshape(-1)[:nloc]
+                    out.pop(0).reshape(-1)[:nloc],
+                    out.pop(0).reshape(-1)[:nloc],
                 ]
             if with_labels:
                 parts.append(
                     pallas_cc_batch._unpack(
-                        out[-1], l0, block, kp, ks
+                        out.pop(0), l0, block, kp, ks
                     )[:nloc]
                 )
+            if with_masks:
+                m = out.pop(0)  # int8 [G, n_dirs, rows, lanes]
+                parts.append(jnp.stack(
+                    [
+                        pallas_cc_batch._unpack(
+                            m[:, di], l0, block, kp, ks
+                        )[:nloc]
+                        for di in range(m.shape[1])
+                    ],
+                    axis=-1,
+                ))
             return tuple(parts)
 
-        n_out = 1 + (2 if with_measure else 0) + (1 if with_labels else 0)
+        n_out = (
+            1 + (2 if with_measure else 0) + (1 if with_labels else 0)
+            + (1 if with_masks else 0)
+        )
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
             spec = _flat_batch_spec(mesh)
@@ -1741,14 +1831,14 @@ class LoopProgram:
                 out_specs=(spec,) * n_out,
                 check_vma=False,
             )
-        out = run_local(s_flat, gscal, gtemp, words, self._fk_j)
-        new_spins = out[0].reshape(d, S, n)
+        out = list(run_local(s_flat, gscal, gtemp, words, self._fk_j))
+        new_spins = out.pop(0).reshape(d, S, n)
         em = None
         if with_measure:
-            em = (out[1].reshape(d, S), out[2].reshape(d, S))
+            em = (out.pop(0).reshape(d, S), out.pop(0).reshape(d, S))
         labels = None
         if with_labels:
-            labels = out[-1].reshape(d, S, n)
+            labels = out.pop(0).reshape(d, S, n)
             if wolff:
                 # rewrite the kernel's -1 seed-cluster marker to that
                 # cluster's min site index (the staged labels convention)
@@ -1758,7 +1848,10 @@ class LoopProgram:
                     jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
                 )
                 labels = jnp.where(neg, mn, labels)
-        return new_spins, em, labels
+        masks = None
+        if with_masks:
+            masks = out.pop(0).reshape(d, S, n, -1) != 0
+        return new_spins, em, labels, masks
 
     def _run_tasks_batched(self, mode, tspins, tkeys, with_snapshot):
         """Run one overlap mode over the FULL task batch, with the CC fixed
@@ -1786,16 +1879,36 @@ class LoopProgram:
         unflat = lambda x: x.reshape((d, n_tasks) + x.shape[1:])
 
         # collect-only stats (CSD + top4) derive from the kernel's resident
-        # CC labels, so they keep the fused pair-event path (the reference
-        # collects inline, overlap.rs:146-339); full observe mode still
-        # needs the bond masks (bond fraction / winding) and snapshots need
-        # the grey labels — both stay staged.
+        # CC labels; full observe mode additionally takes the kernel's bond
+        # masks (bond fraction / winding) and discards the flipped spins
+        # (observe mutates nothing, overlap.rs:146-339) — both keep the
+        # fused pair-event path and its hardware-PRNG graph stream.  Only
+        # snapshots (grey labels) stay staged.
         collect_only = (
             with_stats and not self.observe_overlap and not with_snapshot
         )
+        observe_only = (
+            with_stats and self.observe_overlap and not with_snapshot
+        )
         if self.event_kernel and (not (with_stats or with_snapshot)
-                                  or collect_only):
+                                  or collect_only or observe_only):
             if g == 2 and pallas_event.supports_event(rt.lattice, 2):
+                if observe_only:
+                    _, labels, masks = self._event_fused(
+                        mode, tspins, tkeys, with_labels=True,
+                        with_masks=True,
+                    )
+                    counts = jax.vmap(jax.vmap(cl.component_counts))(labels)
+                    obs = jax.vmap(jax.vmap(
+                        lambda act, cnt, lab: cl.graph_observation(
+                            act, cnt, lab, rt.geom, winding
+                        )
+                    ))(masks, counts, labels)
+                    return ov.OverlapMoveOut(
+                        tspins, None, None, None,
+                        jax.vmap(jax.vmap(cl.csd_histogram))(counts),
+                        obs,
+                    )
                 if collect_only:
                     new_tspins, labels = self._event_fused(
                         mode, tspins, tkeys, with_labels=True
@@ -1886,7 +1999,8 @@ class LoopProgram:
             out = out._replace(labels=None, blue_labels=None, counts=None)
         return out
 
-    def _event_fused(self, mode, tspins, tkeys, with_labels=False):
+    def _event_fused(self, mode, tspins, tkeys, with_labels=False,
+                     with_masks=False):
         """Run one pair-task overlap event through the fused kernel
         (ops/pallas_event.py): bonds + CC + flips in one ``pallas_call``.
 
@@ -1899,6 +2013,10 @@ class LoopProgram:
         ``int32 [d, n_tasks, n_spins]`` (blue labels for CMR), cleaned to
         the staged min-site-index convention (the Wolff kernel's -1
         seed-cluster marker is rewritten).
+
+        ``with_masks``: additionally return the stats-graph bond masks
+        ``bool [d, n_tasks, n_spins, n_dirs]`` (blue bonds for CMR) — the
+        full-observe path derives bond-fraction/winding from them in jnp.
         """
         import os
 
@@ -1950,14 +2068,28 @@ class LoopProgram:
                 jt_arg[0] if jt_arg else None,
                 kind=mode.kind, wolff=wolff, shape=shape, kp=kp, ks=ks,
                 interpret=interp, with_labels=with_labels,
+                with_masks=with_masks,
                 tri=self._lat_tri, log_cc=self.cc_log,
             )
-            return tuple(
+            out = list(out)
+            masks_p = out.pop() if with_masks else None
+            parts = [
                 pallas_cc_batch._unpack(o, l0, block, kp, ks)[:nloc]
                 for o in out
-            )
+            ]
+            if with_masks:
+                parts.append(jnp.stack(
+                    [
+                        pallas_cc_batch._unpack(
+                            masks_p[:, di], l0, block, kp, ks
+                        )[:nloc]
+                        for di in range(masks_p.shape[1])
+                    ],
+                    axis=-1,
+                ))
+            return tuple(parts)
 
-        n_out = 3 if with_labels else 2
+        n_out = 2 + (1 if with_labels else 0) + (1 if with_masks else 0)
         mesh = rt.mesh
         if mesh is not None and mesh.devices.size > 1:
             # jt was chunk-packed per shard to match the flat split
@@ -1975,20 +2107,26 @@ class LoopProgram:
             else run_local(a, b, gscal, words, jt)
         )
         new_tspins = jnp.stack(out[:2], axis=1).reshape(d, n_tasks, 2, n)
-        if not with_labels:
+        if not (with_labels or with_masks):
             return new_tspins
-        labels = out[2].reshape(d, n_tasks, n)
-        if wolff:
-            # rewrite the -1 seed-cluster marker to that cluster's min site
-            # index (the staged labels convention); tasks whose Wolff seed
-            # search failed have no -1 sites and pass through unchanged
-            neg = labels == -1
-            idx = jnp.arange(n, dtype=labels.dtype)
-            mn = jnp.min(
-                jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
-            )
-            labels = jnp.where(neg, mn, labels)
-        return new_tspins, labels
+        ret = (new_tspins,)
+        if with_labels:
+            labels = out[2].reshape(d, n_tasks, n)
+            if wolff:
+                # rewrite the -1 seed-cluster marker to that cluster's min
+                # site index (the staged labels convention); tasks whose
+                # Wolff seed search failed have no -1 sites and pass
+                # through unchanged
+                neg = labels == -1
+                idx = jnp.arange(n, dtype=labels.dtype)
+                mn = jnp.min(
+                    jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
+                )
+                labels = jnp.where(neg, mn, labels)
+            ret = ret + (labels,)
+        if with_masks:
+            ret = ret + (out[-1].reshape(d, n_tasks, n, -1) != 0,)
+        return ret
 
     def _event_fused_houd(self, mode, tspins, tkeys):
         """Houdayer(N) event (even group sizes > 2) through the fused

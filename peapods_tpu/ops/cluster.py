@@ -192,7 +192,8 @@ def banded_supports(geom) -> bool:
 
 
 def connected_components_banded(active_fwd, geom, *, axis="space",
-                                sync_axes=None):
+                                sync_axes=None, pallas=False,
+                                interpret=False, log_cc=0):
     """Exact CC labels on a lattice band-sharded along dim 0 (SPMD body —
     call under ``jax.shard_map`` with dim 0 split over mesh axis ``axis``).
 
@@ -232,6 +233,17 @@ def connected_components_banded(active_fwd, geom, *, axis="space",
             on the CPU backend's all-device rendezvous).  Converged rings
             just idle through the extra rounds — labels are at their fixed
             point, so nothing changes.  Defaults to ``axis``.
+        pallas: run the band-local inner fixed point as a packed-tile
+            Pallas kernel (:mod:`peapods_tpu.ops.pallas_cc_band`): the band
+            plus its two halo rows become one tile and the halo rows
+            PARTICIPATE in the in-kernel min-label loop.  Every update
+            still moves labels only along genuine bonds from values
+            bounded below by the true component minima, so the outer fixed
+            point is the same unique exact labeling — bitwise the jnp
+            body's (the inner paths differ, the converged labels cannot).
+        interpret / log_cc: kernel interpret mode and the
+            ``cc_fixed_point`` body selector (hypercubic/triangular bands
+            only; generic offsets always run the classic body).
 
     Returns:
         ``int32 [B, n_local]`` global min-site-index component labels.
@@ -310,6 +322,70 @@ def connected_components_banded(active_fwd, geom, *, axis="space",
     ).reshape((1,) + band)
     init = jnp.broadcast_to(init, (n_batch,) + band)
 
+    pallas_inner = None
+    if pallas:
+        from . import pallas_cc_band as pcb
+
+        l0e = hl + 2
+        pad_rows = (-l0e) % 8  # sublane-align the extended tiles
+        l0p = l0e + pad_rows
+        kp, ks = pcb.band_factors(geom, n_batch, l0p)
+        tile = kp * ks
+        pad_g = (-n_batch) % tile
+        offs = tuple(tuple(int(c) for c in o) for o in geom.offsets)
+        shape_ext = (l0p,) + tuple(rest)
+        flat_n = l0p * rest_n
+
+        def pad_ext(e, fill):
+            """[B, l0e, *rest] -> padded [B+pad_g, l0p, *rest]."""
+            if pad_rows:
+                e = jnp.concatenate(
+                    [e, jnp.full((n_batch, pad_rows) + tuple(rest), fill,
+                                 e.dtype)],
+                    axis=1,
+                )
+            if pad_g:
+                e = jnp.concatenate(
+                    [e, jnp.full((pad_g, l0p) + tuple(rest), fill,
+                                 e.dtype)],
+                    axis=0,
+                )
+            return e
+
+        # extended bond grids (built once; bonds are CC-constant): rows are
+        # [prev_last, band, next_first]; each halo row keeps exactly the
+        # bonds that stay inside the extended grid, so the in-tile dim-0
+        # torus wrap is always masked off
+        bonds_p = []
+        for d in range(n_nb):
+            o0 = int(geom.offsets[d][0])
+            prev_row = (
+                am_prev[..., d] if o0 >= 0
+                else jnp.zeros_like(am_prev[..., d])
+            )
+            next_row = (
+                am_next[..., d] if o0 <= 0
+                else jnp.zeros_like(am_next[..., d])
+            )
+            e = jnp.concatenate([prev_row, af[d], next_row], axis=1)
+            e = pad_ext(e, False).astype(jnp.int32).reshape(-1, flat_n)
+            bonds_p.append(
+                pcb._pack(e, l0p, rest_n, kp, ks)
+            )
+        bonds_p = jnp.stack(bonds_p, axis=1)  # [G, n_dirs, rows, lanes]
+
+        def pallas_inner(lab, hx_next, hx_prev):
+            ext = jnp.concatenate([hx_prev, lab, hx_next], axis=1)
+            ext = pad_ext(ext, big).reshape(-1, flat_n)
+            lp = pcb._pack(ext, l0p, rest_n, kp, ks)
+            out = pcb.band_cc_batch(
+                bonds_p, lp, shape_ext=shape_ext, kp=kp, ks=ks,
+                offsets=offs, big=geom.n_spins, log_cc=log_cc,
+                interpret=interpret,
+            )
+            unp = pcb._unpack(out, l0p, rest_n, kp, ks)[:n_batch]
+            return unp.reshape((n_batch, l0p) + tuple(rest))[:, 1:hl + 1]
+
     def propagate(lab, hl_next, hl_prev):
         new = lab
         for d in range(n_nb):
@@ -322,16 +398,19 @@ def connected_components_banded(active_fwd, geom, *, axis="space",
         lab, _ = carry
         hl_next, hl_prev = halos(lab)
 
-        def inner_body(c):
-            l, _ = c
-            new = l
-            for _ in range(16):
-                new = propagate(new, hl_next, hl_prev)
-            return new, jnp.any(new != l)
+        if pallas_inner is not None:
+            new = pallas_inner(lab, hl_next, hl_prev)
+        else:
+            def inner_body(c):
+                l, _ = c
+                new = l
+                for _ in range(16):
+                    new = propagate(new, hl_next, hl_prev)
+                return new, jnp.any(new != l)
 
-        new, _ = jax.lax.while_loop(
-            lambda c: c[1], inner_body, (lab, jnp.array(True))
-        )
+            new, _ = jax.lax.while_loop(
+                lambda c: c[1], inner_body, (lab, jnp.array(True))
+            )
         changed = (
             jax.lax.psum(
                 jnp.any(new != lab).astype(jnp.int32),

@@ -273,14 +273,21 @@ def _salted_uniform_i32(labels, s0, s1):
 
 def _event_kernel(
     gscal_ref, a_ref, b_ref, *rest,
-    kind, wolff, injected, with_labels, l0, l1, l2, kp, ks, n_dims,
-    tri=False, log_cc=False,
+    kind, wolff, injected, with_labels, with_masks, l0, l1, l2, kp, ks,
+    n_dims, tri=False, log_cc=False,
 ):
     """``with_labels`` additionally writes the STATS-graph CC labels tile —
     the move's labels for houdayer/jorg, the BLUE labels for CMR (the
     reference collects CSD/top4 on the blue graph, overlap.rs:146-339; see
     :func:`peapods_tpu.ops.overlap.cmr_mid`).  Raw: the Wolff seed cluster
-    carries -1 (the engine rewrites it to that cluster's min site index)."""
+    carries -1 (the engine rewrites it to that cluster's min site index).
+
+    ``with_masks`` additionally writes the stats-graph bond-activation
+    tiles (``int8 [n_dirs, rows, lanes]``, same graph as ``with_labels``):
+    full observe mode derives bond-fraction and winding from them in jnp
+    while the graph build stays on this kernel's hardware-PRNG stream — the
+    observed graphs are drawn by the production mechanism, not a threefry
+    twin (the observe action mutates nothing, overlap.rs:146-339)."""
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     n_spins = l0 * block
@@ -290,8 +297,14 @@ def _event_kernel(
     words_ref = refs.pop(0) if (kind != "houdayer" and not injected) else None
     jt_ref = refs.pop(0) if kind != "houdayer" else None
     u_ref = refs.pop(0) if (injected and kind != "houdayer") else None
+    mask_out = refs.pop() if with_masks else None
     lab_out = refs.pop() if with_labels else None
     a_out, b_out = refs
+
+    def write_masks(bonds):
+        if mask_out is not None:
+            for d, bd in enumerate(bonds):
+                mask_out[0, d] = bd.astype(jnp.int8)
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
     n_dirs = 3 if tri else n_dims
@@ -383,6 +396,7 @@ def _event_kernel(
             flip = coin & nonsingleton(bonds)
         if with_labels:
             lab_out[0] = labels
+        write_masks(bonds)
         a_out[0] = jnp.where(flip, -a, a).astype(jnp.int8)
         b_out[0] = jnp.where(flip, -b, b).astype(jnp.int8)
         return
@@ -413,6 +427,7 @@ def _event_kernel(
         blue_flip = coin & nonsingleton(blue)
     if with_labels:
         lab_out[0] = blue_labels
+    write_masks(blue)
     af = jnp.where(blue_flip, -af, af)
     bf = jnp.where(blue_flip, -bf, bf)
 
@@ -442,13 +457,13 @@ def _event_kernel(
     jax.jit,
     static_argnames=(
         "kind", "wolff", "shape", "kp", "ks", "interpret", "with_labels",
-        "tri", "log_cc",
+        "with_masks", "tri", "log_cc",
     ),
 )
 def overlap_event_batch(
     a_pack, b_pack, gscal, words, jt=None, u=None, *,
     kind, wolff, shape, kp, ks, interpret=False, with_labels=False,
-    tri=False, log_cc=False,
+    with_masks=False, tri=False, log_cc=False,
 ):
     """One fused overlap event over a packed task batch.
 
@@ -465,9 +480,12 @@ def overlap_event_batch(
         with_labels: additionally return the packed stats-graph CC labels
             (``int32 [G, rows, lanes]``; blue labels for CMR, raw Wolff -1
             seed-cluster marker).
+        with_masks: additionally return the packed stats-graph bond masks
+            (``int8 [G, n_dirs, rows, lanes]``; blue bonds for CMR) — the
+            full-observe path derives bond-fraction/winding from them.
 
-    Returns ``(a_pack, b_pack)`` post-move (plus packed labels last with
-    ``with_labels``).
+    Returns ``(a_pack, b_pack)`` post-move (plus packed labels, then packed
+    masks, with ``with_labels`` / ``with_masks``).
     """
     shape = tuple(shape)
     n_dims = len(shape)
@@ -482,6 +500,7 @@ def overlap_event_batch(
     kernel = functools.partial(
         _event_kernel,
         kind=kind, wolff=wolff, injected=injected, with_labels=with_labels,
+        with_masks=with_masks,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
         log_cc=log_cc,
     )
@@ -514,6 +533,11 @@ def overlap_event_batch(
         out_specs = out_specs + (tile(rows, lanes),)
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        )
+    if with_masks:
+        out_specs = out_specs + (tile(n_dirs, rows, lanes),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g, n_dirs, rows, lanes), jnp.int8),
         )
     out = pl.pallas_call(
         kernel,
@@ -596,8 +620,8 @@ def pack_fk_j(couplings, n_rep: int, shape, kp: int, ks: int,
 
 def _fk_kernel(
     gscal_ref, gtemp_ref, s_ref, *rest,
-    wolff, injected, with_measure, with_labels, l0, l1, l2, kp, ks, n_dims,
-    tri=False, log_cc=False,
+    wolff, injected, with_measure, with_labels, with_masks, l0, l1, l2,
+    kp, ks, n_dims, tri=False, log_cc=False,
 ):
     """Fused FK update: bond draws + CC fixed point + cluster flips on one
     resident tile (fk.rs:28-171 in one pass).  Mirrors ``_event_kernel``'s
@@ -608,7 +632,13 @@ def _fk_kernel(
     ``with_labels`` additionally writes the CC labels tile (the already
     resident fixed-point result, raw: the Wolff seed cluster carries -1)
     so collect-stats runs can derive CSD/top4 without leaving this kernel
-    for the staged path (fk.rs:86-142 collects stats inline)."""
+    for the staged path (fk.rs:86-142 collects stats inline).
+
+    ``with_masks`` additionally writes the FK bond-activation tiles
+    (``int8 [n_dirs, rows, lanes]``): full observe mode derives
+    bond-fraction and winding from them in jnp while the bond draws stay on
+    this kernel's hardware-PRNG stream (fk.rs:140-142 — observe builds the
+    graph on the production stream and mutates nothing)."""
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     n_spins = l0 * block
@@ -618,6 +648,7 @@ def _fk_kernel(
     words_ref = refs.pop(0) if not injected else None
     j_ref = refs.pop(0)
     u_ref = refs.pop(0) if injected else None
+    mask_out = refs.pop() if with_masks else None
     lab_out = refs.pop() if with_labels else None
     if with_measure:
         s_out, e_out, m_out = refs
@@ -690,6 +721,9 @@ def _fk_kernel(
         flip = _salted_uniform_i32(labels, gval(0), gval(1)) < 0.5
     if with_labels:
         lab_out[0] = labels
+    if with_masks:
+        for d, bd in enumerate(bonds):
+            mask_out[0, d] = bd.astype(jnp.int8)
     sf = jnp.where(flip, -sf, sf)
     s_out[0] = sf.astype(jnp.int8)
 
@@ -719,13 +753,13 @@ def _fk_kernel(
     jax.jit,
     static_argnames=(
         "wolff", "shape", "kp", "ks", "interpret", "with_measure",
-        "with_labels", "tri", "log_cc",
+        "with_labels", "with_masks", "tri", "log_cc",
     ),
 )
 def fk_update_batch(
     s_pack, gscal, gtemp, words, j, u=None, *,
     wolff, shape, kp, ks, interpret=False, with_measure=False,
-    with_labels=False, tri=False, log_cc=False,
+    with_labels=False, with_masks=False, tri=False, log_cc=False,
 ):
     """One fused FK cluster update over a packed system batch.
 
@@ -743,9 +777,12 @@ def fk_update_batch(
         with_labels: additionally return the packed CC labels
             (``int32 [G, rows, lanes]``, raw: the Wolff seed cluster is -1;
             labels are graph-local min site indices otherwise).
+        with_masks: additionally return the packed FK bond masks
+            (``int8 [G, n_dirs, rows, lanes]``) for the full-observe path.
 
     Returns post-update ``s_pack`` (plus ``(e, m)`` with ``with_measure``,
-    plus packed labels last with ``with_labels``).
+    plus packed labels, then packed masks, with ``with_labels`` /
+    ``with_masks``).
     """
     shape = tuple(shape)
     n_dims = len(shape)
@@ -760,7 +797,7 @@ def fk_update_batch(
     kernel = functools.partial(
         _fk_kernel,
         wolff=wolff, injected=injected, with_measure=with_measure,
-        with_labels=with_labels,
+        with_labels=with_labels, with_masks=with_masks,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
         log_cc=log_cc,
     )
@@ -795,13 +832,19 @@ def fk_update_batch(
             jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, kp * ks), jnp.int32),
         )
-    if with_labels:
+    if with_labels or with_masks:
         if not isinstance(out_specs, tuple):
             out_specs = (out_specs,)
             out_shape = (out_shape,)
+    if with_labels:
         out_specs = out_specs + (tile(rows, lanes),)
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        )
+    if with_masks:
+        out_specs = out_specs + (tile(n_dirs, rows, lanes),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g, n_dirs, rows, lanes), jnp.int8),
         )
     out = pl.pallas_call(
         kernel,
@@ -812,12 +855,11 @@ def fk_update_batch(
         interpret=_interp(interpret),
     )(*operands)
     if with_measure:
-        if with_labels:
-            s2, e, m, lab = out
-            return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks), lab
-        s2, e, m = out
-        return s2, e.reshape(g, kp * ks), m.reshape(g, kp * ks)
-    return out  # s_pack, or (s_pack, labels) with with_labels
+        out = list(out)
+        out[1] = out[1].reshape(g, kp * ks)
+        out[2] = out[2].reshape(g, kp * ks)
+        return tuple(out)
+    return out  # s_pack, or a tuple ending (labels?, masks?)
 
 
 # ------------------------------------------------------- Houdayer-N events

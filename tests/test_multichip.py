@@ -157,6 +157,43 @@ def test_spatial_decomposition_matches_unsharded():
     )
 
 
+def test_space_mesh_pallas_banded_cc(monkeypatch):
+    """The Pallas band-local CC body under the space mesh: the plan says
+    cc=pallas-banded, and the trajectory + collected CSD are bitwise the
+    jnp-banded run's (the converged labels are the same unique fixed
+    point)."""
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    temps = np.array([2.269185], dtype=np.float32)
+    coup = np.ones((16, 16, 2), np.float32)
+    kwargs = dict(cluster_update_interval=1, cluster_mode="sw",
+                  collect_cluster_stats=True, warmup_ratio=0)
+
+    mesh = make_mesh(4, ("space",))
+    a = IsingSimulation([16, 16], coup, temps, 1, None, 11, mesh=mesh)
+    r_a = a.sample(4, "metropolis", **kwargs)
+    prog = next(iter(a._programs.values()))
+    assert prog.cc_band_pallas
+    assert "cc=pallas-banded" in prog.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_CC_BAND_PALLAS", "0")
+    b = IsingSimulation([16, 16], coup, temps, 1, None, 11, mesh=mesh)
+    r_b = b.sample(4, "metropolis", **kwargs)
+    prog_b = next(iter(b._programs.values()))
+    assert not prog_b.cc_band_pallas
+    assert "cc=jnp-banded" in prog_b.describe_plan()
+    monkeypatch.delenv("PEAPODS_CC_BAND_PALLAS")
+
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_a["fk_csd"]), np.asarray(r_b["fk_csd"])
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_disorder_by_space_mesh():
     """2D disorder x space mesh: both batch and lattice partitioned."""

@@ -41,7 +41,7 @@ def _task_batch(shape, n_tasks, seed):
 
 
 def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None,
-               with_labels=False):
+               with_labels=False, with_masks=False):
     """Pack a flat task batch and run the fused event kernel on it."""
     shape = tuple(lat.shape)
     n = lat.n_spins
@@ -76,14 +76,25 @@ def _run_fused(lat, a, b, tkeys, kind, wolff, jt=None, u_slots=None,
         a_p, b_p, gscal.reshape(g, tile, 6),
         words.reshape(g, tile, 2)[:, :1, :], jt, u,
         kind=kind, wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
-        with_labels=with_labels, tri=bool(ccb.grid_dims(lat)[4]),
+        with_labels=with_labels, with_masks=with_masks,
+        tri=bool(ccb.grid_dims(lat)[4]),
     )
     a2 = ccb._unpack(out[0], l0, block, kp, ks)[:n_tasks]
     b2 = ccb._unpack(out[1], l0, block, kp, ks)[:n_tasks]
     spins = jnp.stack([a2, b2], axis=1)
+    ret = (spins,)
     if with_labels:
-        return spins, ccb._unpack(out[2], l0, block, kp, ks)[:n_tasks]
-    return spins
+        ret = ret + (ccb._unpack(out[2], l0, block, kp, ks)[:n_tasks],)
+    if with_masks:
+        m = out[-1]  # int8 [g, n_dirs, rows, lanes]
+        ret = ret + (jnp.stack(
+            [
+                ccb._unpack(m[:, d], l0, block, kp, ks)[:n_tasks]
+                for d in range(m.shape[1])
+            ],
+            axis=-1,
+        ) != 0,)
+    return ret if len(ret) > 1 else spins
 
 
 @pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
@@ -243,6 +254,59 @@ def test_event_fused_labels_bitwise(kind, wolff):
             if neg.any():
                 lab[t][neg] = np.flatnonzero(neg).min()
     np.testing.assert_array_equal(lab, np.asarray(exp))
+
+
+@pytest.mark.parametrize("kind", ["houdayer", "jorg", "cmr"])
+def test_event_fused_masks_bitwise(kind):
+    """with_masks must (a) leave the move and labels untouched and (b) emit
+    the stats-graph bond activations (blue bonds for CMR) bitwise-equal to
+    the staged bond build on the same uniforms — the full-observe path
+    derives bond-fraction/winding from exactly these masks."""
+    shape = (8, 16)
+    lat, geom, a, b, tkeys = _task_batch(shape, 4, seed=60 + len(kind))
+    n, nd = lat.n_spins, lat.n_dims
+    rng = np.random.default_rng(61 + len(kind))
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.8, 1.6, a.shape[0]).astype(np.float32))
+    kw = {}
+    if kind == "houdayer":
+        exp = jax.vmap(
+            lambda av, bv, k: ov.houdayer_bonds(jnp.stack([av, bv]), k,
+                                                geom)[0]
+        )(a, b, tkeys)
+    elif kind == "jorg":
+        u = jnp.asarray(rng.random((a.shape[0], n, nd)).astype(np.float32))
+        exp = jax.vmap(
+            lambda av, bv, k, t, uu: ov.jorg_bonds(
+                jnp.stack([av, bv]), k, coup, t, geom, u_bond=uu
+            )[0]
+        )(a, b, tkeys, temps, u)
+        kw = dict(jt=_jt_for(lat, coup, temps),
+                  u_slots=[u[..., d] for d in range(nd)])
+    else:
+        u_blue = jnp.asarray(
+            rng.random((a.shape[0], n, nd)).astype(np.float32)
+        )
+        u_red = jnp.asarray(
+            rng.random((a.shape[0], n, nd)).astype(np.float32)
+        )
+        exp = jax.vmap(
+            lambda av, bv, k, t, ub: ov.cmr_blue_bonds(
+                jnp.stack([av, bv]), k, coup, t, geom, u_blue=ub
+            )[0]
+        )(a, b, tkeys, temps, u_blue)
+        kw = dict(jt=_jt_for(lat, coup, temps),
+                  u_slots=[u_blue[..., d] for d in range(nd)]
+                  + [u_red[..., d] for d in range(nd)])
+
+    plain = _run_fused(lat, a, b, tkeys, kind, False, **kw)
+    with_lab, lab = _run_fused(lat, a, b, tkeys, kind, False,
+                               with_labels=True, **kw)
+    fused, lab2, masks = _run_fused(lat, a, b, tkeys, kind, False,
+                                    with_labels=True, with_masks=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fused))
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab2))
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(exp))
 
 
 TRI = [[1, 0], [0, 1], [1, -1]]
@@ -455,23 +519,94 @@ def test_engine_jorg_cmr_event_runs(monkeypatch):
     assert np.isfinite(r["energies"]).all()
 
 
-def test_engine_event_kernel_disabled_when_observing(monkeypatch):
-    """Full observe mode must route around the fused kernel (bond-fraction
-    and winding observables need the bond masks); collect-only stats keep
-    it (test_engine_event_kernel_collects_stats)."""
+def test_engine_event_kernel_observes(monkeypatch):
+    """Full observe mode keeps the fused pair-event kernel: the kernel
+    emits its resident labels AND bond masks, bond-fraction/winding derive
+    in jnp, and the flipped spins are discarded (observe mutates nothing,
+    overlap.rs:146-339).  For Houdayer (deterministic bonds) every
+    observation must be BITWISE the staged observe path's — including the
+    winding flags on the canonical 2D lattice — and the trajectory must be
+    bitwise an observer-free run's."""
     monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
     kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
               overlap_cluster_build_mode="houdayer",
               overlap_cluster_mode="sw",
               overlap_cluster_action="observe", warmup_ratio=0)
-    s = _sim((8, 16), 17)
-    r = s.sample(6, "metropolis", **kw)
-    prog = next(iter(s._programs.values()))
-    assert not prog.event_kernel
-    assert "overlap_csd" in r
+    a = _sim((8, 16), 17)
+    ra = a.sample(6, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel and "event=fused" in prog.describe_plan()
+    assert "+obs" in prog.describe_plan()
+    assert "overlap_csd" in ra
+
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    b = _sim((8, 16), 17)
+    rb = b.sample(6, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).event_kernel
+    monkeypatch.delenv("PEAPODS_DISABLE_EVENTKERNEL")
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    obs_a = ra["per_disorder"]["cluster_observations"]["houdayer"]
+    obs_b = rb["per_disorder"]["cluster_observations"]["houdayer"]
+    assert set(obs_a) == set(obs_b)
+    assert "winding_x" in obs_a  # canonical 2D lattice
+    for k in obs_a:
+        np.testing.assert_array_equal(
+            np.asarray(obs_a[k]), np.asarray(obs_b[k]), err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ra["overlap_csd"]), np.asarray(rb["overlap_csd"])
+    )
+
+    # observing must not perturb the trajectory (observer-free run)
+    c = _sim((8, 16), 17)
+    c.sample(6, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(c.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]),
+        np.asarray(c.state["system_ids"]),
+    )
 
 
-def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff, with_labels=False):
+def test_engine_jorg_cmr_observe_fused_runs(monkeypatch):
+    """Joerg/CMR full observe on the fused kernel: the observed graphs ride
+    the hardware-PRNG production stream (statistical parity rides the
+    on-TPU suite), the schema is complete, and the trajectory stays
+    bitwise an observer-free run's."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, pt_schedule="full_ladder",
+              overlap_cluster_update_interval=2,
+              overlap_cluster_build_mode="jorg+cmr",
+              overlap_cluster_mode="sw",
+              overlap_cluster_action="observe", warmup_ratio=0)
+    a = _sim((8, 16), 23)
+    ra = a.sample(4, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel and "+obs" in prog.describe_plan()
+    for kind in ("jorg", "cmr_blue"):
+        obs = ra["per_disorder"]["cluster_observations"][kind]
+        assert obs["observation_count"].sum() > 0
+        assert np.all(obs["active_bond_density"] >= 0.0)
+        assert np.all(obs["active_bond_density"] <= 1.0)
+        assert "winding_x" in obs
+
+    c = _sim((8, 16), 23)
+    c.sample(4, "metropolis", pt_interval=1, pt_schedule="full_ladder",
+             warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(c.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]),
+        np.asarray(c.state["system_ids"]),
+    )
+
+
+def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff, with_labels=False,
+              with_masks=False):
     """Pack a flat FK system batch and run the fused FK kernel on it."""
     shape = tuple(lat.shape)
     n, nd = lat.n_spins, lat.n_neighbors
@@ -500,15 +635,24 @@ def _fk_fused(lat, spins, kf_keys, temps, coup, u, wolff, with_labels=False):
         s_p, gscal.reshape(g, tile, 3), gtemp.reshape(g, tile, 1),
         words, j, u_p,
         wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=True,
-        with_labels=with_labels, tri=tri,
+        with_labels=with_labels, with_masks=with_masks, tri=tri,
     )
+    if not isinstance(out, tuple):
+        return ccb._unpack(out, l0, block, kp, ks)[:B]
+    out = list(out)
+    ret = [ccb._unpack(out.pop(0), l0, block, kp, ks)[:B]]
     if with_labels:
-        s2, lab = out
-        return (
-            ccb._unpack(s2, l0, block, kp, ks)[:B],
-            ccb._unpack(lab, l0, block, kp, ks)[:B],
-        )
-    return ccb._unpack(out, l0, block, kp, ks)[:B]
+        ret.append(ccb._unpack(out.pop(0), l0, block, kp, ks)[:B])
+    if with_masks:
+        m = out.pop(0)
+        ret.append(jnp.stack(
+            [
+                ccb._unpack(m[:, d], l0, block, kp, ks)[:B]
+                for d in range(m.shape[1])
+            ],
+            axis=-1,
+        ) != 0)
+    return tuple(ret)
 
 
 @pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
@@ -587,6 +731,90 @@ def test_fk_fused_labels_bitwise(shape, wolff):
             assert neg.any()
             lab[b][neg] = np.flatnonzero(neg).min()
     np.testing.assert_array_equal(lab, np.asarray(exp_lab))
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (8, 8, 8)])
+def test_fk_fused_masks_bitwise(shape):
+    """with_masks must (a) leave the update and labels untouched and
+    (b) emit the FK bond activations bitwise-equal to
+    cluster.fk_bond_activation on the same uniforms — the full-observe
+    path derives bond-fraction/winding from exactly these masks."""
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    n, nd = lat.n_spins, lat.n_dims
+    B = 6
+    rng = np.random.default_rng(80 + len(shape))
+    spins = jnp.asarray(
+        rng.choice(np.array([-1, 1], np.int8), size=(B, n))
+    )
+    coup = jnp.asarray(rng.normal(size=(n, nd)).astype(np.float32))
+    temps = jnp.asarray(np.linspace(0.9, 2.4, B).astype(np.float32))
+    u = jnp.asarray(rng.random((B, n, nd)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(9), B)
+    kf = jax.vmap(jax.random.split)(keys)[:, 1]
+
+    def staged_bonds(s, t, k, uu):
+        kbv, _ = jax.random.split(k)
+        return cl.fk_bond_activation(s, coup, geom, t, kbv, u=uu)
+
+    exp = jax.vmap(staged_bonds)(spins, temps, keys, u)
+    plain = _fk_fused(lat, spins, kf, temps, coup, u, False)
+    _, lab = _fk_fused(lat, spins, kf, temps, coup, u, False,
+                       with_labels=True)
+    fused, lab2, masks = _fk_fused(lat, spins, kf, temps, coup, u, False,
+                                   with_labels=True, with_masks=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fused))
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab2))
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(exp))
+
+
+def test_engine_fk_kernel_observes(monkeypatch):
+    """FK full observe keeps the fused kernel (labels + bond masks out,
+    flips discarded — fk.rs:140-142 observe mutates nothing): the plan
+    advertises fk=fused+obs, the observation schema is complete (incl.
+    winding on the canonical 2D lattice), and the trajectory is bitwise an
+    observer-free run's."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, cluster_update_interval=2, cluster_mode="sw",
+              cluster_action="observe", warmup_ratio=0)
+    a = _sim((8, 16), 29)
+    ra = a.sample(6, "metropolis", **kw)
+    prog = next(
+        p for p in a._programs.values() if p.cfg.cluster_update is not None
+    )
+    assert prog.fk_kernel_obs and not prog.fk_kernel
+    assert "fk=fused" in prog.describe_plan()
+    assert "+obs" in prog.describe_plan()
+    fk = ra["per_disorder"]["cluster_observations"]["fk"]
+    assert fk["observation_count"].sum() > 0
+    assert np.all(fk["active_bond_density"] >= 0.0)
+    assert np.all(fk["active_bond_density"] <= 1.0)
+    assert "winding_x" in fk
+
+    b = _sim((8, 16), 29)
+    b.sample(6, "metropolis", pt_interval=1, warmup_ratio=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state["system_ids"]),
+        np.asarray(b.state["system_ids"]),
+    )
+
+    # kill switch: the staged observe path remains reachable
+    monkeypatch.setenv("PEAPODS_DISABLE_FKKERNEL", "1")
+    c = _sim((8, 16), 29)
+    rc = c.sample(6, "metropolis", **kw)
+    progc = next(
+        p for p in c._programs.values() if p.cfg.cluster_update is not None
+    )
+    assert not progc.fk_kernel_obs
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(c.state["spins"])
+    )
+    fkc = rc["per_disorder"]["cluster_observations"]["fk"]
+    assert set(fkc) == set(fk)
+    monkeypatch.delenv("PEAPODS_DISABLE_FKKERNEL")
 
 
 def test_engine_fk_fused_runs(monkeypatch):
