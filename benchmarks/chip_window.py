@@ -67,6 +67,20 @@ JOBS = [
                     "bcc"], 7200),
     ("binder_fcc", ["tests/binder_crossings.py", "--quick", "--only",
                     "fcc"], 7200),
+    # ---- round 5 ----
+    # boundary-contraction CC feasibility: primitive costs (gather /
+    # scatter-min / sort / roll-round) at small tile sizes — the
+    # build/no-build decision input (VERDICT item 2)
+    ("contract_probe", ["benchmarks/cc_contract_probe.py"], 3600),
+    # drift calibration reference: bench.py now interleaves a frozen
+    # calibration program; record calibration_iters_per_sec from a healthy
+    # phase into bench.CAL_REF_ITERS_PER_SEC (VERDICT item 5)
+    ("cal_ref", ["bench.py"], 3600),
+    # full-observe-on-fused-kernels cost bound (target <= ~2x no-observer,
+    # and fused faster than staged; VERDICT item 1)
+    ("observe_cost", ["benchmarks/observe_ab.py"], 5400),
+    # Pallas band-local CC body: space=1 op-level A/B (VERDICT item 3)
+    ("band_cc", ["benchmarks/band_cc_ab.py"], 5400),
 ]
 
 

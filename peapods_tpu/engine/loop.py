@@ -142,6 +142,8 @@ class Runtime:
     tri_pack: int = 0  # triangular lane-packing factor (0 = off)
     diag: int = 0  # BCC/FCC kernel lane-pack factor kp (0 = off)
     diag_kind: str = ""  # "bcc" / "fcc" when diag is active
+    gen: int = 0  # generic-offset kernel lane-pack factor kp (0 = off)
+    gen_info: tuple | None = None  # (shape3, offsets3, periods, table, nc)
     pallas_ok: bool = False  # Pallas available at all (device + not disabled)
     halo2d: bool = False  # space-mesh halo-exchange 2D kernel
     halo2d_k: int = 0  # lane-packed (W < 128) 2D halo kernel factor (0=off)
@@ -198,6 +200,22 @@ class Runtime:
         )
         if not diag:
             diag_kind = ""
+        # Generic-offset kernel: the fallback serving ANY offset table with
+        # a periodic greedy coloring (the reference's with_offsets API runs
+        # every lattice through one neighbor-table sweep, mcmc/sweep.rs:
+        # 51-97).  Named geometries keep their dedicated kernels; this
+        # catches custom tables (e.g. next-nearest-neighbor square).
+        gen = (
+            pallas_sweep_diag.pack_factor_gen(lattice, n_systems)
+            if (
+                on_device
+                and not (use_pallas or pack_k or tri or tri_pack
+                         or kernel3d or diag)
+                and os.environ.get("PEAPODS_DISABLE_GEN") != "1"
+            )
+            else 0
+        )
+        gen_info = pallas_sweep_diag.gen_meta(lattice) if gen else None
         from ..utils.log import log_once
 
         halo2d = False
@@ -252,6 +270,8 @@ class Runtime:
             tri_pack = 0
             diag = 0
             diag_kind = ""
+            gen = 0
+            gen_info = None
         if mesh is not None and "systems" in mesh.axis_names:
             # systems-sharded mesh: the kernel batch axis must split evenly
             # across the mesh axis (and pack groups must stay shard-local)
@@ -271,6 +291,8 @@ class Runtime:
                 tri_pack = 0
                 diag = 0
                 diag_kind = ""
+                gen = 0
+                gen_info = None
             else:
                 if pack_k and (n_systems // sys_ax) % pack_k:
                     log_once(
@@ -301,6 +323,15 @@ class Runtime:
                     )
                     diag = 0
                     diag_kind = ""
+                if gen and (n_systems // sys_ax) % gen:
+                    log_once(
+                        f"generic-offset lane-pack factor {gen} does not "
+                        f"divide the per-shard system count "
+                        f"{n_systems // sys_ax}: falling back to the jnp "
+                        "sweep path"
+                    )
+                    gen = 0
+                    gen_info = None
         # sublane packing: stack ks systems per 3D kernel instance (fewer,
         # fatter grid steps — small lattices are otherwise pipeline-bound);
         # shard-local system counts must stay divisible
@@ -356,6 +387,12 @@ class Runtime:
                     c, tuple(lattice.shape), diag_kind, diag
                 )
             )(coup)
+        elif gen:
+            jgrids = jax.vmap(
+                lambda c: pallas_sweep_diag.pack_coupling_grids_gen(
+                    c, lattice, gen
+                )
+            )(coup)
         else:
             jgrids = None
         return cls(
@@ -365,6 +402,8 @@ class Runtime:
             tri_pack=tri_pack,
             diag=diag,
             diag_kind=diag_kind,
+            gen=gen,
+            gen_info=gen_info,
             pallas_ok=on_device,
             halo2d=halo2d,
             halo2d_k=halo2d_k,
@@ -534,9 +573,14 @@ class LoopProgram:
             rt.diag > 0
             and (rt.n_systems // sys_shards) // rt.diag <= 8
         )
+        fuse_gen = (
+            rt.gen > 0
+            and (rt.n_systems // sys_shards) // rt.gen <= 8
+        )
         self.fuse_measure = (
             (
-                rt.use_pallas or rt.tri or fuse_3d or fuse_diag or rt.halo2d
+                rt.use_pallas or rt.tri or fuse_3d or fuse_diag or fuse_gen
+                or rt.halo2d
                 or bool(rt.halo2d_k) or bool(rt.halo3d)
             )
             and (c is None or c.action == "observe")
@@ -912,6 +956,8 @@ class LoopProgram:
             sweep = f"pallas-3d(kp={rt.kernel3d},ks={rt.kernel3d_rows})"
         elif rt.diag:
             sweep = f"pallas-{rt.diag_kind}(kp={rt.diag})"
+        elif rt.gen:
+            sweep = f"pallas-gen(kp={rt.gen})"
         elif rt.halo2d:
             sweep = "pallas-2d-halo"
         elif rt.halo2d_k:
@@ -1206,6 +1252,22 @@ class LoopProgram:
                     sp, jg, st, sd, shape=tuple(rt.lattice.shape),
                     kind=rt.diag_kind, kp=rt.diag, gibbs=gibbs,
                     interpret=interpret,
+                )
+
+            n_out = 3 if self.fuse_measure else 1
+        elif rt.gen:
+            seeds = pallas_sweep.make_seeds(skeys, rt.n_systems // rt.gen)
+            gen_fn = (
+                pallas_sweep_diag.sweep_gen_fused
+                if self.fuse_measure
+                else pallas_sweep_diag.sweep_gen
+            )
+            shape3, *gen_rest = rt.gen_info
+
+            def call(sp, jg, st, sd):
+                return gen_fn(
+                    sp, jg, st, sd, shape=shape3, gen=tuple(gen_rest),
+                    kp=rt.gen, gibbs=gibbs, interpret=interpret,
                 )
 
             n_out = 3 if self.fuse_measure else 1
@@ -2414,7 +2476,7 @@ class LoopProgram:
             sweep_scope = phase_scope("sweep")
             sweep_scope.__enter__()
             if (rt.use_pallas or rt.pack_k or rt.kernel3d or rt.tri
-                    or rt.tri_pack or rt.diag):
+                    or rt.tri_pack or rt.diag or rt.gen):
                 spins, fused_em = self._sweep_phase_pallas(spins, sid, keys)
             elif rt.halo2d or rt.halo2d_k:
                 spins, fused_em = self._sweep_phase_halo(spins, sid, keys)

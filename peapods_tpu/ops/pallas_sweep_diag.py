@@ -60,6 +60,12 @@ __all__ = [
     "sweep_diag_fused",
     "sweep_diag_injected",
     "N_COLORS_DIAG",
+    "gen_meta",
+    "pack_factor_gen",
+    "pack_coupling_grids_gen",
+    "sweep_gen",
+    "sweep_gen_fused",
+    "sweep_gen_injected",
 ]
 
 _BCC = np.array([[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]])
@@ -111,6 +117,96 @@ def pack_factor_diag(lattice, n_systems) -> int:
     return kp if n_systems % kp == 0 else 0
 
 
+def gen_meta(lattice, max_table=16):
+    """Generic-offset kernel metadata, or ``None`` when unsupported.
+
+    The reference runs ANY ``with_offsets`` lattice through one flat
+    neighbor-table sweep (geometry/lattice.rs:44, mcmc/sweep.rs:51-97);
+    this is the packed-tile counterpart: 2D/3D lattices whose greedy
+    coloring is PERIODIC with a small cell (checked against the actual
+    greedy coloring, so the kernel's site schedule matches
+    :func:`peapods_tpu.ops.sweep.mc_sweep` exactly) and whose offsets fit
+    inside the extents.  Named geometries with dedicated kernels take
+    precedence in the engine; this is the fallback that keeps custom
+    offset tables (e.g. next-nearest-neighbor square) off the jnp path.
+
+    Returns ``(shape3, offsets3, periods, table, n_colors)`` — everything
+    static and hashable; 2D lattices are lifted to ``l2 = 1``.
+    """
+    nd = lattice.n_dims
+    if nd not in (2, 3):
+        return None
+    shape3 = tuple(int(x) for x in lattice.shape) + (1,) * (3 - nd)
+    l0, l1, l2 = shape3
+    if l0 % 8 or l0 < 2 or l1 < 2 or l1 * l2 < 8:
+        return None
+    offs = [tuple(int(c) for c in o) + (0,) * (3 - nd)
+            for o in lattice.offsets]
+    for o in offs:
+        if all(c == 0 for c in o):
+            return None
+        for a, c in enumerate(o):
+            # each axis step must stay short of a full wrap, and the
+            # repeated stride-1 composition should stay cheap
+            if abs(c) >= shape3[a] or abs(c) > 4:
+                return None
+    cg = np.asarray(lattice.colors).reshape(lattice.shape)
+    if nd == 2:
+        cg = cg[:, :, None]
+    periods = []
+    for a in range(3):
+        ext = cg.shape[a]
+        for p in (1, 2, 3, 4, 8):
+            if p <= ext and ext % p == 0 and np.array_equal(
+                cg, np.roll(cg, p, axis=a)
+            ):
+                periods.append(p)
+                break
+        else:
+            return None
+    p0, p1, p2 = periods
+    if p0 * p1 * p2 > max_table:
+        return None
+    table = cg[:p0, :p1, :p2]
+    n_colors = int(lattice.n_colors)
+    if n_colors > max_table:
+        return None
+    return (
+        shape3,
+        tuple(offs),
+        (p0, p1, p2),
+        tuple(int(v) for v in table.reshape(-1)),
+        n_colors,
+    )
+
+
+def pack_factor_gen(lattice, n_systems) -> int:
+    """Lane-pack factor kp >= 1 for the generic-offset kernel (0 =
+    unsupported)."""
+    meta = gen_meta(lattice)
+    if meta is None:
+        return 0
+    _, _, _, _, _ = meta
+    l0, l1, l2 = meta[0]
+    block = l1 * l2
+    kp = 128 // math.gcd(128, block)
+    return kp if n_systems % kp == 0 else 0
+
+
+def pack_coupling_grids_gen(coup_fwd, lattice, kp):
+    """Pre-shifted coupling grids for the generic kernel (the
+    :func:`pack_coupling_grids_diag` construction on arbitrary offsets)."""
+    meta = gen_meta(lattice)
+    (l0, l1, l2), offs = meta[0], meta[1]
+    grids = []
+    for d, o in enumerate(offs):
+        jd = coup_fwd[:, d].reshape(l0, l1, l2)
+        bwd = jnp.roll(jd, o, axis=(0, 1, 2))
+        grids.append(bwd.reshape(l0, l1 * l2))
+        grids.append(jd.reshape(l0, l1 * l2))
+    return jnp.tile(jnp.stack(grids), (1, 1, kp))
+
+
 def pack_coupling_grids_diag(coup_fwd, shape, kind, kp):
     """``f32 [2*n_nb, L0, kp*L1*L2]`` pre-shifted coupling grids.
 
@@ -129,9 +225,12 @@ def pack_coupling_grids_diag(coup_fwd, shape, kind, kp):
     return jnp.tile(jnp.stack(grids), (1, 1, kp))
 
 
-def _neighbor_fns(l0, l1, l2, col, block, kind):
+def _neighbor_fns(l0, l1, l2, col, block, offsets):
     """Per-offset (fwd, bwd) neighbor-value closures on the packed tile,
-    composed from the seam-corrected axis shifts."""
+    composed from the seam-corrected axis shifts.  ``offsets`` rows are
+    ``(di, dj, dk)`` with arbitrary small components: each axis step is the
+    stride-1 seam-corrected closure applied ``|c|`` times (each application
+    wraps its own axis independently, so compositions stay graph-local)."""
     (jm, jp, km, kp_), _ = _lane_shift_fns(col, block, l1, l2)
 
     def im(x):  # x[i-1, ...]
@@ -140,19 +239,29 @@ def _neighbor_fns(l0, l1, l2, col, block, kind):
     def ip(x):  # x[i+1, ...]
         return pltpu.roll(x, l0 - 1, 0)
 
-    ident = lambda x: x
-    i_step = {-1: im, 0: ident, 1: ip}
-    j_step = {-1: jm, 0: ident, 1: jp}
-    k_step = {-1: km, 0: ident, 1: kp_}
+    steps = [(im, ip), (jm, jp), (km, kp_)]
+
+    def axis_step(x, axis, c):
+        neg, pos = steps[axis]
+        f = pos if c > 0 else neg
+        for _ in range(abs(int(c))):
+            x = f(x)
+        return x
 
     fns = []
-    for di, dj, dk in _OFFSETS[kind]:
-        def make(di=di, dj=dj, dk=dk):
+    for off in offsets:
+        def make(off=tuple(int(c) for c in off)):
             def fwd(x):  # value at p + o
-                return i_step[di](j_step[dj](k_step[dk](x)))
+                for a, c in enumerate(off):
+                    if c:
+                        x = axis_step(x, a, c)
+                return x
 
             def bwd(x):  # value at p - o
-                return i_step[-di](j_step[-dj](k_step[-dk](x)))
+                for a, c in enumerate(off):
+                    if c:
+                        x = axis_step(x, a, -c)
+                return x
 
             return fwd, bwd
 
@@ -160,14 +269,40 @@ def _neighbor_fns(l0, l1, l2, col, block, kind):
     return fns
 
 
+def _color_tile(periods, table, row, j_coord, k_coord, l0):
+    """Per-site color tile from a periodic color table: ``color[p] =
+    table[i % p0, j % p1, k % p2]`` rebuilt from iotas (the generic form of
+    the BCC/FCC parity formulas)."""
+    p0, p1, p2 = periods
+    i_m = jax.lax.rem(jax.lax.rem(row, np.int32(l0)), np.int32(p0))
+    j_m = jax.lax.rem(j_coord, np.int32(p1))
+    k_m = jax.lax.rem(k_coord, np.int32(p2))
+    color = jnp.zeros_like(row)
+    for idx, val in enumerate(table):
+        a = idx // (p1 * p2)
+        b = (idx // p2) % p1
+        c = idx % p2
+        if val:
+            color = jnp.where(
+                (i_m == a) & (j_m == b) & (k_m == c), np.int32(val), color
+            )
+    return color
+
+
 def _body_diag(s, jg, inv_half_t, uniform_for_color, *, gibbs, kind, l0, l1,
-               l2, with_energy=False):
+               l2, with_energy=False, offsets=None, periods=None,
+               table=None, n_colors=None):
     """Multicolor update of one ``[L0, kp*L1*L2]`` tile.
 
     ``with_energy=True`` additionally returns the per-site positive
     forward-bond energy contributions of the post-sweep state (each
     forward bond counted once at its owner site), which the caller
     reduces per packed system.
+
+    ``kind`` is ``"bcc"``/``"fcc"`` (named offsets + parity-formula
+    colors) or ``"gen"`` (arbitrary ``offsets`` with the periodic color
+    ``table`` of period ``periods`` — the reference's generic table-lookup
+    sweep, mcmc/sweep.rs:51-97, as composed seam-corrected shifts).
     """
     keep = np.float32(1.0 - METROPOLIS_LAZINESS)
     rows, lanes = s.shape
@@ -178,11 +313,18 @@ def _body_diag(s, jg, inv_half_t, uniform_for_color, *, gibbs, kind, l0, l1,
     j_coord = cb // l2
     if kind == "bcc":
         color = row & 1
-    else:
+        offsets = _OFFSETS[kind]
+        n_colors = N_COLORS_DIAG[kind]
+    elif kind == "fcc":
         color = 2 * (row & 1) + (j_coord & 1)
-    fns = _neighbor_fns(l0, l1, l2, col, block, kind)
+        offsets = _OFFSETS[kind]
+        n_colors = N_COLORS_DIAG[kind]
+    else:
+        k_coord = cb % l2
+        color = _color_tile(periods, table, row, j_coord, k_coord, l0)
+    fns = _neighbor_fns(l0, l1, l2, col, block, offsets)
 
-    for c in range(N_COLORS_DIAG[kind]):
+    for c in range(n_colors):
         field = jnp.zeros_like(s)
         for d, (fwd, bwd) in enumerate(fns):
             field = field + bwd(s) * jg[2 * d] + fwd(s) * jg[2 * d + 1]
@@ -203,7 +345,7 @@ def _body_diag(s, jg, inv_half_t, uniform_for_color, *, gibbs, kind, l0, l1,
 
 
 def _kernel_diag(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
-                 gibbs, kind, l0, l1, l2, kp):
+                 gibbs, kind, l0, l1, l2, kp, gen=None):
     d_idx = pl.program_id(0)
     grp = pl.program_id(1)
     _seed_prng(seed_ref, d_idx, grp)
@@ -214,15 +356,18 @@ def _kernel_diag(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref, *,
         lambda c: temp_ref[d_idx, grp * kp + c],
         rows, lanes, l0, block, kp, 1,
     )
+    gen_kw = {} if gen is None else dict(
+        offsets=gen[0], periods=gen[1], table=gen[2], n_colors=gen[3]
+    )
     out_ref[0, 0] = _body_diag(
         s, jgrids_ref[0], inv_half_t, lambda c: _hw_uniform(s.shape),
-        gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2,
+        gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2, **gen_kw,
     ).astype(jnp.int8)
 
 
 def _kernel_diag_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref,
                        e_ref, m_ref, *, gibbs, kind, l0, l1, l2, kp,
-                       n_spins):
+                       n_spins, gen=None):
     """Sweep + fused per-system energy/magnetization (same contract as the
     other fused sweep kernels: no cluster update between sweep and
     measurement)."""
@@ -236,9 +381,13 @@ def _kernel_diag_fused(seed_ref, temp_ref, spins_ref, jgrids_ref, out_ref,
         lambda c: temp_ref[d_idx, grp * kp + c],
         rows, lanes, l0, block, kp, 1,
     )
+    gen_kw = {} if gen is None else dict(
+        offsets=gen[0], periods=gen[1], table=gen[2], n_colors=gen[3]
+    )
     s, e_site = _body_diag(
         s, jgrids_ref[0], inv_half_t, lambda c: _hw_uniform(s.shape),
         gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2, with_energy=True,
+        **gen_kw,
     )
     out_ref[0, 0] = s.astype(jnp.int8)
     e_sys = _per_system_sums(e_site, l0, block, kp, 1)
@@ -356,6 +505,99 @@ def sweep_diag_injected(spins, jgrids, sys_temps, uniforms, *, shape, kind,
         out_ref[0, 0] = _body_diag(
             s, jg_ref[0], inv_half_t, lambda c: u_ref[0, 0, c],
             gibbs=gibbs, kind=kind, l0=l0, l1=l1, l2=l2,
+        ).astype(jnp.int8)
+
+    packed = pack_rows_3d(spins, l0, block, kp, 1)[None]
+    band = pl.BlockSpec((1, 1, l0, lanes), lambda d, i: (d, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band,
+            pl.BlockSpec((1, n_grids, l0, lanes), lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_colors, l0, lanes),
+                         lambda d, i: (d, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((1, g, l0, lanes), jnp.int8),
+        interpret=_interp(interpret),
+    )(sys_temps[None], packed, jgrids[None], uniforms[None])
+    return unpack_rows_3d(out[0], l0, block, kp, 1)
+
+
+# ------------------------------------------------- generic-offset kernel
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "gen", "kp", "gibbs", "interpret"),
+)
+def sweep_gen(spins, jgrids, sys_temps, seeds, *, shape, gen, kp,
+              gibbs=False, interpret=False):
+    """Full multicolor sweep for an ARBITRARY offset table (the reference's
+    generic neighbor-table sweep, mcmc/sweep.rs:51-97).
+
+    ``gen`` = ``(offsets3, periods, table, n_colors)`` from
+    :func:`gen_meta` (items 1-4); ``shape`` the lifted 3-axis shape.
+    Everything else matches :func:`sweep_diag`.
+    """
+    l0, l1, l2 = shape
+    kernel = functools.partial(
+        _kernel_diag, gibbs=gibbs, kind="gen", l0=l0, l1=l1, l2=l2, kp=kp,
+        gen=gen,
+    )
+    return _diag_call(kernel, spins, jgrids, sys_temps, seeds, shape, kp,
+                      interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "gen", "kp", "gibbs", "interpret"),
+)
+def sweep_gen_fused(spins, jgrids, sys_temps, seeds, *, shape, gen, kp,
+                    gibbs=False, interpret=False):
+    """Generic-offset sweep + fused (e, m); returns ``(spins, e, m)``."""
+    l0, l1, l2 = shape
+    n_d, n_systems = spins.shape[:2]
+    kernel = functools.partial(
+        _kernel_diag_fused, gibbs=gibbs, kind="gen", l0=l0, l1=l1, l2=l2,
+        kp=kp, n_spins=l0 * l1 * l2, gen=gen,
+    )
+    extra = (
+        jax.ShapeDtypeStruct((n_d, n_systems), jnp.float32),
+        jax.ShapeDtypeStruct((n_d, n_systems), jnp.int32),
+    )
+    return _diag_call(kernel, spins, jgrids, sys_temps, seeds, shape, kp,
+                      extra_out=extra, interpret=interpret)
+
+
+def sweep_gen_injected(spins, jgrids, sys_temps, uniforms, *, shape, gen,
+                       kp, gibbs=False, interpret=False):
+    """Test-only generic-offset variant with caller-supplied uniforms
+    (``f32 [g, n_colors, L0, kp*block]`` packed like the spins); single
+    realization."""
+    l0, l1, l2 = shape
+    block = l1 * l2
+    lanes = kp * block
+    n_systems = spins.shape[0]
+    g = n_systems // kp
+    n_colors = gen[3]
+    n_grids = jgrids.shape[0]
+
+    def kernel(temp_ref, spins_ref, jg_ref, u_ref, out_ref):
+        grp = pl.program_id(1)
+        s = spins_ref[0, 0].astype(jnp.float32)
+        inv_half_t = _packed_inv_half_t(
+            lambda c: temp_ref[0, grp * kp + c],
+            l0, lanes, l0, block, kp, 1,
+        )
+        out_ref[0, 0] = _body_diag(
+            s, jg_ref[0], inv_half_t, lambda c: u_ref[0, 0, c],
+            gibbs=gibbs, kind="gen", l0=l0, l1=l1, l2=l2,
+            offsets=gen[0], periods=gen[1], table=gen[2], n_colors=gen[3],
         ).astype(jnp.int8)
 
     packed = pack_rows_3d(spins, l0, block, kp, 1)[None]
