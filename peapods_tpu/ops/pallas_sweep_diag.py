@@ -66,6 +66,9 @@ __all__ = [
     "sweep_gen",
     "sweep_gen_fused",
     "sweep_gen_injected",
+    "sweep_gen_halo_color",
+    "sweep_gen_halo_color_injected",
+    "halo_gen_meta",
 ]
 
 _BCC = np.array([[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]])
@@ -620,3 +623,200 @@ def sweep_gen_injected(spins, jgrids, sys_temps, uniforms, *, shape, gen,
         interpret=_interp(interpret),
     )(sys_temps[None], packed, jgrids[None], uniforms[None])
     return unpack_rows_3d(out[0], l0, block, kp, 1)
+
+
+# ----------------------------------------- generic halo (space-mesh) kernel
+
+def halo_gen_meta(lattice, n_systems, n_shards):
+    """Generic halo-kernel metadata ``(meta, m)`` or ``None``: serves ANY
+    gen_meta-supported lattice under a ``space`` mesh (triangular, BCC,
+    FCC, custom offsets) when the band tiles need no lane packing
+    (``block % 128 == 0``), rows split into whole 8-aligned bands, and the
+    halo depth ``m = max |offset[0]|`` stays within one neighbor band."""
+    meta = gen_meta(lattice)
+    if meta is None:
+        return None
+    (l0, l1, l2), offs = meta[0], meta[1]
+    block = l1 * l2
+    if block % 128:
+        return None  # lane-packed halo variant not built (kp must be 1)
+    if l0 % n_shards:
+        return None
+    hl = l0 // n_shards
+    m = max(abs(o[0]) for o in offs)
+    if m == 0:
+        return None  # no cross-band offsets: the plain gen kernel serves
+    if hl % 8 or hl < m:
+        return None
+    del n_systems
+    return meta, m
+
+
+def _kernel_gen_halo(seed_ref, temp_ref, off_ref, sext_ref, jg_ref, out_ref,
+                     *, gibbs, gen, color, m, hl, l0, l1, l2,
+                     u_injected=False, u_ref=None):
+    """Single-color pass over one system's EXTENDED row band (band + m halo
+    rows per side, concatenated by the engine after its ``ppermute`` ring).
+
+    Row steps are plain rolls — the extended tile is a contiguous global
+    row window, so a roll only wraps garbage into the halo rows, whose
+    coupling grids are zero-padded and whose output rows the engine
+    discards.  Lane steps are the seam-corrected stride-1 closures applied
+    ``|c|`` times (the generic-offset composition).  The color table is
+    evaluated at GLOBAL row indices (``off`` = the band's first global
+    row), so the multicolor schedule is globally consistent — the
+    space-mesh counterpart of :func:`sweep_gen` (one color per call; later
+    colors must see earlier colors' cross-shard updates via fresh halos).
+    """
+    offsets, periods, table, _n_colors = gen
+    d_idx = pl.program_id(0)
+    sys_idx = pl.program_id(1)
+    if not u_injected:
+        _seed_prng(seed_ref, d_idx, sys_idx)
+    keep = np.float32(1.0 - METROPOLIS_LAZINESS)
+    inv_half_t = 1.0 / (0.5 * temp_ref[d_idx, sys_idx])
+    s = sext_ref[0, 0].astype(jnp.float32)  # [hl + 2m, block]
+    jg = jg_ref[0]  # [2*n_nb, hl + 2m, block] (halo rows zero)
+    rows_e, block = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_e, block), 1)
+    (jm, jp, km, kp_) , _ = _lane_shift_fns(col, block, l1, l2)
+
+    def axis_step(x, axis, c):
+        if axis == 0:
+            return pltpu.roll(x, (-c) % rows_e, 0)
+        fns = [(jm, jp), (km, kp_)][axis - 1]
+        f = fns[1] if c > 0 else fns[0]
+        for _ in range(abs(int(c))):
+            x = f(x)
+        return x
+
+    def shift(x, off, sign):
+        for a, c in enumerate(off):
+            if c:
+                x = axis_step(x, a, sign * int(c))
+        return x
+
+    field = jnp.zeros_like(s)
+    for d, o in enumerate(offsets):
+        field = field + shift(s, o, -1) * jg[2 * d] + shift(s, o, 1) * jg[
+            2 * d + 1
+        ]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows_e, block), 0)
+    i_glob = row - np.int32(m) + off_ref[0, 0]
+    # halo rows see i_glob in [-m, 0) / [L0_band, ...): wrap into [0, L0)
+    i_glob = jax.lax.rem(i_glob + np.int32(l0), np.int32(l0))
+    cb = col % np.int32(block)
+    j_coord = cb // np.int32(l2)
+    k_coord = jax.lax.rem(cb, np.int32(l2))
+    ctile = _color_tile(periods, table, i_glob, j_coord, k_coord, l0)
+    x = -s * field * inv_half_t
+    u = u_ref[0, 0] if u_injected else _hw_uniform(s.shape)
+    if gibbs:
+        p = jax.nn.sigmoid(x)
+    else:
+        p = keep * jnp.exp(jnp.minimum(x, 0.0))
+    flip = (u < p) & (ctile == color)
+    out_ref[0, 0] = jnp.where(flip, -s, s).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shape_local", "gen", "color", "m", "gibbs", "interpret"
+    ),
+)
+def sweep_gen_halo_color(sext, jgrids_ext, sys_temps, seeds, off, *,
+                         shape_local, gen, color, m, gibbs=False,
+                         interpret=False):
+    """One generic-offset color pass over every (realization, system)'s
+    extended local row band.
+
+    Args:
+        sext: ``int8 [n_d, n_systems, Hl + 2m, block]`` extended band.
+        jgrids_ext: ``f32 [n_d, 2*n_nb, Hl + 2m, block]`` local pre-shifted
+            coupling grids, zero at the halo rows.
+        off: ``int32 [1, 1]`` global first-row index of the band.
+        shape_local: ``(Hl, l0_global, l1, l2)``.
+        gen: ``(offsets3, periods, table, n_colors)`` from
+            :func:`gen_meta`.
+    """
+    hl, l0, l1, l2 = shape_local
+    block = l1 * l2
+    rows_e = hl + 2 * m
+    n_d, n_systems = sext.shape[:2]
+    kernel = functools.partial(
+        _kernel_gen_halo, gibbs=gibbs, gen=gen, color=color, m=m, hl=hl,
+        l0=l0, l1=l1, l2=l2,
+    )
+    band_spec = pl.BlockSpec((1, 1, rows_e, block), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    n_grids = jgrids_ext.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_d, n_systems),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band_spec,
+            pl.BlockSpec((1, n_grids, rows_e, block),
+                         lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_d, n_systems, rows_e, block), jnp.int8
+        ),
+        interpret=_interp(interpret),
+    )(seeds, sys_temps, off, sext, jgrids_ext)
+
+
+def sweep_gen_halo_color_injected(sext, jgrids_ext, sys_temps, uniforms,
+                                  off, *, shape_local, gen, color, m,
+                                  gibbs=False, interpret=False):
+    """Test-only halo-color pass with caller-supplied uniforms
+    (``f32 [n_systems, Hl + 2m, block]``); single realization."""
+    hl, l0, l1, l2 = shape_local
+    block = l1 * l2
+    rows_e = hl + 2 * m
+    n_systems = sext.shape[0]
+    kernel = functools.partial(
+        _kernel_gen_halo, gibbs=gibbs, gen=gen, color=color, m=m, hl=hl,
+        l0=l0, l1=l1, l2=l2, u_injected=True,
+    )
+
+    def wrapped(seed_ref, temp_ref, off_ref, sext_ref, jg_ref, u_ref,
+                out_ref):
+        kernel(seed_ref, temp_ref, off_ref, sext_ref, jg_ref, out_ref,
+               u_ref=u_ref)
+
+    band_spec = pl.BlockSpec((1, 1, rows_e, block), lambda d, i: (d, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    n_grids = jgrids_ext.shape[0]
+    out = pl.pallas_call(
+        wrapped,
+        grid=(1, n_systems),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            band_spec,
+            pl.BlockSpec((1, n_grids, rows_e, block),
+                         lambda d, i: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            band_spec,
+        ],
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (1, n_systems, rows_e, block), jnp.int8
+        ),
+        interpret=_interp(interpret),
+    )(
+        jnp.zeros((1, 2 * n_systems), jnp.int32),
+        sys_temps[None],
+        off,
+        sext[None],
+        jgrids_ext[None],
+        uniforms[None],
+    )
+    return out[0]
