@@ -81,6 +81,10 @@ JOBS = [
     ("observe_cost", ["benchmarks/observe_ab.py"], 5400),
     # Pallas band-local CC body: space=1 op-level A/B (VERDICT item 3)
     ("band_cc", ["benchmarks/band_cc_ab.py"], 5400),
+    # mp_event re-A/B after the round-5 per-mode pl.when masking (hoisted
+    # draw streams; unselected modes now cost only their uniforms) —
+    # decides default ON vs frozen (VERDICT item 7)
+    ("mp_event_r5", ["benchmarks/mp_event_ab.py"], 5400),
 ]
 
 

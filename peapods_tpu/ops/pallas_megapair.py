@@ -981,22 +981,43 @@ def _mp_kernel(
                     )
                 mode_scal = ev_mode_ref[0, 0, 0]
                 ev_on = n_active > 0
+                n_u = {"houdayer": 0, "jorg": n_dims, "cmr": 2 * n_dims}
                 for g in range(n_tgroups):
                     g0 = g * tg
                     uni = make_ev_uniform(g0)
-                    s = (
-                        spins_out_ref[0, g0:g0 + tg]
-                        .reshape(gN, lanes)
-                        .astype(jnp.int32)
-                    )
-                    s = ev_permute(s, ev_perm_ref, g0)
+                    # Per-mode masking (round 5): the draw stream is
+                    # hoisted — every mode's uniforms are drawn whether
+                    # selected or not, in the exact body order of the old
+                    # maskless design (bitwise-identical streams) — and
+                    # each mode's BODY (permute, bonds, CC, flips,
+                    # inverse permute) runs under pl.when on its
+                    # mode-select scalar, so unselected round-robin modes
+                    # cost only their draws.  No mode selected (sentinel
+                    # blocks / ev_on false): the ref is never written, the
+                    # identity the old permute+inverse pair computed.
+                    drawn = {
+                        kind: [uni() for _ in range(n_u[kind])]
+                        for kind in ev_kinds
+                    }
                     for ki, kind in enumerate(ev_kinds):
-                        gate = ev_on & (mode_scal == ki)
-                        s = ev_bodies[kind](s, g0, gate, uni)
-                    s = ev_permute(s, ev_iperm_ref, g0)
-                    spins_out_ref[0, g0:g0 + tg] = s.astype(
-                        jnp.int8
-                    ).reshape(tg, rows, lanes)
+
+                        @pl.when(ev_on & (mode_scal == ki))
+                        def _(ki=ki, kind=kind, g0=g0):
+                            tiles = iter(drawn[kind])
+                            s = (
+                                spins_out_ref[0, g0:g0 + tg]
+                                .reshape(gN, lanes)
+                                .astype(jnp.int32)
+                            )
+                            s = ev_permute(s, ev_perm_ref, g0)
+                            s = ev_bodies[kind](
+                                s, g0, jnp.bool_(True),
+                                lambda: next(tiles),
+                            )
+                            s = ev_permute(s, ev_iperm_ref, g0)
+                            spins_out_ref[0, g0:g0 + tg] = s.astype(
+                                jnp.int8
+                            ).reshape(tg, rows, lanes)
 
             def recompute_es():
                 """Post-event per-slot energies (the move mutated spins, so
@@ -1029,8 +1050,12 @@ def _mp_kernel(
             run_overlap_event()
             if pt_interval is not None:
                 # the move mutated spins; PT must re-derive energies
-                # (mod.rs:748-754) — skipped entirely when PT is off
-                recompute_es()
+                # (mod.rs:748-754) — skipped entirely when PT is off, and
+                # for sentinel-padded blocks (PT only reads es under
+                # n_active > 0, so gating is output-neutral)
+                @pl.when(n_active > 0)
+                def _():
+                    recompute_es()
 
             @pl.when(n_active > 0)
             def _():
