@@ -85,6 +85,9 @@ JOBS = [
     # draw streams; unselected modes now cost only their uniforms) —
     # decides default ON vs frozen (VERDICT item 7)
     ("mp_event_r5", ["benchmarks/mp_event_ab.py"], 5400),
+    # generic-offset kernel: custom tables vs jnp + generic-vs-dedicated
+    # FCC overhead (VERDICT item 4 chip evidence)
+    ("gen", ["benchmarks/gen_ab.py"], 5400),
 ]
 
 
