@@ -2092,9 +2092,28 @@ class LoopProgram:
                 )
             if (
                 mode.kind == "houdayer"
-                and not (with_stats or with_snapshot)
+                and not (self.observe_overlap or with_snapshot)
                 and pallas_event.supports_event_houdn(rt.lattice, g)
             ):
+                if collect_only:
+                    # CSD/top4 from the kernel's resident labels, like the
+                    # g=2 collect path (deterministic houdN bonds: the
+                    # collected stats are bitwise the staged path's)
+                    new_tspins, labels = self._event_fused_houd(
+                        mode, tspins, tkeys, with_labels=True
+                    )
+                    counts = jax.vmap(jax.vmap(cl.component_counts))(labels)
+                    zi = jnp.zeros(labels.shape[:2], jnp.int32)
+                    zb = jnp.zeros(labels.shape[:2], bool)
+                    return ov.OverlapMoveOut(
+                        new_tspins, None, None, None,
+                        jax.vmap(jax.vmap(cl.csd_histogram))(counts),
+                        cl.GraphObservation(
+                            top4=jax.vmap(jax.vmap(cl.top4_sizes))(counts),
+                            active_bonds=zi, winding_x=zb, winding_y=zb,
+                            large_components=zi,
+                        ),
+                    )
                 new_tspins = self._event_fused_houd(mode, tspins, tkeys)
                 return ov.OverlapMoveOut(
                     new_tspins, None, None, None, None, None
@@ -2289,11 +2308,13 @@ class LoopProgram:
             ret = ret + (out[-1].reshape(d, n_tasks, n, -1) != 0,)
         return ret
 
-    def _event_fused_houd(self, mode, tspins, tkeys):
+    def _event_fused_houd(self, mode, tspins, tkeys, with_labels=False):
         """Houdayer(N) event (even group sizes > 2) through the fused
         kernel: balanced-site bonds are deterministic, so this path is
         bitwise the staged path end-to-end.  ``tspins``: int8
-        ``[d, n_tasks, g, n_spins]``."""
+        ``[d, n_tasks, g, n_spins]``.  ``with_labels``: additionally
+        return the CC labels ``int32 [d, n_tasks, n_spins]`` (cleaned to
+        the staged min-site-index convention) for collect-stats runs."""
         import os
 
         rt = self.rt
@@ -2335,6 +2356,7 @@ class LoopProgram:
             outs = pallas_event.houdn_event_batch(
                 packs, gscal.reshape(g_tiles, tile, 6),
                 wolff=wolff, shape=shape, kp=kp, ks=ks, interpret=interp,
+                with_labels=with_labels,
                 tri=self._lat_tri, log_cc=self.cc_log,
             )
             return tuple(
@@ -2347,11 +2369,26 @@ class LoopProgram:
             run_local = jax.shard_map(
                 run_local, mesh=mesh,
                 in_specs=(spec,) * (1 + g_size),
-                out_specs=(spec,) * g_size,
+                out_specs=(spec,) * (g_size + (1 if with_labels else 0)),
                 check_vma=False,
             )
         outs = run_local(gscal, *slots)
-        return jnp.stack(outs, axis=1).reshape(d, n_tasks, g_size, n)
+        new_tspins = jnp.stack(outs[:g_size], axis=1).reshape(
+            d, n_tasks, g_size, n
+        )
+        if not with_labels:
+            return new_tspins
+        labels = outs[g_size].reshape(d, n_tasks, n)
+        if wolff:
+            # rewrite the -1 seed-cluster marker to that cluster's min
+            # site index (the staged labels convention)
+            neg = labels == -1
+            idx = jnp.arange(n, dtype=labels.dtype)
+            mn = jnp.min(
+                jnp.where(neg, idx, jnp.int32(n)), axis=-1, keepdims=True
+            )
+            labels = jnp.where(neg, mn, labels)
+        return new_tspins, labels
 
     def _task_stats(self, out, n_groups):
         """Per-temperature stats reduction of a task batch (temps-major

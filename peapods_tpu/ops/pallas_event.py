@@ -899,12 +899,18 @@ def houdn_scalars(wolff: bool, tspins, tkeys, n_spins: int):
 
 
 def _houdn_kernel(
-    gscal_ref, *rest, wolff, g_size, l0, l1, l2, kp, ks, n_dims,
-    tri=False, log_cc=False,
+    gscal_ref, *rest, wolff, g_size, with_labels, l0, l1, l2, kp, ks,
+    n_dims, tri=False, log_cc=False,
 ):
     """Fused Houdayer(N) move: balanced-site mask -> deterministic bonds ->
     CC -> flip ALL group members on the chosen clusters.  Bonds carry no
-    randomness, so this kernel is bitwise the staged path end-to-end."""
+    randomness, so this kernel is bitwise the staged path end-to-end.
+
+    ``with_labels`` additionally writes the CC labels tile (raw Wolff -1
+    marker) so collect-stats houdN runs derive CSD/top4 in jnp without
+    leaving the fused kernel (the g=2 collect path's round-4 mechanism).
+    Bond masks are recomputable in jnp from the spins (deterministic
+    balanced-site bonds), so no mask output is needed."""
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     n_spins = l0 * block
@@ -912,6 +918,9 @@ def _houdn_kernel(
     big = jnp.int32(n_spins)
     s_refs = rest[:g_size]
     outs = rest[g_size:]
+    lab_out = None
+    if with_labels:
+        outs, lab_out = outs[:-1], outs[-1]
 
     shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, l2)
     n_dirs = 3 if tri else n_dims
@@ -964,6 +973,8 @@ def _houdn_kernel(
             inc = inc | ab[d]
         coin = _salted_uniform_i32(labels, gval(_S0), gval(_S1)) < 0.5
         flip = coin & inc
+    if lab_out is not None:
+        lab_out[0] = labels
     for i in range(g_size):
         outs[i][0] = jnp.where(flip, -s[i], s[i]).astype(jnp.int8)
 
@@ -971,16 +982,19 @@ def _houdn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "wolff", "shape", "kp", "ks", "interpret", "tri", "log_cc",
+        "wolff", "shape", "kp", "ks", "interpret", "with_labels", "tri",
+        "log_cc",
     ),
 )
 def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
-                      interpret=False, tri=False, log_cc=False):
+                      interpret=False, with_labels=False, tri=False,
+                      log_cc=False):
     """One fused Houdayer(N) event over a packed task batch.
 
     ``s_packs``: tuple of g ``int8 [G, rows, lanes]`` packed replica slots;
     ``gscal``: ``int32 [G, kp*ks, 6]`` (:func:`houdn_scalars` rows).
-    Returns the g post-move packs.
+    Returns the g post-move packs (plus packed CC labels last with
+    ``with_labels``).
     """
     shape = tuple(shape)
     n_dims = len(shape)
@@ -993,7 +1007,7 @@ def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
     g_size = len(s_packs)
     kernel = functools.partial(
         _houdn_kernel,
-        wolff=wolff, g_size=g_size,
+        wolff=wolff, g_size=g_size, with_labels=with_labels,
         l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dims=n_dims, tri=tri,
         log_cc=log_cc,
     )
@@ -1003,14 +1017,21 @@ def houdn_event_batch(s_packs, gscal, *, wolff, shape, kp, ks,
     smem = pl.BlockSpec(
         (1, kp * ks, 6), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
+    out_specs = (tile,) * g_size
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8)
+        for _ in range(g_size)
+    )
+    if with_labels:
+        out_specs = out_specs + (tile,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        )
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[smem] + [tile] * g_size,
-        out_specs=(tile,) * g_size,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((g, rows, lanes), jnp.int8)
-            for _ in range(g_size)
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(gscal, *s_packs)

@@ -1045,6 +1045,36 @@ def test_engine_houd4_event_bitwise(monkeypatch):
     np.testing.assert_array_equal(ra["overlap2"], rb["overlap2"])
 
 
+def test_engine_houd4_collect_stats_bitwise(monkeypatch):
+    """collect_cluster_stats keeps the fused Houdayer(4) kernel (labels
+    out, CSD/top4 in jnp — round 5); deterministic bonds make the
+    collected statistics AND the trajectory bitwise the staged path's."""
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    kw = dict(pt_interval=1, overlap_cluster_update_interval=3,
+              overlap_cluster_build_mode="houd4",
+              collect_cluster_stats=True, warmup_ratio=0)
+    a = _sim((8, 8, 8), 37, n_replicas=4)
+    ra = a.sample(9, "metropolis", **kw)
+    prog = next(iter(a._programs.values()))
+    assert prog.event_kernel, prog.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_DISABLE_EVENTKERNEL", "1")
+    b = _sim((8, 8, 8), 37, n_replicas=4)
+    rb = b.sample(9, "metropolis", **kw)
+    assert not next(iter(b._programs.values())).event_kernel
+    monkeypatch.delenv("PEAPODS_DISABLE_EVENTKERNEL")
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["overlap_csd"]), np.asarray(rb["overlap_csd"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["top_cluster_sizes"]),
+        np.asarray(rb["top_cluster_sizes"]),
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("wolff", [False, True])
 def test_jorg_fused_sharded_injected_bitwise(wolff):
