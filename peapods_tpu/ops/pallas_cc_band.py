@@ -98,12 +98,13 @@ def band_supports_pallas(geom) -> bool:
 
 
 def band_factors(geom, n_graphs, l0e):
-    """(kp, ks) pack factors for extended band tiles of ``l0e`` rows."""
-    rest = int(np.prod(geom.shape[1:], dtype=np.int64))
-    kp = 128 // math.gcd(128, rest)
-    ks = 1  # bands are few and fat; sublane-stacking buys nothing here
+    """(kp, ks) pack factors for extended band tiles of ``l0e`` rows.
+    Bands are few and fat, so only lane packing (kp) applies;
+    sublane-stacking (ks) buys nothing here.  ``n_graphs``/``l0e`` are
+    accepted for signature parity with ``cc_batch_factors``."""
     del n_graphs, l0e
-    return kp, ks
+    rest = int(np.prod(geom.shape[1:], dtype=np.int64))
+    return 128 // math.gcd(128, rest), 1
 
 
 def offset_closures(shifts_info, offsets):

@@ -189,7 +189,6 @@ def pack_factor_gen(lattice, n_systems) -> int:
     meta = gen_meta(lattice)
     if meta is None:
         return 0
-    _, _, _, _, _ = meta
     l0, l1, l2 = meta[0]
     block = l1 * l2
     kp = 128 // math.gcd(128, block)
