@@ -88,6 +88,9 @@ JOBS = [
     # generic-offset kernel: custom tables vs jnp + generic-vs-dedicated
     # FCC overhead (VERDICT item 4 chip evidence)
     ("gen", ["benchmarks/gen_ab.py"], 5400),
+    # end-of-round refresh through the round-5 defaults, one serialized
+    # session: flagship (now drift-calibrated) + driver configs + 5-mode
+    ("bench_r5", ["benchmarks/bench_all.py"], 7200),
 ]
 
 
