@@ -131,7 +131,13 @@ def _enumerate_lattice(shape, geometry):
     exactly."""
     from peapods_tpu.ops.lattice import GEOMETRY_OFFSETS, Lattice
 
-    lat = Lattice(list(shape), GEOMETRY_OFFSETS[geometry])
+    return _enumerate_offsets(shape, GEOMETRY_OFFSETS[geometry])
+
+
+def _enumerate_offsets(shape, offsets):
+    from peapods_tpu.ops.lattice import Lattice
+
+    lat = Lattice(list(shape), offsets)
     n = lat.n_spins
     assert n <= 16
     states = (((np.arange(2**n)[:, None] >> np.arange(n)[None, :]) & 1) * 2 - 1)
@@ -162,6 +168,28 @@ def test_diagonal_geometry_exact(geometry, kw):
     e_ex, m2_ex = exact_em(E, M, T, n=n)
     m = Ising((2, 2, 4), geometry=geometry,
               temperatures=np.array([T], dtype=np.float32), seed=11)
+    m.sample(8000, warmup_ratio=0.25, **kw)
+    assert abs(m.energies_avg[0] - e_ex) < 0.05
+    assert abs(m.mags2[0] - m2_ex) < 0.06
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, dict(cluster_update_interval=1, cluster_mode="sw")],
+    ids=["metropolis", "sw"],
+)
+def test_custom_offsets_exact(kw):
+    """2x8 next-nearest-neighbor square ferromagnet vs full enumeration —
+    pins custom-offset neighbor semantics (incl. the extent-2 wrap double
+    bonds of the diagonal directions), the ground the generic-offset
+    kernel family stands on (its flips are bitwise this jnp path under
+    shared uniforms, tests/test_pallas_sweep_gen.py)."""
+    offs = [[1, 0], [0, 1], [1, 1], [1, -1]]
+    E, M, n = _enumerate_offsets((2, 8), offs)
+    T = 5.0
+    e_ex, m2_ex = exact_em(E, M, T, n=n)
+    m = Ising((2, 8), neighbor_offsets=offs,
+              temperatures=np.array([T], dtype=np.float32), seed=17)
     m.sample(8000, warmup_ratio=0.25, **kw)
     assert abs(m.energies_avg[0] - e_ex) < 0.05
     assert abs(m.mags2[0] - m2_ex) < 0.06
