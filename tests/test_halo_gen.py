@@ -138,3 +138,36 @@ def test_engine_gen_halo_path(monkeypatch, name, shape, offsets):
     assert c.rt.halo_gen == 0
     assert "sweep=jnp" in next(iter(c._programs.values())).describe_plan()
     monkeypatch.delenv("PEAPODS_DISABLE_GEN")
+
+
+def test_engine_gen_halo_systems_x_space(monkeypatch):
+    """systems x space composition: the halo ring runs per systems-shard
+    and the per-(shard, color) PRNG streams depend only on the space
+    index, so the trajectory is bitwise the space-only run's."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs 4 virtual devices")
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+    from peapods_tpu.parallel.mesh import make_mesh
+
+    offs = [[1, 0], [0, 1], [1, -1]]
+    shape = [16, 128]
+    rng = np.random.default_rng(9)
+    coup = rng.choice(np.float32([-1, 1]), size=tuple(shape) + (3,))
+    temps = np.geomspace(2.0, 6.0, 2).astype(np.float32)
+
+    a = IsingSimulation(shape, coup, temps, 2, offs, 13, default_chunk=2,
+                        mesh=make_mesh(4, ("systems", "space")))
+    a.sample(3, "metropolis", pt_interval=2, warmup_ratio=0)
+    assert a.rt.halo_gen == 1
+
+    b = IsingSimulation(shape, coup, temps, 2, offs, 13, default_chunk=2,
+                        mesh=make_mesh(2, ("space",)))
+    b.sample(3, "metropolis", pt_interval=2, warmup_ratio=0)
+    assert b.rt.halo_gen == 1
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
