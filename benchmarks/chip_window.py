@@ -91,6 +91,10 @@ JOBS = [
     # end-of-round refresh through the round-5 defaults, one serialized
     # session: flagship (now drift-calibrated) + driver configs + 5-mode
     ("bench_r5", ["benchmarks/bench_all.py"], 7200),
+    # on-TPU statistics suite incl. the new fused-observe z-test (the
+    # observed bond graph's hardware-PRNG stream vs the staged threefry
+    # twin on the bitwise-identical trajectory)
+    ("stats_r5", ["tests/tpu_stats_ci.py", "--quick"], 10800),
 ]
 
 
@@ -136,7 +140,7 @@ def main():
         if args.quick and name != "tg":  # tg tool has no --quick
             cmd.append("--quick")
         env = dict(os.environ)
-        if name == "stats":
+        if name in ("stats", "stats_r5"):
             env["PEAPODS_TPU_STATS"] = "1"
         if name == "cc_mix":
             env["PEAPODS_CC_AB_ARMS"] = "0,1,mix"

@@ -239,6 +239,47 @@ def run_event_ztest(quick):
         os.environ.pop("PEAPODS_DISABLE_MEGAPAIR", None)
 
 
+def run_observe_ztest(quick):
+    """Fused-observe-vs-staged-observe z-test (round 5): FK observe mode
+    keeps the fused kernel and draws its observed bond graph from the
+    hardware PRNG; the staged arm draws threefry bonds on the SAME
+    (bitwise-identical) trajectory, so any statistical difference in the
+    observed bond density / large-component count is exactly a
+    hardware-PRNG bond-stream defect."""
+    from peapods_tpu.models.ising import Ising
+
+    n_seeds = 8 if quick else 24
+    n_sweeps = 512 if quick else 2048
+    temps = np.linspace(TC_SQUARE - 0.25, TC_SQUARE + 0.25, 8).astype(
+        np.float32
+    )
+
+    def build_and_sample(s):
+        model = Ising((32, 32), temperatures=temps, seed=9000 + s)
+        prog_env = os.environ.get("PEAPODS_DISABLE_FKKERNEL")
+        r = model.sample(
+            n_sweeps, "metropolis", cluster_update_interval=1,
+            cluster_mode="sw", cluster_action="observe", pt_interval=2,
+        )
+        if prog_env != "1" and s == 0:
+            prog = next(
+                p for p in model._sim._programs.values()
+                if p.cfg.cluster_update is not None
+            )
+            assert prog.fk_kernel_obs, prog.describe_plan()
+        fk = r["per_disorder"]["cluster_observations"]["fk"]
+        return (
+            np.asarray(fk["active_bond_density"][0], np.float64),
+            np.asarray(fk["large_component_count"][0], np.float64),
+        )
+
+    return _two_arm_ztest(
+        "fused-observe-vs-staged", build_and_sample,
+        "PEAPODS_DISABLE_FKKERNEL", n_seeds, temps,
+        names=("bond density", "large components"),
+    )
+
+
 def run_binder(quick):
     from peapods_tpu.models.ising import Ising
 
@@ -273,7 +314,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
-        "--only", choices=["ztest", "pairs", "fk", "event", "binder"]
+        "--only",
+        choices=["ztest", "pairs", "fk", "event", "observe", "binder"],
     )
     args = ap.parse_args()
 
@@ -290,6 +332,9 @@ def main():
     if args.only in (None, "event"):
         print("== fused overlap-event kernel vs staged path: z-test ==")
         ok &= run_event_ztest(args.quick)
+    if args.only in (None, "observe"):
+        print("== fused FK observe vs staged observe: z-test ==")
+        ok &= run_observe_ztest(args.quick)
     if args.only in (None, "binder"):
         print("== Binder cumulant at T_c through the mega path ==")
         ok &= run_binder(args.quick)
