@@ -714,9 +714,16 @@ class LoopProgram:
         cc_mesh_ok = mesh_ok or set(rt.mesh.axis_names) <= {
             "disorder", "systems"
         }
+        # custom offset tables outside the dedicated hypercubic/tri shift
+        # machinery keep the packed-tile CC through generic per-direction
+        # closures (same labels bitwise: unique fixed point)
+        self._cc_gen_offs = pallas_cc_batch.cc_gen_offsets(rt.lattice)
         self.cc_batch = (
             rt.pallas_ok
-            and pallas_cc_batch.supports_cc_batch(rt.lattice)
+            and (
+                pallas_cc_batch.supports_cc_batch(rt.lattice)
+                or self._cc_gen_offs is not None
+            )
             and not self.cc_pallas
             and _os.environ.get("PEAPODS_DISABLE_CCBATCH") != "1"
             and cc_mesh_ok
@@ -1415,6 +1422,7 @@ class LoopProgram:
                 lab = pallas_cc_batch.connected_components_batch(
                     a, shape=tuple(rt.lattice.shape), kp=kp, ks=ks,
                     interpret=interp, tri=self._lat_tri, log_cc=self.cc_log,
+                    offsets=self._cc_gen_offs,
                 )
                 return lab[:nloc]
 

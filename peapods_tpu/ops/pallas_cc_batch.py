@@ -327,10 +327,40 @@ def supports_cc_batch(lattice) -> bool:
     return l0 >= 2 and l1 >= 2 and (kp * block) % 128 == 0 and l0 % 8 == 0
 
 
+def cc_gen_offsets(lattice):
+    """Lifted offsets tuple when the GENERIC packed-tile CC serves this
+    lattice — custom offset tables outside the dedicated hypercubic /
+    triangular shift machinery (which named lattices keep), with the same
+    packing constraints.  The generic fixed point is a monotone min over
+    genuine bonds, so labels converge to the same unique per-graph fixed
+    point bitwise.  Returns None when the dedicated kernel applies or the
+    lattice cannot pack."""
+    if grid_dims(lattice) is not None:
+        return None
+    from .pallas_sweep_diag import gen_meta
+
+    meta = gen_meta(lattice)
+    if meta is None:
+        return None
+    (l0, l1, l2), offs = meta[0], meta[1]
+    block = l1 * l2
+    kp = 128 // math.gcd(128, block)
+    if (kp * block) % 128 or l0 % 8 or l0 < 2 or l1 < 2:
+        return None
+    return offs
+
+
 def cc_batch_factors(lattice, n_graphs):
     """(kp, ks): lane- and sublane-pack factors; the caller pads the batch
     to a multiple of kp*ks."""
-    l0, l1, l2, _, _ = grid_dims(lattice)
+    g = grid_dims(lattice)
+    if g is None:  # generic-offset lattices (cc_gen_offsets path)
+        shape3 = tuple(int(x) for x in lattice.shape) + (1,) * (
+            3 - lattice.n_dims
+        )
+        l0, l1, l2 = shape3
+    else:
+        l0, l1, l2, _, _ = g
     block = l1 * l2
     kp = 128 // math.gcd(128, block)
     ks = max(1, _MAX_ROWS // l0)
@@ -360,7 +390,7 @@ def _unpack(x, l0, block, kp, ks):
 
 
 def _cc_batch_kernel(a_ref, out_ref, *, l0, l1, l2, kp, ks, n_dirs, tri,
-                     log_cc):
+                     log_cc, offsets=None):
     block = l1 * l2
     rows, lanes = ks * l0, kp * block
     big = jnp.int32(l0 * block)
@@ -370,18 +400,31 @@ def _cc_batch_kernel(a_ref, out_ref, *, l0, l1, l2, kp, ks, n_dirs, tri,
         col, np.int32(block)
     )
     bonds = [a_ref[0, d] != 0 for d in range(n_dirs)]
+    shifts_info = (rows, lanes, l0, l1, l2, row, col, shifts)
+    if offsets is not None:
+        # custom offset tables: the classic fixed point with per-direction
+        # closures composed from seam-corrected per-axis strides (the
+        # pallas_cc_band construction; runtime import avoids the cycle)
+        from .pallas_cc_band import _generic_fixed_point
+
+        out_ref[0] = _generic_fixed_point(
+            bonds, init, big, shifts_info, offsets
+        )
+        return
     out_ref[0] = cc_fixed_point(
-        bonds, init, big, (rows, lanes, l0, l1, l2, row, col, shifts),
+        bonds, init, big, shifts_info,
         n_dirs=n_dirs, tri=tri, log_cc=log_cc,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "kp", "ks", "interpret", "tri", "log_cc"),
+    static_argnames=(
+        "shape", "kp", "ks", "interpret", "tri", "log_cc", "offsets",
+    ),
 )
 def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
-                               tri=False, log_cc=None):
+                               tri=False, log_cc=None, offsets=None):
     """Component labels for a batch of bond graphs.
 
     Args:
@@ -406,7 +449,7 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
             log_cc = auto_cc_log(shape)
     shape = tuple(shape)
     n_dims = len(shape)
-    n_dirs = 3 if tri else n_dims
+    n_dirs = len(offsets) if offsets is not None else (3 if tri else n_dims)
     l0 = shape[0]
     block = int(np.prod(shape[1:]))
     l1 = shape[1]
@@ -421,7 +464,7 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
     )
     kernel = functools.partial(
         _cc_batch_kernel, l0=l0, l1=l1, l2=l2, kp=kp, ks=ks, n_dirs=n_dirs,
-        tri=tri, log_cc=int(log_cc),
+        tri=tri, log_cc=int(log_cc), offsets=offsets,
     )
     out = pl.pallas_call(
         kernel,

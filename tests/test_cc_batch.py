@@ -257,3 +257,91 @@ def test_engine_fk_observe_bitwise(monkeypatch):
     np.testing.assert_array_equal(np.asarray(obs.state["spins"]), expected)
     fk = r["per_disorder"]["cluster_observations"]["fk"]
     assert fk["observation_count"].sum() > 0
+
+
+@pytest.mark.parametrize(
+    "shape,offsets",
+    [
+        ((8, 16), [[1, 0], [0, 1], [1, 1], [1, -1]]),   # NNN square
+        ((8, 16), [[1, 2], [2, 1]]),                    # knight moves
+        ((8, 8, 8), [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]]),
+    ],
+)
+def test_kernel_matches_jnp_fixed_point_custom_offsets(shape, offsets):
+    """Custom offset tables through the generic packed-tile CC
+    (cc_gen_offsets + the offset-closure fixed point, round 5): labels
+    must be bitwise the jnp fixed point's — the unique per-graph minimum
+    labeling — across densities."""
+    import jax
+    import jax.numpy as jnp
+
+    from peapods_tpu.ops.lattice import Lattice
+    from peapods_tpu.ops.geometry import GridOps
+    from peapods_tpu.ops import cluster as cl
+    from peapods_tpu.ops.pallas_cc_batch import (
+        cc_batch_factors,
+        cc_gen_offsets,
+        connected_components_batch,
+        supports_cc_batch,
+    )
+
+    lat = Lattice(list(shape), offsets)
+    geom = GridOps.from_lattice(lat)
+    assert not supports_cc_batch(lat)
+    offs = cc_gen_offsets(lat)
+    assert offs is not None
+    kp, ks = cc_batch_factors(lat, 8)
+    b = ((8 + kp * ks - 1) // (kp * ks)) * (kp * ks)
+    rng = np.random.default_rng(3)
+    dens = np.linspace(0.0, 1.0, b)[:, None, None]
+    active = rng.random((b, lat.n_spins, lat.n_neighbors)) < dens
+    lab_k = connected_components_batch(
+        jnp.asarray(active), shape=shape, kp=kp, ks=ks, interpret=True,
+        offsets=offs,
+    )
+    lab_j = jax.vmap(lambda a: cl.connected_components(a, geom))(
+        jnp.asarray(active)
+    )
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_j))
+
+
+def test_engine_custom_offsets_cc_batch(monkeypatch):
+    """A custom-offset lattice's SW phase rides the batched CC kernel
+    (plan says cc=pallas-batch) with a trajectory bitwise the jnp-CC
+    run's."""
+    import jax  # noqa: F401
+    import numpy as np
+
+    monkeypatch.setenv("PEAPODS_PALLAS_INTERPRET", "1")
+    from peapods_tpu.engine.simulation import IsingSimulation
+
+    offs = [[1, 0], [0, 1], [1, 1], [1, -1]]
+    rng = np.random.default_rng(5)
+    coup = rng.choice(np.float32([-1, 1]), size=(2, 8, 16, 4))
+    temps = np.geomspace(2.0, 6.0, 4).astype(np.float32)
+
+    def build():
+        return IsingSimulation([8, 16], coup, temps, 2, offs, 21,
+                               default_chunk=4, mesh=None)
+
+    a = build()
+    ra = a.sample(6, "metropolis", cluster_update_interval=2,
+                  cluster_mode="sw", collect_cluster_stats=True,
+                  warmup_ratio=0)
+    prog = next(iter(a._programs.values()))
+    assert prog.cc_batch
+    assert "cc=pallas-batch" in prog.describe_plan()
+
+    monkeypatch.setenv("PEAPODS_DISABLE_CCBATCH", "1")
+    b = build()
+    rb = b.sample(6, "metropolis", cluster_update_interval=2,
+                  cluster_mode="sw", collect_cluster_stats=True,
+                  warmup_ratio=0)
+    assert not next(iter(b._programs.values())).cc_batch
+    monkeypatch.delenv("PEAPODS_DISABLE_CCBATCH")
+    np.testing.assert_array_equal(
+        np.asarray(a.state["spins"]), np.asarray(b.state["spins"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ra["fk_csd"]), np.asarray(rb["fk_csd"])
+    )
