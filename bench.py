@@ -40,10 +40,12 @@ import numpy as np
 
 BASELINE_FLIPS_PER_SEC = 1.0e10
 
-# Calibration-program rate measured in a healthy chip phase (TPU v5e,
-# 2026-08-20 session; see docs/performance.md round-5 entry).  The program
-# below is FROZEN — do not edit it or this constant loses its meaning.
-CAL_REF_ITERS_PER_SEC = None  # set from the first round-5 chip session
+# Calibration-program rate measured in a healthy chip phase (2026-08-21
+# session: flagship raw median 3.57e10 flips/s — the best phase recorded,
+# checksum fa6300e72b1fe18f; calibration median 16180.5 iters/s; see
+# docs/performance.md round-5 entry).  The program below is FROZEN — do not
+# edit it or this constant loses its meaning.
+CAL_REF_ITERS_PER_SEC = 16180.5
 _CAL_K = 512  # fori_loop iterations per calibration call
 
 
