@@ -95,6 +95,17 @@ JOBS = [
     # observed bond graph's hardware-PRNG stream vs the staged threefry
     # twin on the bitwise-identical trajectory)
     ("stats_r5", ["tests/tpu_stats_ci.py", "--quick"], 10800),
+    # ---- round 5, second window (after the matmul-histogram + winding
+    # block-check + mp_event VMEM-hoist fixes) ----
+    # exactness gate first: matmul histograms must be bitwise the
+    # scatter's on the real backend before any number is recorded
+    ("hist_check", ["benchmarks/hist_check.py"], 1800),
+    # observe + collect cost re-measurement through the new derivation
+    ("observe_r5b", ["benchmarks/observe_ab.py"], 5400),
+    ("stats_r5b", ["benchmarks/stats_ab.py"], 5400),
+    # config-5 opt-in arm compiles again after the spin-tile hoist:
+    # the deferred default decision
+    ("mp_event_r5b", ["benchmarks/mp_event_ab.py"], 5400),
 ]
 
 
