@@ -426,10 +426,41 @@ def connected_components_banded(active_fwd, geom, *, axis="space",
     return labels.reshape(n_batch, n_local)
 
 
+def _hist_matmul(values, weights, n_bins):
+    """Exact dense histogram via a two-level one-hot matmul.
+
+    ``out[v] = sum(weights[values == v])`` for ``v < n_bins`` — the same
+    integers the scatter-add form (``zeros.at[values].add(weights)``)
+    produces, computed on the MXU instead: XLA's TPU scatter is serialized
+    (~0.6 ms per 64k updates, benchmarks/cc_contract_probe.py) and was the
+    dominant cost of cluster-statistics collection (~23 ms/event at the
+    config-5 task batch).  The value splits into ``hi = v // 128`` and
+    ``lo = v % 128``; two int8 one-hot factors contract over the update
+    axis into an exact int32 ``[hi_bins, 128]`` grid (int8 x int8 -> int32
+    rides the MXU natively), which flattens to the dense histogram.
+    Weights must be 0/1 (they fold into the int8 hi factor)."""
+    lo_n = 128
+    hi_n = -(-n_bins // lo_n)
+    v = values.astype(jnp.int32)
+    hi_oh = (
+        v[:, None] // lo_n == jnp.arange(hi_n, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int8)
+    if weights is not None:
+        hi_oh = hi_oh * weights.astype(jnp.int8)[:, None]
+    lo_oh = (
+        v[:, None] % lo_n == jnp.arange(lo_n, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int8)
+    grid = jax.lax.dot_general(
+        hi_oh, lo_oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return grid.reshape(hi_n * lo_n)[:n_bins]
+
+
 def component_counts(labels):
     """``int32 [n_spins]``: ``counts[x]`` = size of the component labeled x (0 elsewhere)."""
     n = labels.shape[0]
-    return jnp.zeros(n, dtype=jnp.int32).at[labels].add(1)
+    return _hist_matmul(labels, None, n)
 
 
 def csd_histogram(counts):
@@ -438,9 +469,7 @@ def csd_histogram(counts):
     Matches the reference's ``uf_histogram`` (clusters/utils.rs:297-303).
     """
     n = counts.shape[0]
-    return jnp.zeros(n + 1, dtype=jnp.int32).at[counts].add(
-        (counts > 0).astype(jnp.int32)
-    )
+    return _hist_matmul(counts, counts > 0, n + 1)
 
 
 def top4_sizes(counts):
@@ -600,7 +629,7 @@ def winding_flags(active_fwd, labels, geom):
         settled, _ = carry
         return ~settled.all()
 
-    def body(carry):
+    def round_(carry):
         settled, disp = carry
         new_settled = settled
         new_disp = disp
@@ -615,6 +644,18 @@ def winding_flags(active_fwd, labels, geom):
             new_disp = jnp.where(ok[None, :], cand, new_disp)
             new_settled |= ok
         return new_settled, new_disp
+
+    def body(carry):
+        # 16 settle rounds per convergence check: the `.all()` scalar
+        # reduction forces a pipeline sync, and the BFS depth is the
+        # component's CHEMICAL diameter (~L^1.13 at 2D T_c — hundreds of
+        # rounds at 256^2), so per-round checks dominated full observe
+        # mode (14.9 ms/sweep measured round 5).  Rounds past the settle
+        # point are no-ops (every `ok` requires ~settled), so the final
+        # (settled, disp) is bitwise the per-round-check fixed point.
+        for _ in range(16):
+            carry = round_(carry)
+        return carry
 
     _, disp = jax.lax.while_loop(cond, body, (settled0, disp0))
 

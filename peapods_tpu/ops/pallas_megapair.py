@@ -999,17 +999,21 @@ def _mp_kernel(
                         kind: [uni() for _ in range(n_u[kind])]
                         for kind in ev_kinds
                     }
+                    # the spin-tile read is shared by every mode branch
+                    # (hoisting it shaved the kernel's VMEM stack back
+                    # under the 16M scoped limit at the full-ladder 16^3
+                    # config, where per-branch copies overflowed by 4K)
+                    s0 = (
+                        spins_out_ref[0, g0:g0 + tg]
+                        .reshape(gN, lanes)
+                        .astype(jnp.int32)
+                    )
                     for ki, kind in enumerate(ev_kinds):
 
                         @pl.when(ev_on & (mode_scal == ki))
                         def _(ki=ki, kind=kind, g0=g0):
                             tiles = iter(drawn[kind])
-                            s = (
-                                spins_out_ref[0, g0:g0 + tg]
-                                .reshape(gN, lanes)
-                                .astype(jnp.int32)
-                            )
-                            s = ev_permute(s, ev_perm_ref, g0)
+                            s = ev_permute(s0, ev_perm_ref, g0)
                             s = ev_bodies[kind](
                                 s, g0, jnp.bool_(True),
                                 lambda: next(tiles),
