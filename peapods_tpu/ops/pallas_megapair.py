@@ -286,7 +286,7 @@ def _region_index(row, col, l0, block, kp):
     return (row // l0) * kp + col // block
 
 
-def _temp_group(n_temps, rows, lanes, n_grids):
+def _temp_group(n_temps, rows, lanes, n_grids, ev_tiles=0):
     """Static count of temperature slabs flattened into one sweep tile.
 
     Per-temperature [rows, lanes] tiles are tiny for small lattices (8^3:
@@ -297,6 +297,14 @@ def _temp_group(n_temps, rows, lanes, n_grids):
     VMEM-budget cap keeps the tg-tiled coupling grids from pricing large
     lattices out of megapair eligibility (tg=1 must stay exactly as
     eligible as before grouping existed).
+
+    ``ev_tiles``: extra live [tg*rows, lanes] 4-byte tiles the in-kernel
+    event path holds per temperature group (the hoisted per-mode draw
+    streams plus the shared spin tile and the CC/flip temporaries) — the
+    round-5 masked event design keeps every mode's draws live across the
+    branch chain, and an un-charged tg=8 at the 16^3 full-ladder config
+    overflowed the 16 MB scoped VMEM stack by 0.5 MB.  Charging them here
+    picks the largest tg whose event stack still fits (tg=4 there).
     """
     spins_vmem = n_temps * rows * lanes * 2
     tg = 1
@@ -304,7 +312,9 @@ def _temp_group(n_temps, rows, lanes, n_grids):
         if (
             n_temps % cand == 0
             and cand * rows <= 512
-            and spins_vmem + n_grids * cand * rows * lanes * 4 <= _VMEM_BUDGET
+            and spins_vmem
+            + (n_grids + ev_tiles) * cand * rows * lanes * 4
+            <= _VMEM_BUDGET
         ):
             tg = cand
     return tg
@@ -1154,7 +1164,16 @@ def megapair_chunk(
         if interpret or _os.environ.get("PEAPODS_MP_TG1") == "1":
             tg = 1
         else:
-            tg = _temp_group(n_temps, rows, lanes, n_grids)
+            # in-kernel events: charge the event path's live tiles (all
+            # modes' hoisted draw streams + shared spin tile + CC/flip
+            # temporaries) so the chosen tg keeps the kernel inside the
+            # 16 MB scoped VMEM stack
+            n_dims = 2 if l2 == 1 else 3
+            ev_draws = (n_dims if "jorg" in ev_kinds else 0) + (
+                2 * n_dims if "cmr" in ev_kinds else 0
+            )
+            ev_tiles = (ev_draws + 8) if ev_kinds else 0
+            tg = _temp_group(n_temps, rows, lanes, n_grids, ev_tiles)
     jgrids = jnp.tile(jgrids, (1, 1, tg, 1))
     kernel = functools.partial(
         _mp_kernel,
