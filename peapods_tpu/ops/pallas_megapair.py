@@ -1169,10 +1169,11 @@ def megapair_chunk(
             # temporaries) so the chosen tg keeps the kernel inside the
             # 16 MB scoped VMEM stack
             n_dims = 2 if l2 == 1 else 3
-            ev_draws = (n_dims if "jorg" in ev_kinds else 0) + (
-                2 * n_dims if "cmr" in ev_kinds else 0
+            ev_k = ev_kinds or ()  # None on the interleaved-event path
+            ev_draws = (n_dims if "jorg" in ev_k else 0) + (
+                2 * n_dims if "cmr" in ev_k else 0
             )
-            ev_tiles = (ev_draws + 8) if ev_kinds else 0
+            ev_tiles = (ev_draws + 8) if ev_k else 0
             tg = _temp_group(n_temps, rows, lanes, n_grids, ev_tiles)
     jgrids = jnp.tile(jgrids, (1, 1, tg, 1))
     kernel = functools.partial(
