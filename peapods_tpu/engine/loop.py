@@ -763,6 +763,19 @@ class LoopProgram:
             if self.cc_band
             else 1
         )
+        # Batched winding kernel (round 5): full observe mode on 2D square
+        # lattices settles the torus-wrapping displacement potential
+        # in-kernel — the jnp BFS pays O(chemical diameter) full-tile XLA
+        # rounds (~10 ms of a 12 ms observe sweep at 256^2 T_c; the flags
+        # are settle-order-independent, so both paths produce identical
+        # results).  PEAPODS_WINDING_KERNEL=0 keeps the vmapped jnp BFS.
+        self.winding_kernel = (
+            rt.pallas_ok
+            and self.with_winding
+            and pallas_cc_batch.supports_winding_batch(rt.lattice)
+            and (rt.mesh is None or rt.mesh.devices.size == 1)
+            and _os.environ.get("PEAPODS_WINDING_KERNEL") != "0"
+        )
         # Pallas band-local body inside the banded CC (round 5): the
         # per-shard inner fixed point runs as one packed tile (band + its
         # two halo rows) at packed-tile-kernel speed; the outer
@@ -1484,6 +1497,47 @@ class LoopProgram:
             active_flat
         )
 
+    def _winding_many(self, act_flat, lab_flat):
+        """Per-graph torus-wrapping flags ``(wx, wy) [B]`` for a flat batch
+        of 2D square bond graphs — the Pallas kernel when gated
+        (``winding_kernel``), else one vmapped jnp BFS.  Flags are
+        settle-order-independent (a spanning-tree potential violates on a
+        chord iff its fundamental cycle winds), so both paths produce the
+        same booleans."""
+        rt = self.rt
+        if getattr(self, "winding_kernel", False):
+            b = act_flat.shape[0]
+            kp, ks = (
+                self._ccb
+                if self._ccb is not None
+                else pallas_cc_batch.cc_batch_factors(rt.lattice, b)
+            )
+            tile = kp * ks
+            pad = (-b) % tile
+            a, lab = act_flat, lab_flat
+            if pad:
+                # pad graphs must be bond-free with IDENTITY labels (every
+                # site its own settled root) or their settle loop never
+                # terminates
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                )
+                ident = jnp.broadcast_to(
+                    jnp.arange(rt.n_spins, dtype=lab.dtype),
+                    (pad, rt.n_spins),
+                )
+                lab = jnp.concatenate([lab, ident])
+            import os as _os
+
+            interp = _os.environ.get("PEAPODS_PALLAS_INTERPRET") == "1"
+            wx, wy = pallas_cc_batch.winding_batch(
+                a, lab, shape=tuple(rt.lattice.shape), kp=kp, ks=ks,
+                interpret=interp,
+            )
+            return wx[:b], wy[:b]
+        f = jax.vmap(lambda a2, l2: cl.winding_flags(a2, l2, rt.geom))
+        return f(act_flat, lab_flat)
+
     def _sweep_phase_halo(self, spins, sid, keys):
         """Checkerboard sweep under the ``space`` mesh axis via the
         halo-exchange color kernel (two single-color Pallas passes per
@@ -1781,12 +1835,33 @@ class LoopProgram:
                 csd_t = jax.vmap(lambda cs, sd: cs[sd].sum(0))(csd_sys, sid)
             if observe:
                 # bond-fraction/winding from the kernel's bond masks; the
-                # per-slot -> per-temp reduction mirrors the staged path
-                obs_sys = jax.vmap(jax.vmap(
-                    lambda act, cnt, lab: cl.graph_observation(
-                        act, cnt, lab, rt.geom, self.with_winding
+                # per-slot -> per-temp reduction mirrors the staged path.
+                # Winding settles once over the whole flat graph batch
+                # (kernel or one vmapped BFS, _winding_many) instead of
+                # per graph inside the vmap.
+                if self.with_winding:
+                    wxf, wyf = self._winding_many(
+                        masks.reshape(
+                            -1, rt.n_spins, rt.lattice.n_neighbors
+                        ),
+                        labels.reshape(-1, rt.n_spins),
                     )
-                ))(masks, counts, labels)
+                    wpre = (
+                        wxf.reshape(labels.shape[:2]),
+                        wyf.reshape(labels.shape[:2]),
+                    )
+                    obs_sys = jax.vmap(jax.vmap(
+                        lambda act, cnt, lab, wx, wy: cl.graph_observation(
+                            act, cnt, lab, rt.geom, True,
+                            winding_pre=(wx, wy),
+                        )
+                    ))(masks, counts, labels, *wpre)
+                else:
+                    obs_sys = jax.vmap(jax.vmap(
+                        lambda act, cnt, lab: cl.graph_observation(
+                            act, cnt, lab, rt.geom, False
+                        )
+                    ))(masks, counts, labels)
 
                 def slot_obs(obs_d, sid_d, csd_td):
                     slot = lambda x: jnp.swapaxes(x[sid_d], 0, 1)
@@ -2068,11 +2143,30 @@ class LoopProgram:
                         with_masks=True,
                     )
                     counts = jax.vmap(jax.vmap(cl.component_counts))(labels)
-                    obs = jax.vmap(jax.vmap(
-                        lambda act, cnt, lab: cl.graph_observation(
-                            act, cnt, lab, rt.geom, winding
+                    if winding:
+                        wxf, wyf = self._winding_many(
+                            masks.reshape(
+                                -1, rt.n_spins, rt.lattice.n_neighbors
+                            ),
+                            labels.reshape(-1, rt.n_spins),
                         )
-                    ))(masks, counts, labels)
+                        wpre = (
+                            wxf.reshape(labels.shape[:2]),
+                            wyf.reshape(labels.shape[:2]),
+                        )
+                        obs = jax.vmap(jax.vmap(
+                            lambda act, cnt, lab, wx, wy:
+                            cl.graph_observation(
+                                act, cnt, lab, rt.geom, True,
+                                winding_pre=(wx, wy),
+                            )
+                        ))(masks, counts, labels, *wpre)
+                    else:
+                        obs = jax.vmap(jax.vmap(
+                            lambda act, cnt, lab: cl.graph_observation(
+                                act, cnt, lab, rt.geom, False
+                            )
+                        ))(masks, counts, labels)
                     return ov.OverlapMoveOut(
                         tspins, None, None, None,
                         jax.vmap(jax.vmap(cl.csd_histogram))(counts),

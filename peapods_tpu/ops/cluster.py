@@ -582,14 +582,21 @@ class GraphObservation(NamedTuple):
     large_components: jax.Array  # int32 scalar
 
 
-def graph_observation(active_fwd, counts, labels, geom, with_winding):
+def graph_observation(active_fwd, counts, labels, geom, with_winding,
+                      winding_pre=None):
     """Graph observables for one bond graph (clusters/utils.rs:334-368).
 
     ``with_winding`` must be a static bool (canonical 2D lattices only).
+    ``winding_pre``: precomputed ``(wx, wy)`` flags — the engine batches
+    winding over all graphs at once (the Pallas kernel
+    :func:`peapods_tpu.ops.pallas_cc_batch.winding_batch`, or one vmapped
+    :func:`winding_flags` pass) instead of settling per graph here.
     """
     n_spins = counts.shape[0]
     threshold = jnp.int32(-(-n_spins * 5 // 100))  # ceil(0.05 * n)
-    if with_winding:
+    if winding_pre is not None:
+        wx, wy = winding_pre
+    elif with_winding:
         wx, wy = winding_flags(active_fwd, labels, geom)
     else:
         wx, wy = _NO_WINDING

@@ -43,6 +43,8 @@ __all__ = [
     "connected_components_batch",
     "grid_dims",
     "dir_shifts",
+    "supports_winding_batch",
+    "winding_batch",
 ]
 
 def parse_cc_log(v):
@@ -479,3 +481,125 @@ def connected_components_batch(active_fwd, *, shape, kp, ks, interpret=False,
         interpret=_interp(interpret),
     )(packed)
     return _unpack(out, l0, block, kp, ks)
+
+
+# --------------------------------------------------------------- winding
+
+def supports_winding_batch(lattice) -> bool:
+    """The batched winding kernel serves canonical 2D square lattices that
+    the packed-tile machinery can tile (winding observation is 2D-only,
+    clusters/utils.rs:371-455)."""
+    g = grid_dims(lattice)
+    return (
+        g is not None
+        and not g[4]  # not triangular
+        and g[2] == 1  # 2D
+        and supports_cc_batch(lattice)
+    )
+
+
+def _winding_kernel(a_ref, l_ref, out_ref, *, l0, l1, kp, ks,
+                    rounds_per_check=_ROUNDS_PER_CHECK):
+    """Per-site winding-violation bits for packed 2D square graph tiles.
+
+    In-kernel form of :func:`peapods_tpu.ops.cluster.winding_flags`: settle
+    an unwrapped displacement potential from each component's root (its
+    min-label site) along active bonds, then flag active bonds whose
+    displacement difference disagrees with their offset.  The potential
+    depends on the settle order, but the FLAGS do not: a spanning-tree
+    potential violates on a chord iff that chord's fundamental cycle has
+    nonzero winding, so any settle schedule marks exactly the winding
+    components (the jnp path's flags are identical).  The jnp BFS pays
+    O(chemical diameter) full-tile XLA rounds (~10 ms of a 12 ms observe
+    sweep at 256^2 T_c); here the rounds are VMEM roll/select work with the
+    convergence check amortized per block, like the CC fixed point.
+    """
+    block = l1
+    rows, lanes = ks * l0, kp * block
+    shifts, _parity, row, col = _mp_geometry(rows, lanes, l0, l1, 1)
+    fwd1, bwd1 = dir_shifts(shifts, 2, False)
+    bonds = [a_ref[0, d] != 0 for d in range(2)]
+    ab = [bwd1[d](bonds[d].astype(jnp.int32)) != 0 for d in range(2)]
+    lab = l_ref[0]
+    site = jax.lax.rem(row, np.int32(l0)) * np.int32(block) + jax.lax.rem(
+        col, np.int32(block)
+    )
+    st0 = (lab == site).astype(jnp.int32)
+    z = jnp.zeros_like(lab)
+
+    def settle_round(st, d0, d1):
+        for d in range(2):
+            ok = bonds[d] & (fwd1[d](st) != 0) & (st == 0)
+            d0 = jnp.where(ok, fwd1[d](d0) - (1 if d == 0 else 0), d0)
+            d1 = jnp.where(ok, fwd1[d](d1) - (1 if d == 1 else 0), d1)
+            st = jnp.where(ok, jnp.int32(1), st)
+            ok = ab[d] & (bwd1[d](st) != 0) & (st == 0)
+            d0 = jnp.where(ok, bwd1[d](d0) + (1 if d == 0 else 0), d0)
+            d1 = jnp.where(ok, bwd1[d](d1) + (1 if d == 1 else 0), d1)
+            st = jnp.where(ok, jnp.int32(1), st)
+        return st, d0, d1
+
+    def body(carry):
+        st, d0, d1, _ = carry
+        for _ in range(rounds_per_check):
+            st, d0, d1 = settle_round(st, d0, d1)
+        return st, d0, d1, jnp.any(st == 0)
+
+    st, d0, d1, _ = jax.lax.while_loop(
+        lambda c: c[3], body, (st0, z, z, jnp.bool_(True))
+    )
+
+    viol = z
+    for d in range(2):
+        off0 = 1 if d == 0 else 0
+        off1 = 1 if d == 1 else 0
+        vx = bonds[d] & (fwd1[d](d0) - d0 - off0 != 0)
+        vy = bonds[d] & (fwd1[d](d1) - d1 - off1 != 0)
+        viol = viol | jnp.where(vx, 1, 0) | jnp.where(vy, 2, 0)
+    out_ref[0] = viol
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "kp", "ks", "interpret")
+)
+def winding_batch(active_fwd, labels, *, shape, kp, ks, interpret=False):
+    """Torus-wrapping flags for a batch of 2D square bond graphs.
+
+    Args:
+        active_fwd: ``bool [B, n_spins, 2]`` forward-bond activations
+            (B divisible by kp*ks — pad with all-False graphs).
+        labels: ``int32 [B, n_spins]`` min-label component ids
+            (:func:`connected_components_batch` output).
+
+    Returns ``(wx, wy)`` bool ``[B]`` — does ANY component of graph b wind
+    around the torus along that axis; equal to
+    :func:`peapods_tpu.ops.cluster.winding_flags` per graph.
+    """
+    shape = tuple(shape)
+    l0, l1 = shape
+    block = l1
+    rows, lanes = ks * l0, kp * block
+    b = active_fwd.shape[0]
+    g = b // (kp * ks)
+    a = jnp.moveaxis(active_fwd.astype(jnp.int8), -1, 0)
+    packed = jnp.stack(
+        [_pack(a[d], l0, block, kp, ks) for d in range(2)], axis=1
+    )
+    lab_p = _pack(labels, l0, block, kp, ks)
+    kernel = functools.partial(_winding_kernel, l0=l0, l1=l1, kp=kp, ks=ks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 2, rows, lanes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, rows, lanes), jnp.int32),
+        interpret=_interp(interpret),
+    )(packed, lab_p)
+    flat = _unpack(out, l0, block, kp, ks)
+    return (flat & 1).any(-1), (flat & 2).any(-1)

@@ -345,3 +345,55 @@ def test_engine_custom_offsets_cc_batch(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ra["fk_csd"]), np.asarray(rb["fk_csd"])
     )
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (8, 128), (16, 16)])
+def test_winding_kernel_matches_jnp_flags(shape):
+    """The batched winding kernel's (wx, wy) flags equal the jnp BFS
+    (winding_flags) per graph — flags are settle-order-independent (a
+    spanning-tree potential violates on a chord iff that chord's
+    fundamental cycle winds), so any valid settle schedule marks exactly
+    the winding components."""
+    import jax
+    import jax.numpy as jnp
+
+    from peapods_tpu.ops.lattice import Lattice
+    from peapods_tpu.ops.geometry import GridOps
+    from peapods_tpu.ops import cluster as cl
+    from peapods_tpu.ops.pallas_cc_batch import (
+        cc_batch_factors,
+        connected_components_batch,
+        supports_winding_batch,
+        winding_batch,
+    )
+
+    lat = Lattice(list(shape))
+    geom = GridOps.from_lattice(lat)
+    assert supports_winding_batch(lat)
+    kp, ks = cc_batch_factors(lat, 12)
+    b = ((12 + kp * ks - 1) // (kp * ks)) * (kp * ks)
+    rng = np.random.default_rng(hash(("wind",) + shape) % 2**32)
+    # densities straddling the wrapping transition, plus deterministic
+    # extremes: empty (no winding), full (winds both ways), a single
+    # straight line around x only
+    dens = np.linspace(0.3, 0.75, b)[:, None, None]
+    active = rng.random((b, lat.n_spins, 2)) < dens
+    active[0] = False
+    active[1] = True
+    active[2] = False
+    row0 = np.arange(shape[1])  # sites of grid row 0, y-bonds wrap a ring
+    active[2, row0, 1] = True
+    labels = connected_components_batch(
+        jnp.asarray(active), shape=shape, kp=kp, ks=ks, interpret=True
+    )
+    wx_k, wy_k = winding_batch(
+        jnp.asarray(active), labels, shape=shape, kp=kp, ks=ks,
+        interpret=True,
+    )
+    wf = jax.vmap(lambda a, l: cl.winding_flags(a, l, geom))(
+        jnp.asarray(active), labels
+    )
+    np.testing.assert_array_equal(np.asarray(wx_k), np.asarray(wf[0]))
+    np.testing.assert_array_equal(np.asarray(wy_k), np.asarray(wf[1]))
+    assert not np.asarray(wx_k)[0] and not np.asarray(wy_k)[0]
+    assert np.asarray(wx_k)[1] and np.asarray(wy_k)[1]
