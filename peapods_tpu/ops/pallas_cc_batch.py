@@ -527,23 +527,30 @@ def _winding_kernel(a_ref, l_ref, out_ref, *, l0, l1, kp, ks,
     st0 = (lab == site).astype(jnp.int32)
     z = jnp.zeros_like(lab)
 
+    # Mosaic layout discipline (learned on hardware): never REDUCE an i1
+    # mask born from a vector-vs-scalar compare — `jnp.any(st == 0)`
+    # triggers "Invalid relayout ... replicated in destination" on the
+    # v5e compiler.  Settled-ness stays an int32 0/1 plane: masks feed
+    # selects only, the loop condition reduces the i32 plane with `min`,
+    # and the violation bits combine arithmetically.
+
     def settle_round(st, d0, d1):
         for d in range(2):
             ok = bonds[d] & (fwd1[d](st) != 0) & (st == 0)
             d0 = jnp.where(ok, fwd1[d](d0) - (1 if d == 0 else 0), d0)
             d1 = jnp.where(ok, fwd1[d](d1) - (1 if d == 1 else 0), d1)
-            st = jnp.where(ok, jnp.int32(1), st)
+            st = st | ok.astype(jnp.int32)
             ok = ab[d] & (bwd1[d](st) != 0) & (st == 0)
             d0 = jnp.where(ok, bwd1[d](d0) + (1 if d == 0 else 0), d0)
             d1 = jnp.where(ok, bwd1[d](d1) + (1 if d == 1 else 0), d1)
-            st = jnp.where(ok, jnp.int32(1), st)
+            st = st | ok.astype(jnp.int32)
         return st, d0, d1
 
     def body(carry):
         st, d0, d1, _ = carry
         for _ in range(rounds_per_check):
             st, d0, d1 = settle_round(st, d0, d1)
-        return st, d0, d1, jnp.any(st == 0)
+        return st, d0, d1, jnp.min(st) == 0
 
     st, d0, d1, _ = jax.lax.while_loop(
         lambda c: c[3], body, (st0, z, z, jnp.bool_(True))
@@ -555,7 +562,7 @@ def _winding_kernel(a_ref, l_ref, out_ref, *, l0, l1, kp, ks,
         off1 = 1 if d == 1 else 0
         vx = bonds[d] & (fwd1[d](d0) - d0 - off0 != 0)
         vy = bonds[d] & (fwd1[d](d1) - d1 - off1 != 0)
-        viol = viol | jnp.where(vx, 1, 0) | jnp.where(vy, 2, 0)
+        viol = viol | vx.astype(jnp.int32) | (vy.astype(jnp.int32) * 2)
     out_ref[0] = viol
 
 
