@@ -238,3 +238,32 @@ def test_connected_components_banded_pallas_matches_unsharded():
             np.asarray(call(active)), np.asarray(ref),
             err_msg=f"shape={shape} off={offsets} ns={ns} log={log_cc}",
         )
+
+
+def test_hist_matmul_matches_scatter_edges():
+    """The MXU histogram equals the scatter-add form on edge shapes: bin
+    counts not a lane multiple (n=64, n=100), values hitting the last bin
+    (counts == n), empty input weights, and the all-one-component case."""
+    import jax.numpy as jnp
+
+    from peapods_tpu.ops import cluster as cl
+
+    rng = np.random.default_rng(3)
+    for n in (64, 100, 300):
+        labs = np.minimum(
+            rng.integers(0, n, n), rng.integers(0, n, n)
+        ).astype(np.int32)
+        counts = np.asarray(cl.component_counts(jnp.asarray(labs)))
+        ref = np.zeros(n, np.int32)
+        np.add.at(ref, labs, 1)
+        np.testing.assert_array_equal(counts, ref)
+        hist = np.asarray(cl.csd_histogram(jnp.asarray(counts)))
+        ref_h = np.zeros(n + 1, np.int32)
+        np.add.at(ref_h, counts, (counts > 0).astype(np.int32))
+        np.testing.assert_array_equal(hist, ref_h)
+    # one component spanning everything: counts[0] == n -> top bin n
+    labs = np.zeros(128, np.int32)
+    counts = np.asarray(cl.component_counts(jnp.asarray(labs)))
+    assert counts[0] == 128 and counts[1:].sum() == 0
+    hist = np.asarray(cl.csd_histogram(jnp.asarray(counts)))
+    assert hist[128] == 1 and hist.sum() == 1
