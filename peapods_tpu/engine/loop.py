@@ -1901,8 +1901,27 @@ class LoopProgram:
             )
         ).reshape(d, rt.n_systems, rt.n_spins)
 
-        def finish_per_disorder(spins_d, active_d, labels_d, keys_d, sid_d):
-            def one(s, act, lab, k):
+        # winding settles once over the whole flat graph batch (kernel or
+        # one vmapped BFS, _winding_many) — the per-graph BFS inside the
+        # vmap was ~10 ms/graph at 256^2 T_c, and this staged branch is
+        # the PEAPODS_DISABLE_FKKERNEL fallback whose observe cost should
+        # track the fused path's
+        if self.observe_fk and self.with_winding:
+            wxf, wyf = self._winding_many(
+                active.reshape(-1, rt.n_spins, rt.lattice.n_neighbors),
+                labels.reshape(-1, rt.n_spins),
+            )
+            wpre_sys = (
+                wxf.reshape(d, rt.n_systems),
+                wyf.reshape(d, rt.n_systems),
+            )
+        else:
+            zb = jnp.zeros((d, rt.n_systems), bool)
+            wpre_sys = (zb, zb)
+
+        def finish_per_disorder(spins_d, active_d, labels_d, keys_d, sid_d,
+                                wx_d, wy_d):
+            def one(s, act, lab, k, wx, wy):
                 counts = (
                     cl.component_counts(lab)
                     if (self.collect_fk or self.observe_fk)
@@ -1917,7 +1936,10 @@ class LoopProgram:
                 csd = cl.csd_histogram(counts) if self.collect_fk else None
                 obs = (
                     cl.graph_observation(
-                        act, counts, lab, rt.geom, self.with_winding
+                        act, counts, lab, rt.geom, self.with_winding,
+                        winding_pre=(
+                            (wx, wy) if self.with_winding else None
+                        ),
                     )
                     if self.observe_fk
                     else None
@@ -1925,7 +1947,7 @@ class LoopProgram:
                 return new_s, csd, obs
 
             new_spins, csd_sys, obs_sys = jax.vmap(one)(
-                spins_d, active_d, labels_d, keys_d
+                spins_d, active_d, labels_d, keys_d, wx_d, wy_d
             )
             csd_t = None
             obs_delta = None
@@ -1949,7 +1971,7 @@ class LoopProgram:
             return new_spins, csd_t, obs_delta
 
         out = jax.vmap(finish_per_disorder)(
-            spins, active, labels, keys_flip, sid
+            spins, active, labels, keys_flip, sid, *wpre_sys
         )
         return out + (None,)
 
